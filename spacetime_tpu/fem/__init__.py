@@ -1,0 +1,28 @@
+"""Host-side P1 finite-element substrate.
+
+Replaces the reference's NGSolve (C++) dependency: mesh generation and sparse
+assembly run once on the host (NumPy), emitting operators in device-friendly
+formats (DIA diagonals / blocked-ELL) for the JAX/Pallas compute path.
+"""
+
+from .mesh import Mesh, unit_square_mesh, unit_cube_mesh
+from .assembly import assemble_p1, load_vector, P1System
+from .timegrid import (
+    TimeGrid,
+    uniform_time_grid,
+    graded_time_grid,
+    time_matrices,
+)
+
+__all__ = [
+    "Mesh",
+    "unit_square_mesh",
+    "unit_cube_mesh",
+    "assemble_p1",
+    "load_vector",
+    "P1System",
+    "TimeGrid",
+    "uniform_time_grid",
+    "graded_time_grid",
+    "time_matrices",
+]

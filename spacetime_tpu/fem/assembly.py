@@ -1,0 +1,144 @@
+"""Vectorized P1 finite-element assembly (host-side, runs once per solve).
+
+TPU-native replacement for the reference's NGSolve assembly (SURVEY.md §2):
+pure NumPy element loops vectorized over all simplices, emitting scipy CSR for
+the oracle and DIA diagonals for the device path. Assembly cost is amortized —
+it runs once; the per-iteration hot path never touches these routines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import scipy.sparse as sp
+
+from .mesh import Mesh
+
+
+def _tri_geometry(mesh: Mesh):
+    v = mesh.vertices[mesh.elements]  # (ne, 3, 2)
+    d1 = v[:, 1] - v[:, 0]
+    d2 = v[:, 2] - v[:, 0]
+    det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    area = np.abs(det) / 2.0
+    # Gradients of the barycentric basis functions.
+    g1 = np.stack([d2[:, 1], -d2[:, 0]], axis=1) / det[:, None]
+    g2 = np.stack([-d1[:, 1], d1[:, 0]], axis=1) / det[:, None]
+    g0 = -g1 - g2
+    grads = np.stack([g0, g1, g2], axis=1)  # (ne, 3, 2)
+    return area, grads
+
+
+def _tet_geometry(mesh: Mesh):
+    v = mesh.vertices[mesh.elements]  # (ne, 4, 3)
+    D = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]], axis=1)
+    det = np.linalg.det(D)
+    vol = np.abs(det) / 6.0
+    Dinv = np.linalg.inv(D)  # rows of Dinv^T are gradients of bary 1..3
+    g = np.transpose(Dinv, (0, 2, 1))  # (ne, 3, 3): g[:, i] = grad lambda_{i+1}
+    g0 = -g.sum(axis=1)
+    grads = np.concatenate([g0[:, None, :], g], axis=1)  # (ne, 4, 3)
+    return vol, grads
+
+
+def assemble_p1(mesh: Mesh) -> tuple[sp.csr_matrix, sp.csr_matrix]:
+    """Assemble full (all-vertex) P1 mass and stiffness matrices.
+
+    Returns (M, A) as CSR over all vertices; restrict with
+    ``P1System.from_mesh`` for the Dirichlet-interior block.
+    """
+    d = mesh.dim
+    nloc = d + 1
+    if d == 2:
+        measure, grads = _tri_geometry(mesh)
+        mass_scale = 1.0 / 12.0  # int lam_i lam_j = area/12 * (1 + delta_ij)
+    elif d == 3:
+        measure, grads = _tet_geometry(mesh)
+        mass_scale = 1.0 / 20.0
+    else:
+        raise ValueError(f"unsupported dim {d}")
+
+    # Local matrices, vectorized over elements.
+    K = measure[:, None, None] * np.einsum("eid,ejd->eij", grads, grads)
+    Mloc = (np.ones((nloc, nloc)) + np.eye(nloc)) * mass_scale
+    Mel = measure[:, None, None] * Mloc[None]
+
+    rows = np.repeat(mesh.elements, nloc, axis=1).ravel()
+    cols = np.tile(mesh.elements, (1, nloc)).ravel()
+    nv = mesh.num_vertices
+    A = sp.coo_matrix((K.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
+    M = sp.coo_matrix((Mel.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
+    A.sum_duplicates()
+    M.sum_duplicates()
+    return M, A
+
+
+def _quad_rule(dim: int):
+    """Degree-2-exact quadrature in barycentric coordinates: (bary, weights)."""
+    if dim == 2:
+        # Edge-midpoint rule, exact for quadratics.
+        bary = np.array(
+            [[0.5, 0.5, 0.0], [0.0, 0.5, 0.5], [0.5, 0.0, 0.5]], dtype=np.float64
+        )
+        w = np.full(3, 1.0 / 3.0)
+    elif dim == 3:
+        a = (5.0 - np.sqrt(5.0)) / 20.0
+        b = 1.0 - 3.0 * a
+        bary = np.full((4, 4), a)
+        np.fill_diagonal(bary, b)
+        w = np.full(4, 0.25)
+    else:
+        raise ValueError(f"unsupported dim {dim}")
+    return bary, w
+
+
+def load_vector(mesh: Mesh, f) -> np.ndarray:
+    """Assemble the load vector f_k = ∫_Ω f φ_k dx over all vertices.
+
+    ``f`` is called with an (nq, d) array of points and must return (nq,)
+    values. Uses a degree-2-exact rule, enough to preserve the method's
+    second-order convergence.
+    """
+    bary, w = _quad_rule(mesh.dim)
+    v = mesh.vertices[mesh.elements]  # (ne, nloc, d)
+    if mesh.dim == 2:
+        measure, _ = _tri_geometry(mesh)
+    else:
+        measure, _ = _tet_geometry(mesh)
+    pts = np.einsum("qi,eid->eqd", bary, v)  # (ne, nq, d)
+    fvals = np.asarray(f(pts.reshape(-1, mesh.dim))).reshape(pts.shape[:2])
+    # phi_k at quad point q equals bary[q, local_index(k)].
+    contrib = np.einsum("eq,q,qi->ei", fvals, w, bary) * measure[:, None]
+    out = np.zeros(mesh.num_vertices)
+    np.add.at(out, mesh.elements.ravel(), contrib.ravel())
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class P1System:
+    """Interior-block spatial operators for a Dirichlet problem.
+
+    Attributes:
+      mesh: the underlying mesh.
+      M: interior mass matrix (m×m CSR).
+      A: interior stiffness matrix (m×m CSR).
+    """
+
+    mesh: Mesh
+    M: sp.csr_matrix
+    A: sp.csr_matrix
+
+    @classmethod
+    def from_mesh(cls, mesh: Mesh) -> "P1System":
+        Mfull, Afull = assemble_p1(mesh)
+        idx = mesh.interior
+        return cls(mesh, Mfull[idx][:, idx].tocsr(), Afull[idx][:, idx].tocsr())
+
+    @property
+    def m(self) -> int:
+        return self.mesh.num_interior
+
+    def interior_load(self, f) -> np.ndarray:
+        """Load vector restricted to interior vertices."""
+        return load_vector(self.mesh, f)[self.mesh.interior]
