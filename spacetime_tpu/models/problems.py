@@ -1,0 +1,153 @@
+"""Heat-equation benchmark problems.
+
+Each problem prescribes ∂u/∂t − Δu = g on Ω×(0,T], u = 0 on ∂Ω, u(0) = u0,
+with Ω the unit square/cube (SURVEY.md Appendix A). Manufactured problems are
+defined by their exact solution alone: the source g = ∂t u − Δu is derived by
+JAX autodiff (exact to machine precision), so adding a benchmark — including
+the singular and moving-peak ones — is a three-line closed-form formula.
+
+Benchmark families (BASELINE.md config ladder):
+  smooth2d / smooth3d — smooth separable solutions; iteration counts must be
+    flat under refinement.
+  singular2d — u ~ t^alpha near t=0 (incompatible data): optimal rates only
+    on a time grid graded toward t=0.
+  moving_peak2d — a Gaussian peak travelling across the domain.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """A parabolic benchmark problem on the unit square/cube.
+
+    Attributes:
+      name: registry key.
+      dim: spatial dimension (2 or 3).
+      T: final time.
+      exact: scalar exact solution u(t, x) with x shape (dim,), written in
+        jax.numpy (autodiff-able), or None for non-manufactured problems.
+      g_override / u0_override: data for non-manufactured problems.
+      graded_time: whether the benchmark calls for a time grid graded
+        toward t=0 (the singular family).
+    """
+
+    name: str
+    dim: int
+    exact: Callable | None
+    T: float = 1.0
+    g_override: Callable | None = None
+    u0_override: Callable | None = None
+    graded_time: bool = False
+
+    # ---------------------------------------------------------------- data
+
+    def u0(self, X: np.ndarray) -> np.ndarray:
+        """Initial datum at points X (n, dim) -> (n,)."""
+        if self.exact is None:
+            return np.asarray(self.u0_override(X))
+        return self.exact_np(0.0, X)
+
+    def g(self, t: float, X: np.ndarray) -> np.ndarray:
+        """Source g(t, ·) at points X (n, dim) -> (n,)."""
+        if self.exact is None:
+            return np.asarray(self.g_override(t, X))
+        return np.asarray(self._g_fn()(float(t), X))
+
+    def exact_np(self, t: float, X: np.ndarray) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(
+            _vmap_space(self.exact)(jnp.asarray(float(t)), jnp.asarray(X))
+        )
+
+    def _g_fn(self):
+        if not hasattr(self, "_g_cache"):
+            import jax
+
+            u = self.exact
+
+            def g_scalar(t, x):
+                du_dt = jax.grad(u, argnums=0)(t, x)
+                lap = jnp_trace_hessian(u, t, x)
+                return du_dt - lap
+
+            object.__setattr__(self, "_g_cache", jax.jit(_vmap_space(g_scalar)))
+        return self._g_cache
+
+
+def jnp_trace_hessian(u, t, x):
+    import jax
+
+    H = jax.hessian(u, argnums=1)(t, x)
+    return H.trace()
+
+
+def _vmap_space(fn):
+    import jax
+
+    return jax.vmap(fn, in_axes=(None, 0))
+
+
+# ------------------------------------------------------------------ registry
+
+
+def _bubble(x):
+    import jax.numpy as jnp
+
+    return jnp.prod(x * (1.0 - x))
+
+
+def _smooth(dim):
+    def u(t, x):
+        import jax.numpy as jnp
+
+        return jnp.exp(-t) * jnp.prod(jnp.sin(jnp.pi * x))
+
+    return Problem(name=f"smooth{dim}d", dim=dim, exact=u)
+
+
+def _singular2d(alpha=0.75):
+    def u(t, x):
+        import jax.numpy as jnp
+
+        # u ~ (t + eps)^alpha-like singularity: u_t blows up as t -> 0, so
+        # uniform time grids lose the optimal rate; graded grids restore it.
+        return t**alpha * jnp.prod(jnp.sin(jnp.pi * x))
+
+    return Problem(name="singular2d", dim=2, exact=u, graded_time=True)
+
+
+def _moving_peak2d():
+    def u(t, x):
+        import jax.numpy as jnp
+
+        cx = 0.25 + 0.5 * t
+        cy = 0.5
+        r2 = (x[0] - cx) ** 2 + (x[1] - cy) ** 2
+        return 16.0 * _bubble(x) * jnp.exp(-50.0 * r2)
+
+    return Problem(name="moving_peak2d", dim=2, exact=u)
+
+
+PROBLEMS = {
+    p.name: p
+    for p in [
+        _smooth(2),
+        _smooth(3),
+        _singular2d(),
+        _moving_peak2d(),
+    ]
+}
+
+
+def get_problem(name: str) -> Problem:
+    try:
+        return PROBLEMS[name]
+    except KeyError:
+        raise KeyError(f"unknown problem {name!r}; available: {sorted(PROBLEMS)}")

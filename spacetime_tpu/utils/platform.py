@@ -1,0 +1,31 @@
+"""Platform selection helpers.
+
+This image preimports jax at interpreter startup with JAX_PLATFORMS=axon (the
+TPU tunnel), so environment variables set by user code are too late; platform
+choice must go through jax.config before the first backend use. These helpers
+wrap that: call exactly one of use_cpu()/use_tpu() at process start.
+"""
+
+from __future__ import annotations
+
+import jax
+
+
+def use_cpu(num_devices: int | None = None, x64: bool = True) -> None:
+    """Run on host CPU, optionally with N virtual devices (mesh emulation)."""
+    jax.config.update("jax_platforms", "cpu")
+    if num_devices is not None:
+        jax.config.update("jax_num_cpu_devices", num_devices)
+    if x64:
+        ensure_x64()
+
+
+def use_tpu(x64: bool = False) -> None:
+    """Run on the TPU backend (axon tunnel in this image)."""
+    jax.config.update("jax_platforms", "axon")
+    if x64:
+        ensure_x64()
+
+
+def ensure_x64() -> None:
+    jax.config.update("jax_enable_x64", True)
