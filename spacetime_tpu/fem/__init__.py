@@ -6,7 +6,7 @@ formats (DIA diagonals / blocked-ELL) for the JAX/Pallas compute path.
 """
 
 from .mesh import Mesh, unit_square_mesh, unit_cube_mesh
-from .assembly import assemble_p1, load_vector, P1System
+from .assembly import assemble_p1, load_vector, spacetime_loads, P1System
 from .timegrid import (
     TimeGrid,
     uniform_time_grid,
@@ -20,6 +20,7 @@ __all__ = [
     "unit_cube_mesh",
     "assemble_p1",
     "load_vector",
+    "spacetime_loads",
     "P1System",
     "TimeGrid",
     "uniform_time_grid",

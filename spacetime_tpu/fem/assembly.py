@@ -115,6 +115,32 @@ def load_vector(mesh: Mesh, f) -> np.ndarray:
     return out
 
 
+def spacetime_loads(problem, mesh: Mesh, grid) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Half-interval space-time loads for the stabilized formulation.
+
+    Returns (gL, gR, u0_vec): gL/gR (N, m_interior) with
+    gL[j,k] = ∫_{left half of interval j} ∫_Ω g φ_k (2-point Gauss per half),
+    and u0_vec[k] = ∫_Ω u0 φ_k, all restricted to interior vertices.
+    Shared by the NumPy oracle and the JAX/TPU path so their right-hand
+    sides agree bit-for-bit.
+    """
+    idx = mesh.interior
+    t = grid.t
+    h = grid.h
+    N = grid.num_intervals
+    gq = 0.5 / np.sqrt(3.0)
+    gL = np.zeros((N, idx.size))
+    gR = np.zeros((N, idx.size))
+    for j in range(N):
+        hh = 0.5 * h[j]
+        for out, lo in ((gL, t[j]), (gR, t[j] + hh)):
+            mid = lo + 0.5 * hh
+            for tq in (mid - gq * hh, mid + gq * hh):
+                out[j] += 0.5 * hh * load_vector(mesh, lambda X: problem.g(tq, X))[idx]
+    u0_vec = load_vector(mesh, problem.u0)[idx]
+    return gL, gR, u0_vec
+
+
 @dataclasses.dataclass(frozen=True)
 class P1System:
     """Interior-block spatial operators for a Dirichlet problem.

@@ -47,7 +47,6 @@ import scipy.sparse.linalg as spla
 
 from ..fem import P1System, TimeGrid, time_matrices, unit_square_mesh, unit_cube_mesh
 from ..fem.timegrid import uniform_time_grid, graded_time_grid
-from ..fem.assembly import load_vector
 from ..models import Problem, get_problem
 from ..ops.wavelets import WaveletTransform, build_wavelet_transform
 
@@ -162,21 +161,9 @@ class OracleSolver:
 
         Half-interval loads gL/gR with 2-point Gauss each (see module
         docstring for the condensed half-grid test space)."""
-        mesh = self.system.mesh
-        idx = mesh.interior
-        t = self.grid.t
-        gq = 0.5 / np.sqrt(3.0)
-        gL = np.zeros((self.N, self.m))
-        gR = np.zeros((self.N, self.m))
-        for j in range(self.N):
-            hh = 0.5 * self.h[j]
-            for out, lo in ((gL, t[j]), (gR, t[j] + hh)):
-                mid = lo + 0.5 * hh
-                for tq in (mid - gq * hh, mid + gq * hh):
-                    out[j] += (
-                        0.5 * hh * load_vector(mesh, lambda X: self.problem.g(tq, X))[idx]
-                    )
-        u0_vec = load_vector(mesh, self.problem.u0)[idx]
+        from ..fem.assembly import spacetime_loads
+
+        gL, gR, u0_vec = spacetime_loads(self.problem, self.system.mesh, self.grid)
         f = self.apply_BT(self.apply_KY(gL + gR))
         # (r_L - r_R)(u) = -(h_j/4) A Δ_j  ⇒  adjoint puts +corr on node j,
         # -corr on node j+1, with corr = (gL-gR)/4 (A·A⁻¹ cancels).
@@ -241,39 +228,10 @@ class OracleSolver:
     # ---------------------------------------------------------------- error
 
     def l2_error(self, U: np.ndarray) -> float:
-        """L2(I×Ω) error of the space-time solution vs the exact solution,
-        2-point Gauss in time × degree-2 rule in space."""
-        from ..fem.assembly import _quad_rule, _tri_geometry, _tet_geometry
+        """L2(I×Ω) error of the space-time solution vs the exact solution."""
+        from ..fem.errors import l2_error_spacetime
 
-        mesh = self.system.mesh
-        bary, w = _quad_rule(mesh.dim)
-        measure = (
-            _tri_geometry(mesh)[0] if mesh.dim == 2 else _tet_geometry(mesh)[0]
-        )
-        v = mesh.vertices[mesh.elements]
-        pts = np.einsum("qi,eid->eqd", bary, v)  # (ne, nq, d)
-        flat = pts.reshape(-1, mesh.dim)
-
-        # Full-vertex coefficients (boundary = 0).
-        Ufull = np.zeros((self.N + 1, mesh.num_vertices))
-        Ufull[:, mesh.interior] = U
-        # P1 values at spatial quad points for every time node.
-        nodal = Ufull[:, mesh.elements]  # (N+1, ne, nloc)
-        uq = np.einsum("tei,qi->teq", nodal, bary)  # (N+1, ne, nq)
-
-        t = self.grid.t
-        gq = 0.5 / np.sqrt(3.0)
-        total = 0.0
-        for j in range(self.N):
-            mid = 0.5 * (t[j] + t[j + 1])
-            for tq in (mid - gq * self.h[j], mid + gq * self.h[j]):
-                lam = (tq - t[j]) / self.h[j]
-                uh = (1 - lam) * uq[j] + lam * uq[j + 1]
-                ue = self.problem.exact_np(tq, flat).reshape(uh.shape)
-                diff2 = (uh - ue) ** 2
-                space_int = np.einsum("eq,q,e->", diff2, w, measure)
-                total += 0.5 * self.h[j] * space_int
-        return float(np.sqrt(total))
+        return l2_error_spacetime(self.problem, self.system.mesh, self.grid, U)
 
 
 def solve_heat_equation(

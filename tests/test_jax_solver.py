@@ -1,0 +1,62 @@
+"""Parity tests: jitted JAX solver vs NumPy oracle (SURVEY.md §7.2 step 2
+gate — identical iteration counts, residual histories to fp tolerance)."""
+
+import numpy as np
+import pytest
+
+from spacetime_tpu.oracle import solve_heat_equation
+from spacetime_tpu.solver import solve_heat_equation_tpu
+
+
+@pytest.mark.parametrize(
+    "problem,n,J,extra",
+    [
+        ("smooth2d", 8, 3, 0),
+        ("smooth2d", 16, 4, 0),
+        ("smooth3d", 4, 2, 0),
+        ("singular2d", 8, 3, 3),
+        ("moving_peak2d", 8, 3, 0),
+    ],
+)
+def test_parity_with_oracle(problem, n, J, extra):
+    ro = solve_heat_equation(
+        problem, space_n=n, time_levels=J, extra_time_levels=extra, tol=1e-6,
+        compute_error=False,
+    )
+    rj = solve_heat_equation_tpu(
+        problem, space_n=n, time_levels=J, extra_time_levels=extra, tol=1e-6,
+        compute_error=False,
+    )
+    assert rj.converged
+    assert rj.iterations == ro.iterations
+    np.testing.assert_allclose(
+        rj.residuals, ro.residuals, rtol=1e-10, atol=1e-13 * ro.residuals[0]
+    )
+
+
+def test_tight_tolerance_1e8():
+    ro = solve_heat_equation(
+        "smooth2d", space_n=16, time_levels=4, tol=1e-8, compute_error=False
+    )
+    rj = solve_heat_equation_tpu(
+        "smooth2d", space_n=16, time_levels=4, tol=1e-8, compute_error=False
+    )
+    assert rj.converged and rj.iterations == ro.iterations
+    assert rj.residuals[-1] <= 1e-8 * np.linalg.norm(rj.residuals[0])
+
+
+def test_float32_mode_converges_loosely():
+    import jax.numpy as jnp
+
+    r = solve_heat_equation_tpu(
+        "smooth2d", space_n=8, time_levels=3, tol=1e-4, dtype=jnp.float32,
+        compute_error=True,
+    )
+    assert r.converged
+    assert r.l2_error < 0.02
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
