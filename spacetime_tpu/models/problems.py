@@ -57,14 +57,16 @@ class Problem:
         """Source g(t, ·) at points X (n, dim) -> (n,)."""
         if self.exact is None:
             return np.asarray(self.g_override(t, X))
-        return np.asarray(self._g_fn()(float(t), X))
+        with _host_device():
+            return np.asarray(self._g_fn()(float(t), X))
 
     def exact_np(self, t: float, X: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 
-        return np.asarray(
-            _vmap_space(self.exact)(jnp.asarray(float(t)), jnp.asarray(X))
-        )
+        with _host_device():
+            return np.asarray(
+                _vmap_space(self.exact)(jnp.asarray(float(t)), jnp.asarray(X))
+            )
 
     def _g_fn(self):
         if not hasattr(self, "_g_cache"):
@@ -79,6 +81,22 @@ class Problem:
 
             object.__setattr__(self, "_g_cache", jax.jit(_vmap_space(g_scalar)))
         return self._g_cache
+
+
+def _host_device():
+    """Context pinning problem-data evaluation (quadrature loads, exact
+    solutions) to the host CPU backend: these are tiny per-call batches, and
+    dispatching them through the TPU tunnel is pathologically slow. Requires
+    the CPU platform to be registered (utils.use_tpu sets
+    jax_platforms='axon,cpu'); falls back to the default device otherwise."""
+    import contextlib
+
+    import jax
+
+    try:
+        return jax.default_device(jax.devices("cpu")[0])
+    except RuntimeError:
+        return contextlib.nullcontext()
 
 
 def jnp_trace_hessian(u, t, x):

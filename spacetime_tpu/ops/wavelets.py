@@ -94,18 +94,139 @@ class WaveletTransform:
         return self.forward_np(np.eye(n))
 
     # -------------------------------------------------------------------- jax
+    #
+    # Two device paths:
+    #  * forward/adjoint — index arrays baked in as literals. Fine on CPU;
+    #    on the axon TPU backend, literal index/weight arrays inside a jitted
+    #    loop trigger pathological compiles (minutes).  Use only in tests.
+    #  * forward_jax/adjoint_jax(x, wp) — the solver path.  ``wp`` is the
+    #    pytree from ``jax_params``: all float weights are runtime arguments,
+    #    and on uniform dyadic grids every level op is a static STRIDED SLICE
+    #    (no gathers at all); graded grids use gathers whose index arrays are
+    #    also passed as runtime arguments.
+
+    @property
+    def is_uniform(self) -> bool:
+        """True iff the grid is the full uniform dyadic grid (N = 2^J)."""
+        N = self.grid.num_intervals
+        J = self.num_levels
+        if N != (1 << J):
+            return False
+        for j, lev in enumerate(self.levels, start=1):
+            s = N >> j
+            if not (
+                np.array_equal(lev.idx, np.arange(s, N, 2 * s))
+                and np.array_equal(lev.pl, lev.idx - s)
+                and np.array_equal(lev.pr, lev.idx + s)
+            ):
+                return False
+        return True
+
+    def jax_params(self, dtype):
+        """Device pytree of transform arrays, to be passed through jit."""
+        import jax.numpy as jnp
+
+        levels = []
+        for lev in self.levels:
+            d = {
+                "wl": jnp.asarray(lev.wl[:, None], dtype),
+                "wr": jnp.asarray(lev.wr[:, None], dtype),
+                "s": jnp.asarray(lev.s[:, None], dtype),
+            }
+            if not self.is_uniform:
+                d["idx"] = jnp.asarray(lev.idx)
+                d["pl"] = jnp.asarray(lev.pl)
+                d["pr"] = jnp.asarray(lev.pr)
+            levels.append(d)
+        out = {"levels": levels}
+        if not self.is_uniform:
+            out["root_idx"] = jnp.asarray(self.root_idx)
+        return out
+
+    def _stride_slices(self, j: int):
+        N = self.grid.num_intervals
+        s = N >> j
+        mid = slice(s, N, 2 * s)
+        left = slice(0, N - 2 * s + 1, 2 * s)
+        right = slice(2 * s, N + 1, 2 * s)
+        return mid, left, right
+
+    def forward_jax(self, c, wp):
+        """Synthesis W along axis 0; solver path (see class jax notes)."""
+        import jax.numpy as jnp
+
+        r = lambda a: a.reshape(a.shape[:1] + (1,) * (c.ndim - 1))
+        v = jnp.zeros_like(c)
+        if self.is_uniform:
+            N = self.grid.num_intervals
+            v = v.at[0].set(float(self.root_s[0]) * c[0])
+            v = v.at[N].set(float(self.root_s[1]) * c[N])
+            for j, lw in enumerate(wp["levels"], start=1):
+                mid, left, right = self._stride_slices(j)
+                t = r(lw["s"]) * c[mid]
+                interp = 0.5 * (v[left] + v[right])
+                v = v.at[left].add(r(lw["wl"]) * t)
+                v = v.at[right].add(r(lw["wr"]) * t)
+                v = v.at[mid].set(t + interp)
+            return v
+        ridx = wp["root_idx"]
+        v = v.at[ridx].set(
+            jnp.asarray(self.root_s.reshape((2,) + (1,) * (c.ndim - 1)), c.dtype)
+            * c[ridx]
+        )
+        for lw in wp["levels"]:
+            t = r(lw["s"]) * c[lw["idx"]]
+            interp = 0.5 * (v[lw["pl"]] + v[lw["pr"]])
+            v = v.at[lw["pl"]].add(r(lw["wl"]) * t)
+            v = v.at[lw["pr"]].add(r(lw["wr"]) * t)
+            v = v.at[lw["idx"]].set(t + interp)
+        return v
+
+    def adjoint_jax(self, x, wp):
+        """Transpose W' along axis 0; solver path (see class jax notes)."""
+        import jax.numpy as jnp
+
+        r = lambda a: a.reshape(a.shape[:1] + (1,) * (x.ndim - 1))
+        y = jnp.asarray(x)
+        if self.is_uniform:
+            N = self.grid.num_intervals
+            for j in range(self.num_levels, 0, -1):
+                lw = wp["levels"][j - 1]
+                mid, left, right = self._stride_slices(j)
+                t = y[mid]
+                a = y[left]
+                b = y[right]
+                y = y.at[left].add(0.5 * t)
+                y = y.at[right].add(0.5 * t)
+                y = y.at[mid].set(r(lw["s"]) * (t + r(lw["wl"]) * a + r(lw["wr"]) * b))
+            y = y.at[0].multiply(float(self.root_s[0]))
+            y = y.at[N].multiply(float(self.root_s[1]))
+            return y
+        for lw in reversed(wp["levels"]):
+            t = y[lw["idx"]]
+            a = y[lw["pl"]]
+            b = y[lw["pr"]]
+            y = y.at[lw["pl"]].add(0.5 * t)
+            y = y.at[lw["pr"]].add(0.5 * t)
+            y = y.at[lw["idx"]].set(r(lw["s"]) * (t + r(lw["wl"]) * a + r(lw["wr"]) * b))
+        ridx = wp["root_idx"]
+        y = y.at[ridx].multiply(
+            jnp.asarray(self.root_s.reshape((2,) + (1,) * (x.ndim - 1)), y.dtype)
+        )
+        return y
 
     def forward(self, c):
         """JAX synthesis W along axis 0 of ``c`` ((N+1,) or (N+1, m))."""
         import jax.numpy as jnp
 
+        w = lambda a: jnp.asarray(_bcast(a, c.ndim), c.dtype)
         v = jnp.zeros_like(c)
-        v = v.at[self.root_idx].set(_bcast(self.root_s, c.ndim) * c[self.root_idx])
+        v = v.at[self.root_idx].set(w(self.root_s) * c[self.root_idx])
         for lev in self.levels:
             interp = 0.5 * (v[lev.pl] + v[lev.pr])
-            t = _bcast(lev.s, c.ndim) * c[lev.idx]
-            v = v.at[lev.pl].add(_bcast(lev.wl, c.ndim) * t)
-            v = v.at[lev.pr].add(_bcast(lev.wr, c.ndim) * t)
+            t = w(lev.s) * c[lev.idx]
+            v = v.at[lev.pl].add(w(lev.wl) * t)
+            v = v.at[lev.pr].add(w(lev.wr) * t)
             v = v.at[lev.idx].set(t + interp)
         return v
 
@@ -114,6 +235,7 @@ class WaveletTransform:
         import jax.numpy as jnp
 
         y = jnp.asarray(x)
+        w = lambda a: jnp.asarray(_bcast(a, y.ndim), y.dtype)
         for lev in reversed(self.levels):
             t = y[lev.idx]
             pv_l = y[lev.pl]
@@ -121,10 +243,9 @@ class WaveletTransform:
             y = y.at[lev.pl].add(0.5 * t)
             y = y.at[lev.pr].add(0.5 * t)
             y = y.at[lev.idx].set(
-                _bcast(lev.s, y.ndim)
-                * (t + _bcast(lev.wl, y.ndim) * pv_l + _bcast(lev.wr, y.ndim) * pv_r)
+                w(lev.s) * (t + w(lev.wl) * pv_l + w(lev.wr) * pv_r)
             )
-        y = y.at[self.root_idx].multiply(_bcast(self.root_s, y.ndim))
+        y = y.at[self.root_idx].multiply(w(self.root_s))
         return y
 
 

@@ -4,15 +4,22 @@ The TPU-native counterpart of ``oracle.solver.OracleSolver``: identical
 mathematics (stabilized minimal-residual formulation, see the oracle module
 docstring), but every per-iteration operation is a device op:
 
-- spatial SpMV: DIA diagonals of M_x/A_x (7 in 2D, 15 in 3D) applied as
-  static-shifted multiply-adds over the (N_t+1, m) coefficient array — one
-  fused bandwidth-bound XLA pass per operator;
+- spatial SpMV: constant 7/15-point stencils on the structured grid
+  (ops/stencil.py), applied to the (N_t+1, *grid_shape) coefficient array as
+  one fused bandwidth-bound XLA pass (generic flat-DIA fallback for
+  unstructured meshes);
 - per-timestep / per-level inner solves: exact inverses precomputed on the
   host once (parity phase; m ≤ a few thousand) and applied as batched GEMMs
   on the MXU;
 - wavelet transform: unrolled levelwise gathers/scatter-adds (J ≈ log2 N_t
   stages);
 - PCG: one ``lax.while_loop`` under jit (solver.pcg).
+
+Per-time-row scales (h_j factors) are pre-broadcast to (T, ny, 1)-style
+shapes, and ALL float device arrays are passed into the jitted solve as a
+params pytree rather than closed over: on this backend, closed-over array
+constants inside stencil fusions trigger minutes-long compiles and ~40x
+runtime regressions (measured; see ops/stencil.py docstring).
 
 The operation order mirrors the oracle exactly, so float64 runs match the
 recorded BASELINE.md residual histories to rounding and iteration counts
@@ -40,13 +47,14 @@ from ..fem.errors import l2_error_spacetime
 from ..fem.timegrid import graded_time_grid, uniform_time_grid
 from ..models import Problem, get_problem
 from ..ops.sparse import DiaMatrix, dia_matvec
+from ..ops.stencil import StencilOperator, row_scale
 from ..ops.wavelets import build_wavelet_transform
 from .pcg import pcg
 
 
 @dataclasses.dataclass
 class SolveResult:
-    U: np.ndarray
+    U: np.ndarray  # (N_t+1, m) flat interior coefficients
     iterations: int
     residuals: np.ndarray
     precond_residuals: np.ndarray
@@ -67,6 +75,7 @@ class HeatSolver:
         system: P1System,
         grid: TimeGrid,
         dtype=jnp.float64,
+        spatial_format: str = "auto",
     ):
         t0 = _time.perf_counter()
         self.problem = problem
@@ -77,12 +86,30 @@ class HeatSolver:
         self.m = system.m
         self.wt = build_wavelet_transform(grid)
 
-        # --- host-side precompute -----------------------------------------
-        M_csr, A_csr = system.M, system.A
-        self.M_dia = DiaMatrix.from_csr(M_csr)
-        self.A_dia = DiaMatrix.from_csr(A_csr)
-        A_dense = A_csr.toarray()
-        M_dense = M_csr.toarray()
+        # --- spatial operator representation ------------------------------
+        M_dia = DiaMatrix.from_csr(system.M)
+        A_dia = DiaMatrix.from_csr(system.A)
+        gs = system.mesh.grid_shape
+        use_stencil = spatial_format == "stencil" or (
+            spatial_format == "auto" and gs is not None and min(gs) >= 3
+        )
+        if use_stencil:
+            self.gs = tuple(gs)
+            M_st = StencilOperator.from_dia(M_dia, self.gs)
+            A_st = StencilOperator.from_dia(A_dia, self.gs)
+            self._spmv_M = M_st.apply
+            self._spmv_A = A_st.apply
+        else:
+            self.gs = (self.m,)
+            Mv = jnp.asarray(M_dia.vals, dtype)
+            Av = jnp.asarray(A_dia.vals, dtype)
+            self._spmv_M = lambda U: dia_matvec(Mv, M_dia.offsets, U)
+            self._spmv_A = lambda U: dia_matvec(Av, A_dia.offsets, U)
+        self.spatial_format = "stencil" if use_stencil else "dia"
+
+        # --- host-side dense inner-solve precompute -----------------------
+        A_dense = system.A.toarray()
+        M_dense = system.M.toarray()
         Kx_inv = np.linalg.inv(A_dense)
         Minv = np.linalg.inv(M_dense)
         sandwiches = []
@@ -91,20 +118,23 @@ class HeatSolver:
             Sj = np.linalg.inv(A_dense + omega * M_dense)
             sandwiches.append(Sj @ A_dense @ Sj)
 
-        # --- device arrays -------------------------------------------------
+        # --- device arrays (passed as params, never closed over) ----------
         cast = lambda x: jnp.asarray(x, dtype)
-        self.h_d = cast(time_matrices(grid)["h"])
-        self.Mv = cast(self.M_dia.vals)
-        self.Av = cast(self.A_dia.vals)
-        self.Moff = self.M_dia.offsets
-        self.Aoff = self.A_dia.offsets
-        self.Kx_inv = cast(Kx_inv)
-        self.Minv = cast(Minv)
-        self.sandwich = [cast(S) for S in sandwiches]
-        self.perm = jnp.asarray(self.wt.perm_by_level)
-        inv_perm = np.empty_like(self.wt.perm_by_level)
-        inv_perm[self.wt.perm_by_level] = np.arange(self.N + 1)
-        self.inv_perm = jnp.asarray(inv_perm)
+        h = time_matrices(grid)["h"]
+        self.params = {
+            "h_half": row_scale(0.5 * h, self.gs, dtype),
+            "h_stab": row_scale(h / 16.0, self.gs, dtype),
+            "inv_h_flat": cast(1.0 / h)[:, None],  # (N, 1) flat GEMM scale
+            "Kx_inv": cast(Kx_inv),
+            "Minv": cast(Minv),
+            "sandwich": [cast(S) for S in sandwiches],
+            "wavelet": self.wt.jax_params(dtype),
+        }
+        if not self.wt.is_uniform:
+            self.params["perm"] = jnp.asarray(self.wt.perm_by_level)
+            inv_perm = np.empty_like(self.wt.perm_by_level)
+            inv_perm[self.wt.perm_by_level] = np.arange(self.N + 1)
+            self.params["inv_perm"] = jnp.asarray(inv_perm)
         counts = np.asarray(self.wt.level_counts)
         self.level_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
 
@@ -112,55 +142,75 @@ class HeatSolver:
         self.setup_seconds = _time.perf_counter() - t0
 
     # ---------------------------------------------------------- operators
+    # U has shape (N_t+1, *gs); V (test side) has shape (N_t, *gs).
+    # Every method takes the params pytree explicitly (p defaults to
+    # self.params for eager use); the jitted path threads p as an argument.
 
-    def _spmv_M(self, U):
-        return dia_matvec(self.Mv, self.Moff, U)
+    def _zrow(self):
+        return jnp.zeros((1,) + self.gs, self.dtype)
 
-    def _spmv_A(self, U):
-        return dia_matvec(self.Av, self.Aoff, U)
-
-    def apply_B(self, U):
+    def apply_B(self, U, p=None):
+        p = self.params if p is None else p
         DU = U[1:] - U[:-1]
         SU = U[1:] + U[:-1]
-        return self._spmv_M(DU) + (0.5 * self.h_d)[:, None] * self._spmv_A(SU)
+        return self._spmv_M(DU) + p["h_half"] * self._spmv_A(SU)
 
-    def apply_BT(self, V):
+    def apply_BT(self, V, p=None):
+        p = self.params if p is None else p
         VM = self._spmv_M(V)
-        VA = (0.5 * self.h_d)[:, None] * self._spmv_A(V)
-        z = jnp.zeros((1, self.m), self.dtype)
+        VA = p["h_half"] * self._spmv_A(V)
+        z = self._zrow()
         return jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
 
-    def apply_KY(self, V):
-        return (V @ self.Kx_inv) / self.h_d[:, None]
+    def apply_KY(self, V, p=None):
+        p = self.params if p is None else p
+        flat = V.reshape(self.N, self.m)
+        out = (flat @ p["Kx_inv"]) * p["inv_h_flat"]
+        return out.reshape(V.shape)
 
-    def apply_stab(self, U):
+    def apply_stab(self, U, p=None):
+        p = self.params if p is None else p
         D = U[1:] - U[:-1]
-        W = (self.h_d / 16.0)[:, None] * self._spmv_A(D)
-        z = jnp.zeros((1, self.m), self.dtype)
+        W = p["h_stab"] * self._spmv_A(D)
+        z = self._zrow()
         return jnp.concatenate([z, W]) - jnp.concatenate([W, z])
 
-    def apply_trace(self, U):
-        row0 = self._spmv_M((self._spmv_M(U[0:1]) @ self.Minv))
-        return jnp.concatenate([row0, jnp.zeros((self.N, self.m), self.dtype)])
+    def apply_trace(self, U, p=None):
+        p = self.params if p is None else p
+        r0 = self._spmv_M(U[0:1]).reshape(1, self.m)
+        r0 = self._spmv_M((r0 @ p["Minv"]).reshape((1,) + self.gs))
+        return jnp.concatenate([r0, jnp.zeros((self.N,) + self.gs, self.dtype)])
 
-    def apply_S(self, U):
+    def apply_S(self, U, p=None):
+        p = self.params if p is None else p
         return (
-            self.apply_BT(self.apply_KY(self.apply_B(U)))
-            + self.apply_stab(U)
-            + self.apply_trace(U)
+            self.apply_BT(self.apply_KY(self.apply_B(U, p), p), p)
+            + self.apply_stab(U, p)
+            + self.apply_trace(U, p)
         )
 
-    def apply_KX(self, R):
-        C = self.wt.adjoint(R)
-        Cs = C[self.perm]
-        pieces = []
-        for j in range(len(self.sandwich)):
-            a, b = self.level_bounds[j], self.level_bounds[j + 1]
-            if a == b:
-                continue
-            pieces.append(Cs[a:b] @ self.sandwich[j])
-        Cs = jnp.concatenate(pieces)
-        return self.wt.forward(Cs[self.inv_perm])
+    def apply_KX(self, R, p=None):
+        p = self.params if p is None else p
+        C = self.wt.adjoint_jax(R.reshape(self.N + 1, self.m), p["wavelet"])
+        if self.wt.is_uniform:
+            # Level rows are static strided slices: level 0 = rows {0, N},
+            # level j = odd multiples of N >> j.
+            N = self.N
+            C = C.at[0::N].set(C[0::N] @ p["sandwich"][0])
+            for j in range(1, len(p["sandwich"])):
+                st = N >> j
+                sl = slice(st, N, 2 * st)
+                C = C.at[sl].set(C[sl] @ p["sandwich"][j])
+        else:
+            Cs = C[p["perm"]]
+            pieces = []
+            for j in range(len(p["sandwich"])):
+                a, b = self.level_bounds[j], self.level_bounds[j + 1]
+                if a == b:
+                    continue
+                pieces.append(Cs[a:b] @ p["sandwich"][j])
+            C = jnp.concatenate(pieces)[p["inv_perm"]]
+        return self.wt.forward_jax(C, p["wavelet"]).reshape(R.shape)
 
     # ---------------------------------------------------------------- rhs
 
@@ -168,25 +218,29 @@ class HeatSolver:
         """Host-side load quadrature; returns device-ready (gL, gR, u0_vec)."""
         gL, gR, u0_vec = spacetime_loads(self.problem, self.system.mesh, self.grid)
         return (
-            jnp.asarray(gL, self.dtype),
-            jnp.asarray(gR, self.dtype),
+            jnp.asarray(gL, self.dtype).reshape((self.N,) + self.gs),
+            jnp.asarray(gR, self.dtype).reshape((self.N,) + self.gs),
             jnp.asarray(u0_vec, self.dtype),
         )
 
-    def rhs_device(self, gL, gR, u0_vec):
-        f = self.apply_BT(self.apply_KY(gL + gR))
+    def rhs_device(self, gL, gR, u0_vec, p=None):
+        p = self.params if p is None else p
+        f = self.apply_BT(self.apply_KY(gL + gR, p), p)
         corr = 0.25 * (gL - gR)
-        z = jnp.zeros((1, self.m), self.dtype)
+        z = self._zrow()
         f = f - jnp.concatenate([z, corr]) + jnp.concatenate([corr, z])
-        f0 = self._spmv_M((u0_vec[None, :] @ self.Minv))[0]
-        return f.at[0].add(f0)
+        f0 = self._spmv_M((u0_vec[None, :] @ p["Minv"]).reshape((1,) + self.gs))
+        return f.at[0].add(f0[0])
 
     # -------------------------------------------------------------- solve
 
     def _build_solve(self, tol: float, maxiter: int):
-        def run(gL, gR, u0_vec):
-            f = self.rhs_device(gL, gR, u0_vec)
-            return pcg(self.apply_S, self.apply_KX, f, tol, maxiter)
+        def run(gL, gR, u0_vec, p):
+            f = self.rhs_device(gL, gR, u0_vec, p)
+            return pcg(
+                lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
+                f, tol, maxiter,
+            )
 
         return jax.jit(run)
 
@@ -198,18 +252,20 @@ class HeatSolver:
             self._solve_jit_cache[key] = self._build_solve(tol, maxiter)
         gL, gR, u0_vec = self.assemble_rhs_host()
         t0 = _time.perf_counter()
-        out = self._solve_jit_cache[key](gL, gR, u0_vec)
+        out = self._solve_jit_cache[key](gL, gR, u0_vec, self.params)
         out = jax.tree.map(np.asarray, jax.device_get(out))
         solve_seconds = _time.perf_counter() - t0
 
         it = int(out.iterations)
+        U_flat = np.asarray(out.U).reshape(self.N + 1, self.m)
         err = None
         if compute_error and self.problem.exact is not None:
             err = l2_error_spacetime(
-                self.problem, self.system.mesh, self.grid, np.asarray(out.U, np.float64)
+                self.problem, self.system.mesh, self.grid,
+                np.asarray(U_flat, np.float64),
             )
         return SolveResult(
-            U=np.asarray(out.U),
+            U=U_flat,
             iterations=it,
             residuals=out.residuals[: it + 1],
             precond_residuals=out.precond_residuals[: it + 1],
@@ -229,6 +285,7 @@ def solve_heat_equation_tpu(
     maxiter: int = 200,
     dtype=jnp.float64,
     compute_error: bool = True,
+    spatial_format: str = "auto",
 ) -> SolveResult:
     """One-call driver for the jitted single-device path (mirrors
     ``oracle.solve_heat_equation``)."""
@@ -239,5 +296,5 @@ def solve_heat_equation_tpu(
         grid = graded_time_grid(time_levels, extra_time_levels, T=problem.T)
     else:
         grid = uniform_time_grid(time_levels, T=problem.T)
-    solver = HeatSolver(problem, system, grid, dtype=dtype)
+    solver = HeatSolver(problem, system, grid, dtype=dtype, spatial_format=spatial_format)
     return solver.solve(tol=tol, maxiter=maxiter, compute_error=compute_error)

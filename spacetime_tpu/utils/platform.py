@@ -21,8 +21,13 @@ def use_cpu(num_devices: int | None = None, x64: bool = True) -> None:
 
 
 def use_tpu(x64: bool = False) -> None:
-    """Run on the TPU backend (axon tunnel in this image)."""
-    jax.config.update("jax_platforms", "axon")
+    """Run on the TPU backend (axon tunnel in this image).
+
+    Keeps the CPU platform registered as secondary so host-side math
+    (problem-data quadrature, exact solutions) can pin to it — dispatching
+    those tiny batches through the TPU tunnel is pathologically slow.
+    """
+    jax.config.update("jax_platforms", "axon,cpu")
     if x64:
         ensure_x64()
 
