@@ -1,0 +1,76 @@
+"""Time-sharded heat-equation solver (GSPMD).
+
+Extends the single-device ``HeatSolver`` with sharding annotations: the
+space-time coefficient array is sharded over the ``time`` mesh axis on its
+leading dimension, the spatial matrices / inner-solve inverses are replicated
+(space is replicated per rank in the reference too, SURVEY.md §2), and the
+entire PCG while-loop is one jitted SPMD program. GSPMD inserts the
+collectives this induces: halo collective-permutes for the banded-in-time
+operators (B, B', stabilization), psums for the CG dot products, and the
+log-depth pattern of the wavelet levels.
+
+Correctness gate (SURVEY.md §4): a solve on 1 device and on an 8-device mesh
+must produce identical residual histories up to reduction-order rounding —
+tested on the virtual CPU mesh in tests/test_sharded.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..solver.heateq import HeatSolver
+from ..solver.pcg import pcg
+
+
+class ShardedHeatSolver(HeatSolver):
+    """HeatSolver whose solve is jitted over a 1-D ``time`` mesh."""
+
+    def __init__(self, problem, system, grid, mesh: Mesh, **kwargs):
+        super().__init__(problem, system, grid, **kwargs)
+        if tuple(mesh.axis_names) != ("time",):
+            raise ValueError("expected a 1-D mesh with axis ('time',)")
+        self.mesh = mesh
+
+    def _shardings(self):
+        ndim_g = len(self.gs)
+        time_rows = NamedSharding(self.mesh, P("time", *([None] * ndim_g)))
+        repl = NamedSharding(self.mesh, P())
+        return time_rows, repl
+
+    def _build_solve(self, tol: float, maxiter: int):
+        time_rows, repl = self._shardings()
+        params_sh = jax.tree.map(lambda _: repl, self.params)
+
+        def run(gL, gR, u0_vec, p):
+            f = self.rhs_device(gL, gR, u0_vec, p)
+            f = jax.lax.with_sharding_constraint(f, time_rows)
+            return pcg(
+                lambda U: self.apply_S(U, p),
+                lambda R: self.apply_KX(R, p),
+                f,
+                tol,
+                maxiter,
+            )
+
+        # RHS inputs are setup-time data used once; pjit requires divisible
+        # input shardings, so shard them only when the row count divides the
+        # mesh and replicate otherwise (the with_sharding_constraint on f
+        # re-shards the iteration state either way — uneven intermediate
+        # shardings are fine for GSPMD).
+        P_t = self.mesh.shape["time"]
+        g_sh = time_rows if self.N % P_t == 0 else repl
+        return jax.jit(
+            run,
+            in_shardings=(g_sh, g_sh, repl, params_sh),
+            out_shardings=None,
+        )
+
+
+def replicate_result_check(res_a, res_b, rtol=1e-10) -> bool:
+    """Utility: are two SolveResults numerically the same solve?"""
+    return (
+        res_a.iterations == res_b.iterations
+        and np.allclose(res_a.residuals, res_b.residuals, rtol=rtol)
+    )

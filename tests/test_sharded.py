@@ -1,0 +1,69 @@
+"""Distributed-path tests on the virtual 8-device CPU mesh (SURVEY.md §4:
+serial vs multi-rank equality; the TPU analogue of the reference's
+serial-vs-mpiexec tests)."""
+
+import jax
+import numpy as np
+import pytest
+
+from spacetime_tpu.fem import P1System, unit_square_mesh
+from spacetime_tpu.fem.timegrid import graded_time_grid, uniform_time_grid
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.parallel import ShardedHeatSolver, make_time_mesh
+from spacetime_tpu.solver.heateq import HeatSolver
+
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+@requires_multidevice
+class TestSharded:
+    def _solve_pair(self, problem_name, n, grid):
+        problem = get_problem(problem_name)
+        system = P1System.from_mesh(unit_square_mesh(n))
+        serial = HeatSolver(problem, system, grid)
+        r1 = serial.solve(tol=1e-6, compute_error=False)
+        mesh = make_time_mesh(8)
+        sharded = ShardedHeatSolver(problem, system, grid, mesh)
+        r8 = sharded.solve(tol=1e-6, compute_error=False)
+        return r1, r8
+
+    def test_uniform_grid_parity(self):
+        r1, r8 = self._solve_pair("smooth2d", 8, uniform_time_grid(4))
+        assert r8.converged
+        assert r8.iterations == r1.iterations
+        np.testing.assert_allclose(r8.residuals, r1.residuals, rtol=1e-9)
+        np.testing.assert_allclose(r8.U, r1.U, atol=1e-10)
+
+    def test_graded_grid_parity(self):
+        r1, r8 = self._solve_pair("singular2d", 8, graded_time_grid(3, 3))
+        assert r8.converged
+        assert r8.iterations == r1.iterations
+        np.testing.assert_allclose(r8.residuals, r1.residuals, rtol=1e-9)
+
+    def test_uneven_rows_per_device(self):
+        # N+1 = 17 rows over 8 devices: non-divisible sharding must still work.
+        r1, r8 = self._solve_pair("smooth2d", 8, uniform_time_grid(4))
+        assert r8.iterations == r1.iterations
+
+    def test_sharding_is_applied(self):
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(4)
+        mesh = make_time_mesh(8)
+        s = ShardedHeatSolver(problem, system, grid, mesh)
+        gL, gR, u0 = s.assemble_rhs_host()
+        out = s._solve_jit_cache.setdefault(
+            (1e-6, 50), s._build_solve(1e-6, 50)
+        )(gL, gR, u0, s.params)
+        # The solution array must actually live sharded over the time axis.
+        shard_devs = {sh.device for sh in out.U.addressable_shards}
+        assert len(shard_devs) == 8
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
