@@ -1,0 +1,280 @@
+"""Geometric multigrid for the shifted spatial operators (A_x + ω M_x).
+
+The scale-phase inner solver (SURVEY.md §7.1): dense precomputed inverses are
+exact but O(m²) memory — fine for parity configs (m ≤ ~4k), impossible at
+cfg2+ (m ≥ 16k). On the structured meshes this framework assembles, geometric
+multigrid is the natural TPU-native replacement:
+
+- hierarchy: unit_square/cube meshes at n, n/2, ..., n_coarse; P1 spaces are
+  nested, so per-level re-assembly equals the Galerkin coarse operator
+  exactly (A_c = Pᵀ A_f P) — assembly stays the single source of truth;
+- transfers: linear interpolation on the structured triangulation =
+  static strided-slice scatter/gather (edge midpoints average their two
+  edge endpoints, including the SW–NE diagonal edges) — no gathers, no
+  backend-hostile patterns; restriction is the exact transpose;
+- smoother: Chebyshev–Jacobi on the Gershgorin-bounded upper spectrum of
+  D⁻¹(A+ωM) (no eigenvalue estimation needed);
+- coarse solve: dense inverse at the coarsest level (tiny), passed through
+  the params pytree like every other float array.
+
+Everything is batched over an arbitrary leading (time) axis and jit-safe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from .sparse import DiaMatrix
+from .stencil import StencilOperator
+
+
+def _interp2d(C, nc: int):
+    """Prolong coarse (…, nc-1, nc-1) -> fine (…, 2nc-1, 2nc-1)."""
+    import jax.numpy as jnp
+
+    n = 2 * nc
+    batch = C.shape[:-2]
+    F = jnp.zeros(batch + (n - 1, n - 1), C.dtype)
+    pad = [(0, 0)] * len(batch) + [(1, 1), (1, 1)]
+    Cp = jnp.pad(C, pad)
+    F = F.at[..., 1::2, 1::2].set(C)
+    F = F.at[..., 0::2, 1::2].set(0.5 * (Cp[..., :-1, 1:-1] + Cp[..., 1:, 1:-1]))
+    F = F.at[..., 1::2, 0::2].set(0.5 * (Cp[..., 1:-1, :-1] + Cp[..., 1:-1, 1:]))
+    F = F.at[..., 0::2, 0::2].set(0.5 * (Cp[..., :-1, :-1] + Cp[..., 1:, 1:]))
+    return F
+
+
+def _restrict2d(F, nc: int):
+    """Restriction = interpolation transpose: (…, 2nc-1, 2nc-1) -> (…, nc-1, nc-1)."""
+    C = F[..., 1::2, 1::2]
+    up = F[..., 0::2, 1::2]
+    C = C + 0.5 * (up[..., :-1, :] + up[..., 1:, :])
+    lr = F[..., 1::2, 0::2]
+    C = C + 0.5 * (lr[..., :, :-1] + lr[..., :, 1:])
+    dg = F[..., 0::2, 0::2]
+    C = C + 0.5 * (dg[..., :-1, :-1] + dg[..., 1:, 1:])
+    return C
+
+
+def _interp3d(C, nc: int):
+    """Prolong coarse (…, (nc-1,)*3) -> fine (…, (2nc-1,)*3) on the Kuhn mesh.
+
+    Fine nodes sit at coarse nodes, edge midpoints of axis edges, face
+    diagonals (x+y, y+z, x+z with positive orientation), and the cube
+    diagonal (x+y+z) — each averages its two coarse edge endpoints.
+    """
+    import jax.numpy as jnp
+
+    n = 2 * nc
+    batch = C.shape[:-3]
+    F = jnp.zeros(batch + (n - 1,) * 3, C.dtype)
+    pad = [(0, 0)] * len(batch) + [(1, 1)] * 3
+    Cp = jnp.pad(C, pad)
+    o = slice(1, None, 2)  # odd fine index = coarse node position
+    e = slice(0, None, 2)  # even fine index = midpoint layer
+    lo = slice(None, -1)
+    hi = slice(1, None)
+    mid = slice(1, -1)
+    F = F.at[..., o, o, o].set(C)
+    # axis-edge midpoints
+    F = F.at[..., e, o, o].set(0.5 * (Cp[..., lo, mid, mid] + Cp[..., hi, mid, mid]))
+    F = F.at[..., o, e, o].set(0.5 * (Cp[..., mid, lo, mid] + Cp[..., mid, hi, mid]))
+    F = F.at[..., o, o, e].set(0.5 * (Cp[..., mid, mid, lo] + Cp[..., mid, mid, hi]))
+    # face-diagonal midpoints (positive orientation pairs)
+    F = F.at[..., e, e, o].set(0.5 * (Cp[..., lo, lo, mid] + Cp[..., hi, hi, mid]))
+    F = F.at[..., o, e, e].set(0.5 * (Cp[..., mid, lo, lo] + Cp[..., mid, hi, hi]))
+    F = F.at[..., e, o, e].set(0.5 * (Cp[..., lo, mid, lo] + Cp[..., hi, mid, hi]))
+    # cube-diagonal midpoints
+    F = F.at[..., e, e, e].set(0.5 * (Cp[..., lo, lo, lo] + Cp[..., hi, hi, hi]))
+    return F
+
+
+def _restrict3d(F, nc: int):
+    o = slice(1, None, 2)
+    e = slice(0, None, 2)
+    lo = slice(None, -1)
+    hi = slice(1, None)
+    C = F[..., o, o, o]
+    t = F[..., e, o, o]
+    C = C + 0.5 * (t[..., lo, :, :] + t[..., hi, :, :])
+    t = F[..., o, e, o]
+    C = C + 0.5 * (t[..., :, lo, :] + t[..., :, hi, :])
+    t = F[..., o, o, e]
+    C = C + 0.5 * (t[..., :, :, lo] + t[..., :, :, hi])
+    t = F[..., e, e, o]
+    C = C + 0.5 * (t[..., lo, lo, :] + t[..., hi, hi, :])
+    t = F[..., o, e, e]
+    C = C + 0.5 * (t[..., :, lo, lo] + t[..., :, hi, hi])
+    t = F[..., e, o, e]
+    C = C + 0.5 * (t[..., lo, :, lo] + t[..., hi, :, hi])
+    t = F[..., e, e, e]
+    C = C + 0.5 * (t[..., lo, lo, lo] + t[..., hi, hi, hi])
+    return C
+
+
+@dataclasses.dataclass(frozen=True)
+class _MGLevel:
+    stencil: StencilOperator
+    inv_diag: float  # Jacobi scale (center weight is constant on-grid)
+    lam_max: float  # Gershgorin bound on lambda_max(D^-1 Op)
+    n: int  # cells per side at this level
+
+
+@dataclasses.dataclass(frozen=True)
+class ShiftedMultigrid:
+    """V-cycle solver for one shifted operator A + ω M on a mesh family."""
+
+    dim: int
+    omega: float
+    levels: tuple[_MGLevel, ...]  # fine -> coarse (coarsest excluded)
+    nu: int  # pre/post smoothing degree
+    n_coarse: int
+
+    @classmethod
+    def build(
+        cls,
+        dim: int,
+        n_fine: int,
+        omega: float,
+        nu: int = 2,
+        n_coarse: int = 8,
+        _system_cache: dict | None = None,
+    ) -> tuple["ShiftedMultigrid", np.ndarray]:
+        """Returns (static structure, coarse dense inverse — goes in params)."""
+        from ..fem import P1System, unit_cube_mesh, unit_square_mesh
+
+        make = unit_square_mesh if dim == 2 else unit_cube_mesh
+        levels = []
+        n = n_fine
+        while n > n_coarse:
+            sys_l = None if _system_cache is None else _system_cache.get(n)
+            if sys_l is None:
+                sys_l = P1System.from_mesh(make(n))
+                if _system_cache is not None:
+                    _system_cache[n] = sys_l
+            Op = (sys_l.A + omega * sys_l.M).tocsr()
+            st = StencilOperator.from_dia(DiaMatrix.from_csr(Op), sys_l.mesh.grid_shape)
+            center = dict(zip(st.disps, st.weights))[(0,) * dim]
+            gersh = sum(abs(w) for w in st.weights) / center
+            levels.append(_MGLevel(st, 1.0 / center, gersh, n))
+            n //= 2
+        sys_c = None if _system_cache is None else _system_cache.get(n)
+        if sys_c is None:
+            sys_c = P1System.from_mesh(make(n))
+            if _system_cache is not None:
+                _system_cache[n] = sys_c
+        coarse_inv = np.linalg.inv((sys_c.A + omega * sys_c.M).toarray())
+        return cls(dim, omega, tuple(levels), nu, n), coarse_inv
+
+    # ----------------------------------------------------------------- jax
+
+    def _smooth(self, lev: _MGLevel, x, b):
+        """Chebyshev–Jacobi smoothing of degree self.nu on the upper spectrum
+        [lam_max/4, lam_max] of D⁻¹Op (fourth-kind-free classical recurrence).
+        """
+        lmax = 1.1 * lev.lam_max
+        lmin = lmax / 4.0
+        theta = 0.5 * (lmax + lmin)
+        delta = 0.5 * (lmax - lmin)
+        sigma = theta / delta
+        rho = 1.0 / sigma
+        # r in D^-1-preconditioned form
+        r = lev.inv_diag * (b - self.levels_apply(lev, x))
+        d = r / theta
+        x = x + d
+        for _ in range(self.nu - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = r - lev.inv_diag * self.levels_apply(lev, d)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+            x = x + d
+            rho = rho_new
+        return x
+
+    @staticmethod
+    def levels_apply(lev: _MGLevel, x):
+        return lev.stencil.apply(x)
+
+    def _interp(self, C, nc):
+        return _interp2d(C, nc) if self.dim == 2 else _interp3d(C, nc)
+
+    def _restrict(self, F, nc):
+        return _restrict2d(F, nc) if self.dim == 2 else _restrict3d(F, nc)
+
+    def vcycle(self, b, coarse_inv, lvl: int = 0):
+        """One V(nu,nu)-cycle for Op x = b, zero initial guess.
+
+        ``b`` has shape (..., *grid_shape(lvl)); coarse_inv comes from the
+        params pytree.
+        """
+        if lvl == len(self.levels):
+            sh = b.shape
+            m = coarse_inv.shape[0]
+            flat = b.reshape(-1, m)
+            return (flat @ coarse_inv).reshape(sh)
+        lev = self.levels[lvl]
+        x = self._smooth(lev, b * 0.0, b)
+        r = b - self.levels_apply(lev, x)
+        nc = lev.n // 2
+        rc = self._restrict(r, nc)
+        ec = self.vcycle(rc, coarse_inv, lvl + 1)
+        x = x + self._interp(ec, nc)
+        x = self._smooth(lev, x, b)
+        return x
+
+    def solve(self, b, coarse_inv, cycles: int = 2):
+        """``cycles`` V-cycles (fixed count — trace-static, parity-stable)."""
+        x = self.vcycle(b, coarse_inv)
+        for _ in range(cycles - 1):
+            r = b - self.levels_apply(self.levels[0], x)
+            x = x + self.vcycle(r, coarse_inv)
+        return x
+
+
+def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,
+                      lmax: float, degree: int):
+    """Return fn(b) ≈ Op⁻¹ b by degree-``degree`` Chebyshev–Jacobi iteration.
+
+    Used for the well-conditioned mass solves (K_H ≈ M_x⁻¹): the spectrum of
+    D⁻¹M is h-independent on a structured mesh family, so the bounds are
+    calibrated once on a tiny instance. Error factor ≈ 2((√κ-1)/(√κ+1))^d.
+    """
+
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def solve(b):
+        r = inv_diag * b
+        d = r / theta
+        x = d
+        rho = 1.0 / sigma
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = r - inv_diag * stencil.apply(d)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+            x = x + d
+            rho = rho_new
+        return x
+
+    return solve
+
+
+def mass_spectral_bounds(dim: int) -> tuple[float, float]:
+    """(lmin, lmax) of D⁻¹M for the structured P1 mass matrix family —
+    h-independent, computed exactly on a small instance with safety margin."""
+    import scipy.linalg as sla
+
+    from ..fem import P1System, unit_cube_mesh, unit_square_mesh
+
+    sys_s = P1System.from_mesh(
+        unit_square_mesh(8) if dim == 2 else unit_cube_mesh(6)
+    )
+    M = sys_s.M.toarray()
+    D = np.diag(M).copy()
+    w = sla.eigvalsh(M / np.sqrt(D)[:, None] / np.sqrt(D)[None, :])
+    # Upper bound: Gershgorin over interior rows (exact for the family since
+    # interior rows repeat); lower: small-instance minimum with margin.
+    gersh = float((np.abs(M).sum(axis=1) / D).max())
+    return float(0.8 * w[0]), gersh

@@ -46,6 +46,7 @@ from ..fem import (
 from ..fem.errors import l2_error_spacetime
 from ..fem.timegrid import graded_time_grid, uniform_time_grid
 from ..models import Problem, get_problem
+from ..ops.multigrid import ShiftedMultigrid, chebyshev_inverse, mass_spectral_bounds
 from ..ops.sparse import DiaMatrix, dia_matvec
 from ..ops.stencil import StencilOperator, row_scale
 from ..ops.wavelets import build_wavelet_transform
@@ -76,7 +77,16 @@ class HeatSolver:
         grid: TimeGrid,
         dtype=jnp.float64,
         spatial_format: str = "auto",
+        inner: str = "auto",
+        mg_cycles: int = 3,
+        mg_nu: int = 2,
+        space_n: int | None = None,
     ):
+        """``inner``: inner spatial solver — 'dense' (exact precomputed
+        inverses, parity phase, m ≤ a few thousand) or 'mg' (geometric
+        multigrid + Chebyshev mass inverse, scale phase); 'auto' picks by m.
+        ``space_n``: cells per side of the structured mesh (required for
+        'mg'; inferred from grid_shape when square/cubic)."""
         t0 = _time.perf_counter()
         self.problem = problem
         self.system = system
@@ -107,29 +117,58 @@ class HeatSolver:
             self._spmv_A = lambda U: dia_matvec(Av, A_dia.offsets, U)
         self.spatial_format = "stencil" if use_stencil else "dia"
 
-        # --- host-side dense inner-solve precompute -----------------------
-        A_dense = system.A.toarray()
-        M_dense = system.M.toarray()
-        Kx_inv = np.linalg.inv(A_dense)
-        Minv = np.linalg.inv(M_dense)
-        sandwiches = []
-        for j in range(self.wt.num_levels + 1):
-            omega = float(self.wt.level_shift[j])
-            Sj = np.linalg.inv(A_dense + omega * M_dense)
-            sandwiches.append(Sj @ A_dense @ Sj)
-
-        # --- device arrays (passed as params, never closed over) ----------
+        # --- inner spatial solver ------------------------------------------
+        if inner == "auto":
+            inner = "dense" if self.m <= 4096 else "mg"
+        self.inner = inner
         cast = lambda x: jnp.asarray(x, dtype)
         h = time_matrices(grid)["h"]
         self.params = {
             "h_half": row_scale(0.5 * h, self.gs, dtype),
             "h_stab": row_scale(h / 16.0, self.gs, dtype),
-            "inv_h_flat": cast(1.0 / h)[:, None],  # (N, 1) flat GEMM scale
-            "Kx_inv": cast(Kx_inv),
-            "Minv": cast(Minv),
-            "sandwich": [cast(S) for S in sandwiches],
+            "inv_h": row_scale(1.0 / h, self.gs, dtype),
             "wavelet": self.wt.jax_params(dtype),
         }
+        omegas = [float(self.wt.level_shift[j]) for j in range(self.wt.num_levels + 1)]
+        if inner == "dense":
+            A_dense = system.A.toarray()
+            M_dense = system.M.toarray()
+            self.params["Kx_inv"] = cast(np.linalg.inv(A_dense))
+            self.params["Minv"] = cast(np.linalg.inv(M_dense))
+            sandwiches = []
+            for omega in omegas:
+                Sj = np.linalg.inv(A_dense + omega * M_dense)
+                sandwiches.append(Sj @ A_dense @ Sj)
+            self.params["sandwich"] = [cast(S) for S in sandwiches]
+        elif inner == "mg":
+            if self.spatial_format != "stencil":
+                raise ValueError("inner='mg' requires the structured stencil path")
+            if space_n is None:
+                if len(set(self.gs)) != 1:
+                    raise ValueError("pass space_n for non-square grids")
+                space_n = self.gs[0] + 1
+            dim = len(self.gs)
+            self.mg_cycles = mg_cycles
+            cache: dict = {}
+            self.mg_ky, cinv_ky = ShiftedMultigrid.build(
+                dim, space_n, 0.0, nu=mg_nu, _system_cache=cache
+            )
+            self.params["mg_cinv_ky"] = cast(cinv_ky)
+            self.mg_lvl = []
+            cinvs = []
+            for omega in omegas:
+                mg_j, cinv_j = ShiftedMultigrid.build(
+                    dim, space_n, omega, nu=mg_nu, _system_cache=cache
+                )
+                self.mg_lvl.append(mg_j)
+                cinvs.append(cast(cinv_j))
+            self.params["mg_cinv"] = cinvs
+            lmin, lmax = mass_spectral_bounds(dim)
+            M_st = StencilOperator.from_dia(M_dia, self.gs)
+            center = dict(zip(M_st.disps, M_st.weights))[(0,) * dim]
+            self._cheb_Minv = chebyshev_inverse(M_st, 1.0 / center, lmin, lmax, 30)
+        else:
+            raise ValueError(f"unknown inner solver {inner!r}")
         if not self.wt.is_uniform:
             self.params["perm"] = jnp.asarray(self.wt.perm_by_level)
             inv_perm = np.empty_like(self.wt.perm_by_level)
@@ -164,9 +203,12 @@ class HeatSolver:
 
     def apply_KY(self, V, p=None):
         p = self.params if p is None else p
-        flat = V.reshape(self.N, self.m)
-        out = (flat @ p["Kx_inv"]) * p["inv_h_flat"]
-        return out.reshape(V.shape)
+        if self.inner == "dense":
+            flat = V.reshape(self.N, self.m)
+            sol = (flat @ p["Kx_inv"]).reshape(V.shape)
+        else:
+            sol = self.mg_ky.solve(V, p["mg_cinv_ky"], self.mg_cycles)
+        return sol * p["inv_h"]
 
     def apply_stab(self, U, p=None):
         p = self.params if p is None else p
@@ -175,10 +217,17 @@ class HeatSolver:
         z = self._zrow()
         return jnp.concatenate([z, W]) - jnp.concatenate([W, z])
 
+    def _apply_Minv(self, X, p):
+        """K_H ≈ M_x⁻¹ on (..., *gs) blocks."""
+        if self.inner == "dense":
+            lead = X.shape[:-len(self.gs)]
+            flat = X.reshape((-1, self.m))
+            return (flat @ p["Minv"]).reshape(lead + self.gs)
+        return self._cheb_Minv(X)
+
     def apply_trace(self, U, p=None):
         p = self.params if p is None else p
-        r0 = self._spmv_M(U[0:1]).reshape(1, self.m)
-        r0 = self._spmv_M((r0 @ p["Minv"]).reshape((1,) + self.gs))
+        r0 = self._spmv_M(self._apply_Minv(self._spmv_M(U[0:1]), p))
         return jnp.concatenate([r0, jnp.zeros((self.N,) + self.gs, self.dtype)])
 
     def apply_S(self, U, p=None):
@@ -189,26 +238,37 @@ class HeatSolver:
             + self.apply_trace(U, p)
         )
 
+    def _sandwich_rows(self, rows_flat, j, p):
+        """Apply K_j = (A+ω_j M)⁻¹ A (A+ω_j M)⁻¹ to (k, m)-flat rows."""
+        if self.inner == "dense":
+            return rows_flat @ p["sandwich"][j]
+        X = rows_flat.reshape((-1,) + self.gs)
+        X = self.mg_lvl[j].solve(X, p["mg_cinv"][j], self.mg_cycles)
+        X = self._spmv_A(X)
+        X = self.mg_lvl[j].solve(X, p["mg_cinv"][j], self.mg_cycles)
+        return X.reshape(rows_flat.shape)
+
     def apply_KX(self, R, p=None):
         p = self.params if p is None else p
         C = self.wt.adjoint_jax(R.reshape(self.N + 1, self.m), p["wavelet"])
+        n_lvl = self.wt.num_levels + 1
         if self.wt.is_uniform:
             # Level rows are static strided slices: level 0 = rows {0, N},
             # level j = odd multiples of N >> j.
             N = self.N
-            C = C.at[0::N].set(C[0::N] @ p["sandwich"][0])
-            for j in range(1, len(p["sandwich"])):
+            C = C.at[0::N].set(self._sandwich_rows(C[0::N], 0, p))
+            for j in range(1, n_lvl):
                 st = N >> j
                 sl = slice(st, N, 2 * st)
-                C = C.at[sl].set(C[sl] @ p["sandwich"][j])
+                C = C.at[sl].set(self._sandwich_rows(C[sl], j, p))
         else:
             Cs = C[p["perm"]]
             pieces = []
-            for j in range(len(p["sandwich"])):
+            for j in range(n_lvl):
                 a, b = self.level_bounds[j], self.level_bounds[j + 1]
                 if a == b:
                     continue
-                pieces.append(Cs[a:b] @ p["sandwich"][j])
+                pieces.append(self._sandwich_rows(Cs[a:b], j, p))
             C = jnp.concatenate(pieces)[p["inv_perm"]]
         return self.wt.forward_jax(C, p["wavelet"]).reshape(R.shape)
 
@@ -229,7 +289,8 @@ class HeatSolver:
         corr = 0.25 * (gL - gR)
         z = self._zrow()
         f = f - jnp.concatenate([z, corr]) + jnp.concatenate([corr, z])
-        f0 = self._spmv_M((u0_vec[None, :] @ p["Minv"]).reshape((1,) + self.gs))
+        u0g = u0_vec.reshape((1,) + self.gs)
+        f0 = self._spmv_M(self._apply_Minv(u0g, p))
         return f.at[0].add(f0[0])
 
     # -------------------------------------------------------------- solve

@@ -1,0 +1,108 @@
+"""Geometric multigrid tests: transfer operators (adjoint + Galerkin
+consistency from nestedness), V-cycle contraction across shifts, and
+solver-level agreement of the mg inner path with exact dense inverses."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spacetime_tpu.fem import P1System, unit_square_mesh
+from spacetime_tpu.fem.timegrid import uniform_time_grid
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.ops.multigrid import (
+    ShiftedMultigrid,
+    _interp2d,
+    _interp3d,
+    _restrict2d,
+    _restrict3d,
+    chebyshev_inverse,
+    mass_spectral_bounds,
+)
+from spacetime_tpu.ops.sparse import DiaMatrix
+from spacetime_tpu.ops.stencil import StencilOperator
+from spacetime_tpu.solver.heateq import HeatSolver
+
+
+class TestTransfers:
+    def test_2d_adjoint(self):
+        rng = np.random.default_rng(0)
+        C = jnp.asarray(rng.standard_normal((2, 15, 15)))
+        F = jnp.asarray(rng.standard_normal((2, 31, 31)))
+        lhs = jnp.vdot(_interp2d(C, 16), F)
+        rhs = jnp.vdot(C, _restrict2d(F, 16))
+        assert abs(float(lhs - rhs)) < 1e-11
+
+    def test_3d_adjoint(self):
+        rng = np.random.default_rng(1)
+        C = jnp.asarray(rng.standard_normal((7, 7, 7)))
+        F = jnp.asarray(rng.standard_normal((15, 15, 15)))
+        lhs = jnp.vdot(_interp3d(C, 8), F)
+        rhs = jnp.vdot(C, _restrict3d(F, 8))
+        assert abs(float(lhs - rhs)) < 1e-11
+
+    @pytest.mark.parametrize("dim,n", [(2, 32), (3, 16)])
+    def test_galerkin_consistency(self, dim, n):
+        # Nested P1 spaces: restrict(A_fine(interp(x))) == A_coarse(x) exactly.
+        mg, _ = ShiftedMultigrid.build(dim, n, 0.0, n_coarse=n // 4)
+        nc = n // 2
+        shape = (nc - 1,) * dim
+        rng = np.random.default_rng(2)
+        C = jnp.asarray(rng.standard_normal(shape))
+        interp = _interp2d if dim == 2 else _interp3d
+        restrict = _restrict2d if dim == 2 else _restrict3d
+        fine = mg.levels[0].stencil.apply(interp(C, nc))
+        got = restrict(fine, nc)
+        want = mg.levels[1].stencil.apply(C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-12)
+
+
+class TestVCycle:
+    @pytest.mark.parametrize("omega", [0.0, 50.0, 5000.0])
+    def test_contraction(self, omega):
+        cache = {}
+        mg, cinv = ShiftedMultigrid.build(2, 64, omega, _system_cache=cache)
+        cinv = jnp.asarray(cinv)
+        rng = np.random.default_rng(3)
+        b = jnp.asarray(rng.standard_normal((63, 63)))
+        x = jnp.zeros_like(b)
+        norms = [float(jnp.linalg.norm(b))]
+        for _ in range(3):
+            r = b - mg.levels_apply(mg.levels[0], x)
+            x = x + mg.vcycle(r, cinv)
+            norms.append(float(jnp.linalg.norm(b - mg.levels_apply(mg.levels[0], x))))
+        # At least ~0.25 contraction per cycle for every shift.
+        assert norms[3] / norms[0] < 0.25**3
+
+    def test_chebyshev_mass_inverse(self):
+        sys2 = P1System.from_mesh(unit_square_mesh(32))
+        M_st = StencilOperator.from_dia(
+            DiaMatrix.from_csr(sys2.M), sys2.mesh.grid_shape
+        )
+        lmin, lmax = mass_spectral_bounds(2)
+        center = dict(zip(M_st.disps, M_st.weights))[(0, 0)]
+        f = chebyshev_inverse(M_st, 1.0 / center, lmin, lmax, 30)
+        rng = np.random.default_rng(4)
+        b = jnp.asarray(rng.standard_normal((31, 31)))
+        x = f(b)
+        res = float(jnp.linalg.norm(b - M_st.apply(x)) / jnp.linalg.norm(b))
+        assert res < 1e-10
+
+
+class TestSolverIntegration:
+    def test_mg_matches_dense_inner(self):
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(16))
+        grid = uniform_time_grid(4)
+        r_dense = HeatSolver(problem, system, grid, inner="dense").solve(tol=1e-6)
+        r_mg = HeatSolver(
+            problem, system, grid, inner="mg", mg_cycles=3
+        ).solve(tol=1e-6)
+        assert r_mg.converged
+        assert abs(r_mg.iterations - r_dense.iterations) <= 2
+        assert abs(r_mg.l2_error - r_dense.l2_error) < 0.02 * r_dense.l2_error
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
