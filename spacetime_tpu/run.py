@@ -1,0 +1,200 @@
+"""CLI driver — the analogue of the reference's ``mpi_heateq.py`` entry point.
+
+Examples:
+    # serial NumPy oracle (parity reference)
+    python -m spacetime_tpu.run --backend oracle --problem smooth2d \
+        --space-n 64 --time-levels 6 --tol 1e-6
+
+    # jitted path on the default device, mg inner solves, f32
+    python -m spacetime_tpu.run --backend jax --device tpu --dtype f32 \
+        --inner mg --space-n 128 --time-levels 6
+
+    # time-sharded over all local devices
+    python -m spacetime_tpu.run --backend sharded --device cpu8 --space-n 16
+
+Prints iteration counts / residuals / errors / per-phase timings and appends
+one JSON record per run to --out (default results.jsonl).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="spacetime_tpu.run",
+        description="Parallel-in-time minimal-residual heat-equation solver",
+    )
+    p.add_argument("--problem", default="smooth2d",
+                   help="problem name (see spacetime_tpu.models.PROBLEMS)")
+    p.add_argument("--space-n", type=int, default=64,
+                   help="cells per side of the structured spatial mesh")
+    p.add_argument("--time-levels", type=int, default=6,
+                   help="dyadic time levels (2^J uniform timesteps)")
+    p.add_argument("--extra-levels", type=int, default=0,
+                   help="extra bisections toward t=0 (graded grid)")
+    p.add_argument("--tol", type=float, default=1e-6)
+    p.add_argument("--maxiter", type=int, default=200)
+    p.add_argument("--backend", choices=["oracle", "jax", "sharded"],
+                   default="jax")
+    p.add_argument("--device", choices=["default", "cpu", "cpu8", "tpu"],
+                   default="default",
+                   help="platform selection (cpu8 = 8 virtual CPU devices)")
+    p.add_argument("--dtype", choices=["f32", "f64"], default="f64")
+    p.add_argument("--inner", choices=["auto", "dense", "mg"], default="auto")
+    p.add_argument("--mg-cycles", type=int, default=3)
+    p.add_argument("--no-error", action="store_true",
+                   help="skip L2 error computation")
+    p.add_argument("--estimate-condition", action="store_true",
+                   help="Lanczos estimate of kappa(K_X S)")
+    p.add_argument("--out", default="results.jsonl",
+                   help="JSONL results file ('' to disable)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from .utils import use_cpu, use_tpu
+    from .utils.profiling import PhaseTimer, write_jsonl
+
+    x64 = args.dtype == "f64" or args.backend == "oracle"
+    if args.device == "cpu":
+        use_cpu(x64=x64)
+    elif args.device == "cpu8":
+        use_cpu(num_devices=8, x64=x64)
+    elif args.device == "tpu":
+        use_tpu(x64=x64)
+    elif args.backend == "oracle":
+        # Oracle is host code; default to CPU (the image's default platform
+        # is the TPU tunnel, which would crawl on host-side quadrature).
+        use_cpu(x64=True)
+    else:
+        try:
+            use_tpu(x64=x64)
+        except Exception:
+            use_cpu(x64=x64)
+
+    import numpy as np
+
+    from .fem import P1System, unit_cube_mesh, unit_square_mesh
+    from .fem.timegrid import graded_time_grid, uniform_time_grid
+    from .models import get_problem
+
+    timer = PhaseTimer()
+    problem = get_problem(args.problem)
+    with timer("assembly"):
+        mesh = (
+            unit_square_mesh(args.space_n)
+            if problem.dim == 2
+            else unit_cube_mesh(args.space_n)
+        )
+        system = P1System.from_mesh(mesh)
+        if args.extra_levels > 0:
+            grid = graded_time_grid(args.time_levels, args.extra_levels, T=problem.T)
+        else:
+            grid = uniform_time_grid(args.time_levels, T=problem.T)
+
+    n_dof = (grid.num_intervals + 1) * system.m
+    print(
+        f"problem={args.problem} mesh={args.space_n}^{problem.dim} "
+        f"(m={system.m}) timesteps={grid.num_intervals} "
+        f"-> {n_dof:,} space-time DoF; backend={args.backend}"
+    )
+
+    solver = None
+    if args.backend == "oracle":
+        from .oracle.solver import OracleSolver
+
+        with timer("setup"):
+            solver = OracleSolver(problem, system, grid)
+        with timer("solve"):
+            res = solver.solve(
+                tol=args.tol, maxiter=args.maxiter,
+                compute_error=not args.no_error,
+            )
+    else:
+        import jax.numpy as jnp
+
+        dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
+        kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles)
+        with timer("setup"):
+            if args.backend == "sharded":
+                from .parallel import ShardedHeatSolver, make_time_mesh
+
+                solver = ShardedHeatSolver(
+                    problem, system, grid, make_time_mesh(), **kwargs
+                )
+            else:
+                from .solver.heateq import HeatSolver
+
+                solver = HeatSolver(problem, system, grid, **kwargs)
+        with timer("solve (incl. compile)"):
+            res = solver.solve(
+                tol=args.tol, maxiter=args.maxiter,
+                compute_error=not args.no_error,
+            )
+
+    rel = res.residuals / res.residuals[0]
+    print(
+        f"PCG: {res.iterations} iterations, converged={res.converged}, "
+        f"final relative residual {rel[-1]:.3e}"
+    )
+    if res.l2_error is not None:
+        print(f"L2(IxOmega) error vs exact solution: {res.l2_error:.6e}")
+    print("residual history:", " ".join(f"{x:.2e}" for x in rel))
+
+    record = {
+        "problem": args.problem,
+        "backend": args.backend,
+        "space_n": args.space_n,
+        "time_levels": args.time_levels,
+        "extra_levels": args.extra_levels,
+        "dof": n_dof,
+        "dtype": args.dtype if args.backend != "oracle" else "f64",
+        "tol": args.tol,
+        "iterations": int(res.iterations),
+        "converged": bool(res.converged),
+        "final_rel_residual": float(rel[-1]),
+        "l2_error": res.l2_error,
+        "timings_s": timer.summary(),
+        "timestamp": time.time(),
+    }
+
+    if args.estimate_condition and args.backend != "oracle":
+        from .solver.lanczos import lanczos_condition
+
+        with timer("lanczos"):
+            est = lanczos_condition(
+                solver.apply_S, solver.apply_KX,
+                (grid.num_intervals + 1,) + solver.gs,
+            )
+        print(
+            f"Lanczos: lambda in [{est.lam_min:.3g}, {est.lam_max:.3g}], "
+            f"kappa(K_X S) ~= {est.condition:.2f}"
+        )
+        record["kappa_estimate"] = est.condition
+    elif args.estimate_condition:
+        from .solver.lanczos import lanczos_condition
+
+        est = lanczos_condition(
+            solver.apply_S, solver.apply_KX, (grid.num_intervals + 1, system.m)
+        )
+        print(
+            f"Lanczos: lambda in [{est.lam_min:.3g}, {est.lam_max:.3g}], "
+            f"kappa(K_X S) ~= {est.condition:.2f}"
+        )
+        record["kappa_estimate"] = est.condition
+
+    print("timings:", timer.summary())
+    if args.out:
+        write_jsonl(args.out, record)
+        print(f"appended record to {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,98 @@
+"""CLI driver, Lanczos estimator, profiling, and determinism tests
+(SURVEY.md §5 auxiliary subsystems)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from spacetime_tpu.run import main as run_main
+
+
+class TestCLI:
+    def test_oracle_backend(self, tmp_path, capsys):
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "oracle", "--space-n", "8", "--time-levels", "3",
+            "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        assert rec["converged"] and rec["iterations"] <= 12
+        assert "solve" in rec["timings_s"]
+
+    def test_jax_backend_with_condition(self, tmp_path):
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "jax", "--space-n", "8", "--time-levels", "3",
+            "--estimate-condition", "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        # The paper's headline property: kappa(K_X S) uniformly small.
+        assert rec["kappa_estimate"] < 10.0
+
+    def test_sharded_backend(self, tmp_path):
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "sharded", "--space-n", "8", "--time-levels", "4",
+            "--out", str(out), "--no-error",
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        assert rec["converged"]
+
+
+class TestLanczos:
+    def test_kappa_flat_under_refinement(self):
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+        from spacetime_tpu.solver.lanczos import lanczos_condition
+
+        problem = get_problem("smooth2d")
+        kappas = []
+        for n, J in [(8, 3), (16, 4)]:
+            s = HeatSolver(problem, P1System.from_mesh(unit_square_mesh(n)),
+                           uniform_time_grid(J))
+            est = lanczos_condition(s.apply_S, s.apply_KX, (s.N + 1,) + s.gs,
+                                    num_iters=25)
+            kappas.append(est.condition)
+        assert all(k < 10.0 for k in kappas)
+        assert abs(kappas[1] - kappas[0]) < 3.0
+
+
+class TestDeterminism:
+    def test_same_inputs_same_history(self):
+        # SURVEY.md §5: determinism by construction — two identical solves
+        # must produce bit-identical residual histories.
+        from spacetime_tpu.solver import solve_heat_equation_tpu
+
+        r1 = solve_heat_equation_tpu("smooth2d", space_n=8, time_levels=3,
+                                     tol=1e-8, compute_error=False)
+        r2 = solve_heat_equation_tpu("smooth2d", space_n=8, time_levels=3,
+                                     tol=1e-8, compute_error=False)
+        assert r1.iterations == r2.iterations
+        np.testing.assert_array_equal(r1.residuals, r2.residuals)
+
+
+class TestProfiling:
+    def test_phase_timer(self):
+        from spacetime_tpu.utils.profiling import PhaseTimer
+
+        t = PhaseTimer()
+        with t("a"):
+            pass
+        with t("a"):
+            pass
+        assert t.counts["a"] == 2
+        assert t.seconds["a"] >= 0.0
+        assert "a" in t.summary()
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
