@@ -209,10 +209,16 @@ class ShiftedMultigrid:
         params pytree.
         """
         if lvl == len(self.levels):
+            import jax
+
             sh = b.shape
             m = coarse_inv.shape[0]
             flat = b.reshape(-1, m)
-            return (flat @ coarse_inv).reshape(sh)
+            # HIGHEST: default bf16 MXU passes would perturb the coarse
+            # solve by ~1e-3 and poison the V-cycle (see solver/heateq._dot).
+            out = jax.numpy.dot(flat, coarse_inv,
+                                precision=jax.lax.Precision.HIGHEST)
+            return out.reshape(sh)
         lev = self.levels[lvl]
         x = self._smooth(lev, b * 0.0, b)
         r = b - self.levels_apply(lev, x)

@@ -53,6 +53,13 @@ from ..ops.wavelets import build_wavelet_transform
 from .pcg import pcg
 
 
+def _dot(a, b):
+    """Matmul at full f32 precision: the MXU's default bf16 passes perturb
+    the operator by ~1e-3, which stalls PCG and mixed-precision refinement
+    (measured); HIGHEST costs ~3x bf16 and is required for correctness."""
+    return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
+
+
 @dataclasses.dataclass
 class SolveResult:
     U: np.ndarray  # (N_t+1, m) flat interior coefficients
@@ -121,25 +128,18 @@ class HeatSolver:
         if inner == "auto":
             inner = "dense" if self.m <= 4096 else "mg"
         self.inner = inner
-        cast = lambda x: jnp.asarray(x, dtype)
-        h = time_matrices(grid)["h"]
-        self.params = {
-            "h_half": row_scale(0.5 * h, self.gs, dtype),
-            "h_stab": row_scale(h / 16.0, self.gs, dtype),
-            "inv_h": row_scale(1.0 / h, self.gs, dtype),
-            "wavelet": self.wt.jax_params(dtype),
-        }
+        self._host = {"h": time_matrices(grid)["h"]}
         omegas = [float(self.wt.level_shift[j]) for j in range(self.wt.num_levels + 1)]
         if inner == "dense":
             A_dense = system.A.toarray()
             M_dense = system.M.toarray()
-            self.params["Kx_inv"] = cast(np.linalg.inv(A_dense))
-            self.params["Minv"] = cast(np.linalg.inv(M_dense))
+            self._host["Kx_inv"] = np.linalg.inv(A_dense)
+            self._host["Minv"] = np.linalg.inv(M_dense)
             sandwiches = []
             for omega in omegas:
                 Sj = np.linalg.inv(A_dense + omega * M_dense)
                 sandwiches.append(Sj @ A_dense @ Sj)
-            self.params["sandwich"] = [cast(S) for S in sandwiches]
+            self._host["sandwich"] = sandwiches
         elif inner == "mg":
             if self.spatial_format != "stencil":
                 raise ValueError("inner='mg' requires the structured stencil path")
@@ -153,7 +153,7 @@ class HeatSolver:
             self.mg_ky, cinv_ky = ShiftedMultigrid.build(
                 dim, space_n, 0.0, nu=mg_nu, _system_cache=cache
             )
-            self.params["mg_cinv_ky"] = cast(cinv_ky)
+            self._host["mg_cinv_ky"] = cinv_ky
             self.mg_lvl = []
             cinvs = []
             for omega in omegas:
@@ -161,32 +161,57 @@ class HeatSolver:
                     dim, space_n, omega, nu=mg_nu, _system_cache=cache
                 )
                 self.mg_lvl.append(mg_j)
-                cinvs.append(cast(cinv_j))
-            self.params["mg_cinv"] = cinvs
+                cinvs.append(cinv_j)
+            self._host["mg_cinv"] = cinvs
             lmin, lmax = mass_spectral_bounds(dim)
             M_st = StencilOperator.from_dia(M_dia, self.gs)
             center = dict(zip(M_st.disps, M_st.weights))[(0,) * dim]
             self._cheb_Minv = chebyshev_inverse(M_st, 1.0 / center, lmin, lmax, 30)
         else:
             raise ValueError(f"unknown inner solver {inner!r}")
-        if not self.wt.is_uniform:
-            self.params["perm"] = jnp.asarray(self.wt.perm_by_level)
-            inv_perm = np.empty_like(self.wt.perm_by_level)
-            inv_perm[self.wt.perm_by_level] = np.arange(self.N + 1)
-            self.params["inv_perm"] = jnp.asarray(inv_perm)
+        self._params_cache: dict = {}
+        self.params = self.params_for(dtype)
         counts = np.asarray(self.wt.level_counts)
         self.level_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
 
         self._solve_jit_cache = {}
         self.setup_seconds = _time.perf_counter() - t0
 
+    def params_for(self, dtype):
+        """Device params pytree in the requested precision (cached)."""
+        key = jnp.dtype(dtype).name
+        if key in self._params_cache:
+            return self._params_cache[key]
+        cast = lambda x: jnp.asarray(x, dtype)
+        h = self._host["h"]
+        p = {
+            "h_half": row_scale(0.5 * h, self.gs, dtype),
+            "h_stab": row_scale(h / 16.0, self.gs, dtype),
+            "inv_h": row_scale(1.0 / h, self.gs, dtype),
+            "wavelet": self.wt.jax_params(dtype),
+        }
+        if self.inner == "dense":
+            p["Kx_inv"] = cast(self._host["Kx_inv"])
+            p["Minv"] = cast(self._host["Minv"])
+            p["sandwich"] = [cast(S) for S in self._host["sandwich"]]
+        else:
+            p["mg_cinv_ky"] = cast(self._host["mg_cinv_ky"])
+            p["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
+        if not self.wt.is_uniform:
+            p["perm"] = jnp.asarray(self.wt.perm_by_level)
+            inv_perm = np.empty_like(self.wt.perm_by_level)
+            inv_perm[self.wt.perm_by_level] = np.arange(self.N + 1)
+            p["inv_perm"] = jnp.asarray(inv_perm)
+        self._params_cache[key] = p
+        return p
+
     # ---------------------------------------------------------- operators
     # U has shape (N_t+1, *gs); V (test side) has shape (N_t, *gs).
     # Every method takes the params pytree explicitly (p defaults to
     # self.params for eager use); the jitted path threads p as an argument.
 
-    def _zrow(self):
-        return jnp.zeros((1,) + self.gs, self.dtype)
+    def _zrow(self, dtype=None):
+        return jnp.zeros((1,) + self.gs, dtype or self.dtype)
 
     def apply_B(self, U, p=None):
         p = self.params if p is None else p
@@ -198,14 +223,14 @@ class HeatSolver:
         p = self.params if p is None else p
         VM = self._spmv_M(V)
         VA = p["h_half"] * self._spmv_A(V)
-        z = self._zrow()
+        z = self._zrow(V.dtype)
         return jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
 
     def apply_KY(self, V, p=None):
         p = self.params if p is None else p
         if self.inner == "dense":
             flat = V.reshape(self.N, self.m)
-            sol = (flat @ p["Kx_inv"]).reshape(V.shape)
+            sol = _dot(flat, p["Kx_inv"]).reshape(V.shape)
         else:
             sol = self.mg_ky.solve(V, p["mg_cinv_ky"], self.mg_cycles)
         return sol * p["inv_h"]
@@ -214,7 +239,7 @@ class HeatSolver:
         p = self.params if p is None else p
         D = U[1:] - U[:-1]
         W = p["h_stab"] * self._spmv_A(D)
-        z = self._zrow()
+        z = self._zrow(U.dtype)
         return jnp.concatenate([z, W]) - jnp.concatenate([W, z])
 
     def _apply_Minv(self, X, p):
@@ -222,13 +247,13 @@ class HeatSolver:
         if self.inner == "dense":
             lead = X.shape[:-len(self.gs)]
             flat = X.reshape((-1, self.m))
-            return (flat @ p["Minv"]).reshape(lead + self.gs)
+            return _dot(flat, p["Minv"]).reshape(lead + self.gs)
         return self._cheb_Minv(X)
 
     def apply_trace(self, U, p=None):
         p = self.params if p is None else p
         r0 = self._spmv_M(self._apply_Minv(self._spmv_M(U[0:1]), p))
-        return jnp.concatenate([r0, jnp.zeros((self.N,) + self.gs, self.dtype)])
+        return jnp.concatenate([r0, jnp.zeros((self.N,) + self.gs, U.dtype)])
 
     def apply_S(self, U, p=None):
         p = self.params if p is None else p
@@ -241,7 +266,7 @@ class HeatSolver:
     def _sandwich_rows(self, rows_flat, j, p):
         """Apply K_j = (A+ω_j M)⁻¹ A (A+ω_j M)⁻¹ to (k, m)-flat rows."""
         if self.inner == "dense":
-            return rows_flat @ p["sandwich"][j]
+            return _dot(rows_flat, p["sandwich"][j])
         X = rows_flat.reshape((-1,) + self.gs)
         X = self.mg_lvl[j].solve(X, p["mg_cinv"][j], self.mg_cycles)
         X = self._spmv_A(X)
@@ -287,7 +312,7 @@ class HeatSolver:
         p = self.params if p is None else p
         f = self.apply_BT(self.apply_KY(gL + gR, p), p)
         corr = 0.25 * (gL - gR)
-        z = self._zrow()
+        z = self._zrow(gL.dtype)
         f = f - jnp.concatenate([z, corr]) + jnp.concatenate([corr, z])
         u0g = u0_vec.reshape((1,) + self.gs)
         f0 = self._spmv_M(self._apply_Minv(u0g, p))
@@ -331,6 +356,83 @@ class HeatSolver:
             residuals=out.residuals[: it + 1],
             precond_residuals=out.precond_residuals[: it + 1],
             converged=bool(out.converged),
+            l2_error=err,
+            solve_seconds=solve_seconds,
+            setup_seconds=self.setup_seconds,
+        )
+
+
+    # ------------------------------------------------- mixed precision
+
+    def solve_refined(
+        self,
+        tol: float = 1e-8,
+        inner_tol: float = 1e-6,
+        inner_maxiter: int = 60,
+        max_rounds: int = 5,
+        compute_error: bool = True,
+    ) -> SolveResult:
+        """Iterative-refinement solve to tight tolerances on TPU.
+
+        f64 is software-emulated on TPU (slow for GEMM-heavy inner solves);
+        this runs PCG corrections in f32 (fast MXU/VPU) inside an f64
+        residual loop — the classical mixed-precision refinement. Each round
+        multiplies the residual by ~inner_tol, so tol=1e-8 typically takes
+        2 rounds. Requires jax_enable_x64.
+        """
+        p64 = self.params_for(jnp.float64)
+        p32 = self.params_for(jnp.float32)
+        gL, gR, u0_vec = spacetime_loads(self.problem, self.system.mesh, self.grid)
+        gL64 = jnp.asarray(gL, jnp.float64).reshape((self.N,) + self.gs)
+        gR64 = jnp.asarray(gR, jnp.float64).reshape((self.N,) + self.gs)
+        u064 = jnp.asarray(u0_vec, jnp.float64)
+
+        if "_ir_jits" not in self.__dict__:
+            rhs64 = jax.jit(lambda a, b, c, p: self.rhs_device(a, b, c, p))
+            resid64 = jax.jit(lambda f, u, p: f - self.apply_S(u, p))
+            inner = jax.jit(
+                lambda r32, p: pcg(
+                    lambda U: self.apply_S(U, p),
+                    lambda R: self.apply_KX(R, p),
+                    r32,
+                    inner_tol,
+                    inner_maxiter,
+                )
+            )
+            self._ir_jits = (rhs64, resid64, inner)
+        rhs64, resid64, inner = self._ir_jits
+
+        t0 = _time.perf_counter()
+        f = rhs64(gL64, gR64, u064, p64)
+        fnorm = float(jnp.linalg.norm(f))
+        u = jnp.zeros_like(f)
+        hist = []
+        iters_total = 0
+        converged = False
+        for _ in range(max_rounds):
+            r = resid64(f, u, p64)
+            rnorm = float(jnp.linalg.norm(r))
+            hist.append(rnorm)
+            if rnorm <= tol * fnorm:
+                converged = True
+                break
+            r32 = (r / rnorm).astype(jnp.float32)
+            out = inner(r32, p32)
+            iters_total += int(out.iterations)
+            u = u + rnorm * out.U.astype(jnp.float64)
+        solve_seconds = _time.perf_counter() - t0
+
+        U_flat = np.asarray(u).reshape(self.N + 1, self.m)
+        err = None
+        if compute_error and self.problem.exact is not None:
+            err = l2_error_spacetime(self.problem, self.system.mesh, self.grid, U_flat)
+        hist = np.asarray(hist)
+        return SolveResult(
+            U=U_flat,
+            iterations=iters_total,
+            residuals=hist,
+            precond_residuals=hist,
+            converged=converged,
             l2_error=err,
             solve_seconds=solve_seconds,
             setup_seconds=self.setup_seconds,

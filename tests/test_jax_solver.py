@@ -60,3 +60,23 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_mixed_precision_refinement():
+    # f32 inner PCG + f64 residual loop reaches 1e-8 in a few rounds and
+    # matches the oracle's solution quality (BASELINE.md cfg1b analogue).
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import uniform_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    s = HeatSolver(
+        get_problem("smooth2d"),
+        P1System.from_mesh(unit_square_mesh(16)),
+        uniform_time_grid(4),
+    )
+    r = s.solve_refined(tol=1e-8, max_rounds=5)
+    assert r.converged
+    assert len(r.residuals) <= 4  # ~1e-4 contraction per round
+    assert r.residuals[-1] <= 1e-8 * r.residuals[0]
+    assert abs(r.l2_error - 3.6711e-03) < 1e-5
