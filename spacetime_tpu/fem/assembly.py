@@ -129,14 +129,40 @@ def spacetime_loads(problem, mesh: Mesh, grid) -> tuple[np.ndarray, np.ndarray, 
     h = grid.h
     N = grid.num_intervals
     gq = 0.5 / np.sqrt(3.0)
-    gL = np.zeros((N, idx.size))
-    gR = np.zeros((N, idx.size))
-    for j in range(N):
-        hh = 0.5 * h[j]
-        for out, lo in ((gL, t[j]), (gR, t[j] + hh)):
-            mid = lo + 0.5 * hh
-            for tq in (mid - gq * hh, mid + gq * hh):
-                out[j] += 0.5 * hh * load_vector(mesh, lambda X: problem.g(tq, X))[idx]
+
+    # Quadrature times: per interval, 2-point Gauss on each half.
+    hh = 0.5 * h
+    mids = np.stack([t[:-1] + 0.5 * hh, t[:-1] + 1.5 * hh], axis=1)  # (N, 2)
+    tq = np.stack(
+        [mids - gq * hh[:, None], mids + gq * hh[:, None]], axis=2
+    ).reshape(N, 2, 2)  # (interval, half, gauss point)
+
+    # Spatial quadrature structures, built once.
+    bary, w = _quad_rule(mesh.dim)
+    measure = _tri_geometry(mesh)[0] if mesh.dim == 2 else _tet_geometry(mesh)[0]
+    v = mesh.vertices[mesh.elements]
+    pts = np.einsum("qi,eid->eqd", bary, v).reshape(-1, mesh.dim)
+    nq = bary.shape[0]
+    scatter = mesh.elements.ravel()
+
+    def half_loads(times_flat: np.ndarray) -> np.ndarray:
+        """(k,) times -> (k, m) interior loads, one fused g evaluation per
+        chunk (the per-time python loop dominated assembly at scale)."""
+        out = np.zeros((times_flat.size, mesh.num_vertices))
+        chunk = max(1, int(2e8 // max(pts.shape[0], 1)))
+        for lo in range(0, times_flat.size, chunk):
+            ts = times_flat[lo : lo + chunk]
+            fvals = problem.g_many(ts, pts).reshape(ts.size, -1, nq)
+            contrib = np.einsum("teq,q,qi,e->tei", fvals, w, bary, measure)
+            for k in range(ts.size):
+                np.add.at(out[lo + k], scatter, contrib[k].ravel())
+        return out[:, idx]
+
+    loads = half_loads(tq.reshape(-1)).reshape(N, 2, 2, idx.size)
+    weights = 0.5 * hh  # per Gauss point on each half
+    gL = weights[:, None] * loads[:, 0].sum(axis=1)
+    gR = weights[:, None] * loads[:, 1].sum(axis=1)
+
     u0_vec = load_vector(mesh, problem.u0)[idx]
     return gL, gR, u0_vec
 

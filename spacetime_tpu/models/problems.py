@@ -60,6 +60,23 @@ class Problem:
         with _host_device():
             return np.asarray(self._g_fn()(float(t), X))
 
+    def g_many(self, ts: np.ndarray, X: np.ndarray) -> np.ndarray:
+        """Source at many times: (nt,), (n, dim) -> (nt, n). One fused jit
+        call — the per-time loop in ``g`` dominates load assembly at scale."""
+        if self.exact is None:
+            return np.stack([np.asarray(self.g_override(t, X)) for t in ts])
+        import jax
+
+        if not hasattr(self, "_g_many_cache"):
+            fn = self._g_fn()
+            object.__setattr__(
+                self, "_g_many_cache", jax.jit(jax.vmap(fn, in_axes=(0, None)))
+            )
+        with _host_device():
+            import jax.numpy as jnp
+
+            return np.asarray(self._g_many_cache(jnp.asarray(ts), jnp.asarray(X)))
+
     def exact_np(self, t: float, X: np.ndarray) -> np.ndarray:
         import jax.numpy as jnp
 

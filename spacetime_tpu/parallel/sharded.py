@@ -39,11 +39,11 @@ class ShardedHeatSolver(HeatSolver):
         repl = NamedSharding(self.mesh, P())
         return time_rows, repl
 
-    def _build_solve(self, tol: float, maxiter: int):
+    def _build_solve(self, tol: float, maxiter: int, warm: bool = False):
         time_rows, repl = self._shardings()
         params_sh = jax.tree.map(lambda _: repl, self.params)
 
-        def run(gL, gR, u0_vec, p):
+        def run(gL, gR, u0_vec, p, x0):
             f = self.rhs_device(gL, gR, u0_vec, p)
             f = jax.lax.with_sharding_constraint(f, time_rows)
             return pcg(
@@ -52,6 +52,7 @@ class ShardedHeatSolver(HeatSolver):
                 f,
                 tol,
                 maxiter,
+                x0=x0 if warm else None,
             )
 
         # RHS inputs are setup-time data used once; pjit requires divisible
@@ -61,9 +62,10 @@ class ShardedHeatSolver(HeatSolver):
         # shardings are fine for GSPMD).
         P_t = self.mesh.shape["time"]
         g_sh = time_rows if self.N % P_t == 0 else repl
+        x_sh = time_rows if (self.N + 1) % P_t == 0 else repl
         return jax.jit(
             run,
-            in_shardings=(g_sh, g_sh, repl, params_sh),
+            in_shardings=(g_sh, g_sh, repl, params_sh, x_sh),
             out_shardings=None,
         )
 

@@ -320,30 +320,48 @@ class HeatSolver:
 
     # -------------------------------------------------------------- solve
 
-    def _build_solve(self, tol: float, maxiter: int):
-        def run(gL, gR, u0_vec, p):
+    def _build_solve(self, tol: float, maxiter: int, warm: bool):
+        def run(gL, gR, u0_vec, p, x0):
             f = self.rhs_device(gL, gR, u0_vec, p)
             return pcg(
                 lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
-                f, tol, maxiter,
+                f, tol, maxiter, x0=x0 if warm else None,
             )
 
         return jax.jit(run)
 
     def solve(
-        self, tol: float = 1e-6, maxiter: int = 200, compute_error: bool = True
+        self,
+        tol: float = 1e-6,
+        maxiter: int = 200,
+        compute_error: bool = True,
+        x0=None,
+        checkpoint_path: str | None = None,
     ) -> SolveResult:
-        key = (tol, maxiter)
+        """``x0`` warm-starts PCG (e.g. a checkpointed iterate);
+        ``checkpoint_path`` saves the final iterate via utils.checkpoint."""
+        key = (tol, maxiter, x0 is not None)
         if key not in self._solve_jit_cache:
-            self._solve_jit_cache[key] = self._build_solve(tol, maxiter)
+            self._solve_jit_cache[key] = self._build_solve(tol, maxiter, x0 is not None)
         gL, gR, u0_vec = self.assemble_rhs_host()
+        if x0 is None:
+            x0_dev = jnp.zeros((self.N + 1,) + self.gs, self.dtype)
+        else:
+            x0_dev = jnp.asarray(x0, self.dtype).reshape((self.N + 1,) + self.gs)
         t0 = _time.perf_counter()
-        out = self._solve_jit_cache[key](gL, gR, u0_vec, self.params)
+        out = self._solve_jit_cache[key](gL, gR, u0_vec, self.params, x0_dev)
         out = jax.tree.map(np.asarray, jax.device_get(out))
         solve_seconds = _time.perf_counter() - t0
 
         it = int(out.iterations)
         U_flat = np.asarray(out.U).reshape(self.N + 1, self.m)
+        if checkpoint_path is not None:
+            from ..utils.checkpoint import save_solution
+
+            save_solution(
+                checkpoint_path, U_flat,
+                {"iterations": it, "tol": tol, "m": self.m, "N": self.N},
+            )
         err = None
         if compute_error and self.problem.exact is not None:
             err = l2_error_spacetime(

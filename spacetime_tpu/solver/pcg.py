@@ -30,16 +30,18 @@ def pcg(
     f: jax.Array,
     tol: float,
     maxiter: int,
+    x0: jax.Array | None = None,
 ) -> PCGResult:
     """Solve S u = f with preconditioner K_X; stops at ||r|| <= tol*||f||.
 
     Trace-compatible: ``maxiter`` bounds the history buffer; the while_loop
-    exits early on convergence.
+    exits early on convergence. ``x0`` warm-starts the iteration (restart
+    semantics — used by checkpoint/resume for long runs).
     """
     dtype = f.dtype
     nan = jnp.array(jnp.nan, dtype)
 
-    U0 = jnp.zeros_like(f)
+    U0 = jnp.zeros_like(f) if x0 is None else x0
     R0 = f - apply_S(U0)
     Z0 = apply_KX(R0)
     P0 = Z0

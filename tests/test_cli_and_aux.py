@@ -96,3 +96,30 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+class TestCheckpoint:
+    def test_save_resume(self, tmp_path):
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+        from spacetime_tpu.utils.checkpoint import load_solution
+
+        s = HeatSolver(get_problem("smooth2d"),
+                       P1System.from_mesh(unit_square_mesh(8)),
+                       uniform_time_grid(3))
+        ckpt = str(tmp_path / "state.npz")
+        # Phase 1: a few iterations only, checkpoint the iterate.
+        r1 = s.solve(tol=1e-12, maxiter=4, compute_error=False,
+                     checkpoint_path=ckpt)
+        assert not r1.converged
+        U, meta = load_solution(ckpt)
+        assert int(meta["iterations"]) == 4
+        # Phase 2: resume from the checkpoint; must converge in fewer
+        # iterations than a cold solve and reach the same answer.
+        r2 = s.solve(tol=1e-10, maxiter=50, compute_error=False, x0=U)
+        cold = s.solve(tol=1e-10, maxiter=50, compute_error=False)
+        assert r2.converged
+        assert r2.iterations < cold.iterations
+        np.testing.assert_allclose(r2.U, cold.U, atol=1e-8)

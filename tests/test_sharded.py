@@ -54,10 +54,11 @@ class TestSharded:
         grid = uniform_time_grid(4)
         mesh = make_time_mesh(8)
         s = ShardedHeatSolver(problem, system, grid, mesh)
+        import jax.numpy as jnp
+
         gL, gR, u0 = s.assemble_rhs_host()
-        out = s._solve_jit_cache.setdefault(
-            (1e-6, 50), s._build_solve(1e-6, 50)
-        )(gL, gR, u0, s.params)
+        x0 = jnp.zeros((s.N + 1,) + s.gs, s.dtype)
+        out = s._build_solve(1e-6, 50)(gL, gR, u0, s.params, x0)
         # The solution array must actually live sharded over the time axis.
         shard_devs = {sh.device for sh in out.U.addressable_shards}
         assert len(shard_devs) == 8
