@@ -42,14 +42,42 @@ def _tet_geometry(mesh: Mesh):
     return vol, grads
 
 
-def assemble_p1(mesh: Mesh) -> tuple[sp.csr_matrix, sp.csr_matrix]:
+def assemble_p1(
+    mesh: Mesh, engine: str = "auto"
+) -> tuple[sp.csr_matrix, sp.csr_matrix]:
     """Assemble full (all-vertex) P1 mass and stiffness matrices.
 
     Returns (M, A) as CSR over all vertices; restrict with
     ``P1System.from_mesh`` for the Dirichlet-interior block.
+
+    ``engine``: 'numpy' (vectorized host assembly, the parity reference),
+    'native' (the C++ core in spacetime_tpu/native — the NGSolve-equivalent
+    engine, ~2x faster and O(1) temporaries), or 'auto' (native for large
+    meshes when the compiler is available, or when SPACETIME_TPU_NATIVE=1).
     """
+    import os
+
     d = mesh.dim
     nloc = d + 1
+    if engine == "auto":
+        big = mesh.elements.shape[0] >= 500_000
+        want = big or os.environ.get("SPACETIME_TPU_NATIVE") == "1"
+        if want:
+            from .. import native
+
+            engine = "native" if native.available() else "numpy"
+        else:
+            engine = "numpy"
+    if engine == "native":
+        from ..native import assemble_p1_native
+
+        rows, cols, mass, stiff = assemble_p1_native(mesh.vertices, mesh.elements)
+        nv = mesh.num_vertices
+        A = sp.coo_matrix((stiff, (rows, cols)), shape=(nv, nv)).tocsr()
+        M = sp.coo_matrix((mass, (rows, cols)), shape=(nv, nv)).tocsr()
+        A.sum_duplicates()
+        M.sum_duplicates()
+        return M, A
     if d == 2:
         measure, grads = _tri_geometry(mesh)
         mass_scale = 1.0 / 12.0  # int lam_i lam_j = area/12 * (1 + delta_ij)

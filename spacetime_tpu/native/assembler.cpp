@@ -1,0 +1,100 @@
+// Native P1 finite-element assembly core.
+//
+// TPU-native counterpart of the reference's NGSolve (C++) assembly engine
+// (SURVEY.md §2 "Native components"): computes per-element mass/stiffness
+// triplets for simplicial meshes (triangles and tetrahedra) in one parallel
+// pass. The Python layer (spacetime_tpu.native) loads this via ctypes and
+// feeds the triplets to scipy's COO->CSR; NumPy remains the fallback and the
+// parity reference.
+//
+// Build: g++ -O3 -march=native -fopenmp -shared -fPIC assembler.cpp
+//
+// Triplet layout per element e, local pair (a, b):
+//   rows[k] = T[e,a], cols[k] = T[e,b],
+//   mass[k] / stiff[k] = local matrix entries,  k = e*nloc^2 + a*nloc + b.
+
+#include <cstdint>
+#include <cstddef>
+
+extern "C" {
+
+// 2D: vertices (nv, 2) float64, triangles (ne, 3) int32.
+void assemble_p1_tri(const double* V, const int32_t* T, int64_t ne,
+                     int32_t* rows, int32_t* cols,
+                     double* mass, double* stiff) {
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < ne; ++e) {
+        const int32_t i0 = T[3 * e], i1 = T[3 * e + 1], i2 = T[3 * e + 2];
+        const double x0 = V[2 * i0], y0 = V[2 * i0 + 1];
+        const double x1 = V[2 * i1], y1 = V[2 * i1 + 1];
+        const double x2 = V[2 * i2], y2 = V[2 * i2 + 1];
+        const double d1x = x1 - x0, d1y = y1 - y0;
+        const double d2x = x2 - x0, d2y = y2 - y0;
+        const double det = d1x * d2y - d1y * d2x;
+        const double area = (det < 0 ? -det : det) * 0.5;
+        const double inv = 1.0 / det;
+        // gradients of barycentric basis
+        double g[3][2];
+        g[1][0] = d2y * inv;  g[1][1] = -d2x * inv;
+        g[2][0] = -d1y * inv; g[2][1] = d1x * inv;
+        g[0][0] = -g[1][0] - g[2][0];
+        g[0][1] = -g[1][1] - g[2][1];
+        const int32_t idx[3] = {i0, i1, i2};
+        const double m_off = area / 12.0;
+        int64_t k = e * 9;
+        for (int a = 0; a < 3; ++a) {
+            for (int b = 0; b < 3; ++b, ++k) {
+                rows[k] = idx[a];
+                cols[k] = idx[b];
+                mass[k] = (a == b) ? 2.0 * m_off : m_off;
+                stiff[k] = area * (g[a][0] * g[b][0] + g[a][1] * g[b][1]);
+            }
+        }
+    }
+}
+
+// 3D: vertices (nv, 3) float64, tets (ne, 4) int32.
+void assemble_p1_tet(const double* V, const int32_t* T, int64_t ne,
+                     int32_t* rows, int32_t* cols,
+                     double* mass, double* stiff) {
+#pragma omp parallel for schedule(static)
+    for (int64_t e = 0; e < ne; ++e) {
+        const int32_t* t = T + 4 * e;
+        double D[3][3];
+        for (int c = 0; c < 3; ++c)
+            for (int d = 0; d < 3; ++d)
+                D[c][d] = V[3 * t[c + 1] + d] - V[3 * t[0] + d];
+        const double det =
+            D[0][0] * (D[1][1] * D[2][2] - D[1][2] * D[2][1]) -
+            D[0][1] * (D[1][0] * D[2][2] - D[1][2] * D[2][0]) +
+            D[0][2] * (D[1][0] * D[2][1] - D[1][1] * D[2][0]);
+        const double vol = (det < 0 ? -det : det) / 6.0;
+        const double inv = 1.0 / det;
+        // grad lambda_c = column (c-1) of D^{-1}: g[c][j] = cof[c-1][j]/det.
+        double g[4][3];
+        g[1][0] = (D[1][1] * D[2][2] - D[1][2] * D[2][1]) * inv;
+        g[1][1] = (D[1][2] * D[2][0] - D[1][0] * D[2][2]) * inv;
+        g[1][2] = (D[1][0] * D[2][1] - D[1][1] * D[2][0]) * inv;
+        g[2][0] = (D[0][2] * D[2][1] - D[0][1] * D[2][2]) * inv;
+        g[2][1] = (D[0][0] * D[2][2] - D[0][2] * D[2][0]) * inv;
+        g[2][2] = (D[0][1] * D[2][0] - D[0][0] * D[2][1]) * inv;
+        g[3][0] = (D[0][1] * D[1][2] - D[0][2] * D[1][1]) * inv;
+        g[3][1] = (D[0][2] * D[1][0] - D[0][0] * D[1][2]) * inv;
+        g[3][2] = (D[0][0] * D[1][1] - D[0][1] * D[1][0]) * inv;
+        for (int d = 0; d < 3; ++d)
+            g[0][d] = -g[1][d] - g[2][d] - g[3][d];
+        const double m_off = vol / 20.0;
+        int64_t k = e * 16;
+        for (int a = 0; a < 4; ++a) {
+            for (int b = 0; b < 4; ++b, ++k) {
+                rows[k] = t[a];
+                cols[k] = t[b];
+                mass[k] = (a == b) ? 2.0 * m_off : m_off;
+                stiff[k] = vol * (g[a][0] * g[b][0] + g[a][1] * g[b][1] +
+                                  g[a][2] * g[b][2]);
+            }
+        }
+    }
+}
+
+}  // extern "C"
