@@ -26,6 +26,10 @@ import numpy as np
 
 sys.path.insert(0, ".")
 
+from spacetime_tpu.utils import enable_compile_cache  # noqa: E402
+
+enable_compile_cache()
+
 from spacetime_tpu.fem import P1System, unit_square_mesh, uniform_time_grid  # noqa: E402
 from spacetime_tpu.fem.timegrid import time_matrices  # noqa: E402
 from spacetime_tpu.ops.sparse import DiaMatrix  # noqa: E402

@@ -29,13 +29,23 @@ class ShardedHeatSolver(HeatSolver):
 
     def __init__(self, problem, system, grid, mesh: Mesh, **kwargs):
         super().__init__(problem, system, grid, **kwargs)
-        if tuple(mesh.axis_names) != ("time",):
-            raise ValueError("expected a 1-D mesh with axis ('time',)")
+        if tuple(mesh.axis_names) not in [("time",), ("time", "space")]:
+            raise ValueError(
+                "expected mesh axes ('time',) or ('time', 'space')"
+            )
         self.mesh = mesh
+        self.has_space_axis = "space" in mesh.axis_names
 
     def _shardings(self):
         ndim_g = len(self.gs)
-        time_rows = NamedSharding(self.mesh, P("time", *([None] * ndim_g)))
+        if self.has_space_axis and ndim_g >= 2:
+            # 2-D parallelism (cfg5 stretch, SURVEY.md §2): timesteps over
+            # 'time', the leading spatial grid axis over 'space'; GSPMD
+            # inserts the spatial halo exchanges for the stencils too.
+            spec = P("time", "space", *([None] * (ndim_g - 1)))
+        else:
+            spec = P("time", *([None] * ndim_g))
+        time_rows = NamedSharding(self.mesh, spec)
         repl = NamedSharding(self.mesh, P())
         return time_rows, repl
 
@@ -61,8 +71,12 @@ class ShardedHeatSolver(HeatSolver):
         # re-shards the iteration state either way — uneven intermediate
         # shardings are fine for GSPMD).
         P_t = self.mesh.shape["time"]
-        g_sh = time_rows if self.N % P_t == 0 else repl
-        x_sh = time_rows if (self.N + 1) % P_t == 0 else repl
+        P_s = self.mesh.shape.get("space", 1)
+        even_space = not self.has_space_axis or (
+            len(self.gs) >= 2 and self.gs[0] % P_s == 0
+        )
+        g_sh = time_rows if (self.N % P_t == 0 and even_space) else repl
+        x_sh = time_rows if ((self.N + 1) % P_t == 0 and even_space) else repl
         return jax.jit(
             run,
             in_shardings=(g_sh, g_sh, repl, params_sh, x_sh),

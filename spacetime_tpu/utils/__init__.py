@@ -1,5 +1,5 @@
 """Utilities: platform selection, profiling counters, JSONL result records."""
 
-from .platform import use_cpu, use_tpu, ensure_x64
+from .platform import use_cpu, use_tpu, ensure_x64, enable_compile_cache
 
-__all__ = ["use_cpu", "use_tpu", "ensure_x64"]
+__all__ = ["use_cpu", "use_tpu", "ensure_x64", "enable_compile_cache"]

@@ -28,9 +28,24 @@ def use_tpu(x64: bool = False) -> None:
     those tiny batches through the TPU tunnel is pathologically slow.
     """
     jax.config.update("jax_platforms", "axon,cpu")
+    enable_compile_cache()
     if x64:
         ensure_x64()
 
 
 def ensure_x64() -> None:
     jax.config.update("jax_enable_x64", True)
+
+
+def enable_compile_cache(path: str = "/root/.cache/spacetime_tpu_xla") -> None:
+    """Persist compiled executables across processes.
+
+    Full-solve graphs take minutes to compile on the axon backend; the
+    persistent cache makes repeat runs (benchmarks, CLI, tests at the same
+    shapes) start in seconds.
+    """
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)

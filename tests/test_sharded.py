@@ -68,3 +68,22 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+@requires_multidevice
+def test_spacetime_2d_mesh_parity():
+    # cfg5-stretch layout: 4 time x 2 space devices; residual history must
+    # match the serial solve.
+    from spacetime_tpu.parallel import make_spacetime_mesh
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(8))
+    grid = uniform_time_grid(4)
+    r1 = HeatSolver(problem, system, grid).solve(tol=1e-6, compute_error=False)
+    mesh = make_spacetime_mesh(4, 2)
+    r42 = ShardedHeatSolver(problem, system, grid, mesh).solve(
+        tol=1e-6, compute_error=False
+    )
+    assert r42.converged
+    assert r42.iterations == r1.iterations
+    np.testing.assert_allclose(r42.residuals, r1.residuals, rtol=1e-9)
