@@ -27,7 +27,7 @@ import dataclasses
 import numpy as np
 
 from .sparse import DiaMatrix
-from .stencil import StencilOperator
+from .stencil import StencilOperator, row_scale
 
 
 def _interp2d(C, nc: int):
@@ -235,6 +235,151 @@ class ShiftedMultigrid:
         for _ in range(cycles - 1):
             r = b - self.levels_apply(self.levels[0], x)
             x = x + self.vcycle(r, coarse_inv)
+        return x
+
+
+@dataclasses.dataclass(frozen=True)
+class _MSLevel:
+    A_st: StencilOperator
+    M_st: StencilOperator
+    cA: float  # center weights (constant on-grid)
+    cM: float
+    gA: float  # Gershgorin row sums  sum|w|
+    gM: float
+    n: int
+
+
+@dataclasses.dataclass(frozen=True)
+class MultiShiftMultigrid:
+    """One V-cycle structure for ALL shifted operators A + ω_r M at once.
+
+    The wavelet preconditioner needs solves with a different shift ω per
+    time row (one per wavelet level). Rather than unrolling one hierarchy
+    per shift (9 hierarchies in a typical config — huge compiled graphs,
+    poor utilization on thin row subsets), the shift enters as a per-row
+    scale: Op(x) = A(x) + ω ⊙ M(x), and the Chebyshev–Jacobi smoother's
+    per-row coefficients (Jacobi diagonal, 1/θ, 1/δ from per-row Gershgorin
+    bounds) are precomputed host-side as (T, ny_l, 1)-broadcast arrays. One
+    V-cycle then smooths every row with its own operator in a single fused
+    pass; only the tiny coarsest-level solve distinguishes shifts (per-level
+    dense inverses applied on strided row slices).
+
+    With lmin = lmax/4 smoothing range, σ = θ/δ = 5/3 is row-independent,
+    so the recurrence scalars stay Python floats.
+    """
+
+    dim: int
+    levels: tuple[_MSLevel, ...]
+    nu: int
+    n_coarse: int
+
+    _SIGMA = 5.0 / 3.0
+
+    @classmethod
+    def build(
+        cls,
+        dim: int,
+        n_fine: int,
+        nu: int = 2,
+        n_coarse: int = 8,
+        _system_cache: dict | None = None,
+    ) -> tuple["MultiShiftMultigrid", tuple[np.ndarray, np.ndarray]]:
+        """Returns (static structure, (A_coarse, M_coarse) dense)."""
+        from ..fem import P1System, unit_cube_mesh, unit_square_mesh
+
+        make = unit_square_mesh if dim == 2 else unit_cube_mesh
+        levels = []
+        n = n_fine
+        while n > n_coarse:
+            sys_l = None if _system_cache is None else _system_cache.get(n)
+            if sys_l is None:
+                sys_l = P1System.from_mesh(make(n))
+                if _system_cache is not None:
+                    _system_cache[n] = sys_l
+            gs = sys_l.mesh.grid_shape
+            A_st = StencilOperator.from_dia(DiaMatrix.from_csr(sys_l.A), gs)
+            M_st = StencilOperator.from_dia(DiaMatrix.from_csr(sys_l.M), gs)
+            center = (0,) * dim
+            cA = dict(zip(A_st.disps, A_st.weights))[center]
+            cM = dict(zip(M_st.disps, M_st.weights))[center]
+            gA = sum(abs(w) for w in A_st.weights)
+            gM = sum(abs(w) for w in M_st.weights)
+            levels.append(_MSLevel(A_st, M_st, cA, cM, gA, gM, n))
+            n //= 2
+        sys_c = None if _system_cache is None else _system_cache.get(n)
+        if sys_c is None:
+            sys_c = P1System.from_mesh(make(n))
+            if _system_cache is not None:
+                _system_cache[n] = sys_c
+        return (
+            cls(dim, tuple(levels), nu, n),
+            (sys_c.A.toarray(), sys_c.M.toarray()),
+        )
+
+    # ------------------------------------------------------------- params
+
+    def row_params(self, omega_rows: np.ndarray, dtype) -> list[dict]:
+        """Per-level device arrays for a given per-row shift vector
+        (host precompute; thread through jit like all float arrays)."""
+        out = []
+        for lev in self.levels:
+            gs_l = (lev.n - 1,) * self.dim
+            inv_diag = 1.0 / (lev.cA + omega_rows * lev.cM)
+            lam_max = 1.1 * (lev.gA + omega_rows * lev.gM) * inv_diag
+            theta = 0.625 * lam_max
+            delta = 0.375 * lam_max
+            out.append(
+                {
+                    "omega": row_scale(omega_rows, gs_l, dtype),
+                    "inv_diag": row_scale(inv_diag, gs_l, dtype),
+                    "inv_theta": row_scale(1.0 / theta, gs_l, dtype),
+                    "inv_delta": row_scale(1.0 / delta, gs_l, dtype),
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------------- jax
+
+    def _op(self, lev: _MSLevel, lp, x):
+        return lev.A_st.apply(x) + lp["omega"] * lev.M_st.apply(x)
+
+    def _smooth(self, lev: _MSLevel, lp, x, b):
+        sigma = self._SIGMA
+        r = lp["inv_diag"] * (b - self._op(lev, lp, x))
+        d = r * lp["inv_theta"]
+        x = x + d
+        rho = 1.0 / sigma
+        for _ in range(self.nu - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = r - lp["inv_diag"] * self._op(lev, lp, d)
+            d = rho_new * rho * d + (2.0 * rho_new) * lp["inv_delta"] * r
+            x = x + d
+            rho = rho_new
+        return x
+
+    def _interp(self, C, nc):
+        return _interp2d(C, nc) if self.dim == 2 else _interp3d(C, nc)
+
+    def _restrict(self, F, nc):
+        return _restrict2d(F, nc) if self.dim == 2 else _restrict3d(F, nc)
+
+    def vcycle(self, b, lps, coarse_solve, lvl: int = 0):
+        if lvl == len(self.levels):
+            return coarse_solve(b)
+        lev = self.levels[lvl]
+        lp = lps[lvl]
+        x = self._smooth(lev, lp, b * 0.0, b)
+        r = b - self._op(lev, lp, x)
+        nc = lev.n // 2
+        ec = self.vcycle(self._restrict(r, nc), lps, coarse_solve, lvl + 1)
+        x = x + self._interp(ec, nc)
+        return self._smooth(lev, lp, x, b)
+
+    def solve(self, b, lps, coarse_solve, cycles: int = 2):
+        x = self.vcycle(b, lps, coarse_solve)
+        for _ in range(cycles - 1):
+            r = b - self._op(self.levels[0], lps[0], x)
+            x = x + self.vcycle(r, lps, coarse_solve)
         return x
 
 

@@ -46,7 +46,11 @@ from ..fem import (
 from ..fem.errors import l2_error_spacetime
 from ..fem.timegrid import graded_time_grid, uniform_time_grid
 from ..models import Problem, get_problem
-from ..ops.multigrid import ShiftedMultigrid, chebyshev_inverse, mass_spectral_bounds
+from ..ops.multigrid import (
+    MultiShiftMultigrid,
+    chebyshev_inverse,
+    mass_spectral_bounds,
+)
 from ..ops.sparse import DiaMatrix, dia_matvec
 from ..ops.stencil import StencilOperator, row_scale
 from ..ops.wavelets import build_wavelet_transform
@@ -150,19 +154,23 @@ class HeatSolver:
             dim = len(self.gs)
             self.mg_cycles = mg_cycles
             cache: dict = {}
-            self.mg_ky, cinv_ky = ShiftedMultigrid.build(
-                dim, space_n, 0.0, nu=mg_nu, _system_cache=cache
+            self.msmg, (A_c, M_c) = MultiShiftMultigrid.build(
+                dim, space_n, nu=mg_nu, _system_cache=cache
             )
-            self._host["mg_cinv_ky"] = cinv_ky
-            self.mg_lvl = []
-            cinvs = []
-            for omega in omegas:
-                mg_j, cinv_j = ShiftedMultigrid.build(
-                    dim, space_n, omega, nu=mg_nu, _system_cache=cache
-                )
-                self.mg_lvl.append(mg_j)
-                cinvs.append(cinv_j)
-            self._host["mg_cinv"] = cinvs
+            # Per-row shifts: K_Y rows solve with A alone (omega = 0); the
+            # wavelet rows solve with the shift of their level.
+            self._host["omega_ky"] = np.zeros(self.N)
+            self._host["omega_kx"] = np.asarray(
+                [float(self.wt.level_shift[j]) for j in self.wt.node_level]
+            )
+            self._host["mg_cinv_ky"] = np.linalg.inv(A_c)
+            self._host["mg_cinv"] = [
+                np.linalg.inv(A_c + omega * M_c) for omega in omegas
+            ]
+            self._mc = A_c.shape[0]
+            self._coarse_gs = tuple(
+                (self.msmg.n_coarse - 1,) for _ in range(dim)
+            )
             lmin, lmax = mass_spectral_bounds(dim)
             M_st = StencilOperator.from_dia(M_dia, self.gs)
             center = dict(zip(M_st.disps, M_st.weights))[(0,) * dim]
@@ -197,6 +205,8 @@ class HeatSolver:
         else:
             p["mg_cinv_ky"] = cast(self._host["mg_cinv_ky"])
             p["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
+            p["ms_ky"] = self.msmg.row_params(self._host["omega_ky"], dtype)
+            p["ms_kx"] = self.msmg.row_params(self._host["omega_kx"], dtype)
         if not self.wt.is_uniform:
             p["perm"] = jnp.asarray(self.wt.perm_by_level)
             inv_perm = np.empty_like(self.wt.perm_by_level)
@@ -232,7 +242,11 @@ class HeatSolver:
             flat = V.reshape(self.N, self.m)
             sol = _dot(flat, p["Kx_inv"]).reshape(V.shape)
         else:
-            sol = self.mg_ky.solve(V, p["mg_cinv_ky"], self.mg_cycles)
+            def coarse(bc):
+                lead = bc.shape[0]
+                return _dot(bc.reshape(lead, -1), p["mg_cinv_ky"]).reshape(bc.shape)
+
+            sol = self.msmg.solve(V, p["ms_ky"], coarse, self.mg_cycles)
         return sol * p["inv_h"]
 
     def apply_stab(self, U, p=None):
@@ -264,20 +278,53 @@ class HeatSolver:
         )
 
     def _sandwich_rows(self, rows_flat, j, p):
-        """Apply K_j = (A+ω_j M)⁻¹ A (A+ω_j M)⁻¹ to (k, m)-flat rows."""
-        if self.inner == "dense":
-            return _dot(rows_flat, p["sandwich"][j])
-        X = rows_flat.reshape((-1,) + self.gs)
-        X = self.mg_lvl[j].solve(X, p["mg_cinv"][j], self.mg_cycles)
-        X = self._spmv_A(X)
-        X = self.mg_lvl[j].solve(X, p["mg_cinv"][j], self.mg_cycles)
-        return X.reshape(rows_flat.shape)
+        """Dense path: K_j = (A+ω_j M)⁻¹ A (A+ω_j M)⁻¹ on (k, m)-flat rows."""
+        return _dot(rows_flat, p["sandwich"][j])
+
+    def _coarse_by_level(self, bc, p):
+        """Coarsest-grid solve of the multi-shift V-cycle: each wavelet
+        level's rows (static strided slices in time order) use their own
+        shifted dense inverse (tiny m_coarse x m_coarse GEMMs)."""
+        lead = bc.shape[0]
+        flat = bc.reshape(lead, -1)
+        n_lvl = self.wt.num_levels + 1
+        if self.wt.is_uniform:
+            N = self.N
+            flat = flat.at[0::N].set(_dot(flat[0::N], p["mg_cinv"][0]))
+            for j in range(1, n_lvl):
+                st = N >> j
+                sl = slice(st, N, 2 * st)
+                flat = flat.at[sl].set(_dot(flat[sl], p["mg_cinv"][j]))
+        else:
+            Cs = flat[p["perm"]]
+            pieces = []
+            for j in range(n_lvl):
+                a, b = self.level_bounds[j], self.level_bounds[j + 1]
+                if a == b:
+                    continue
+                pieces.append(_dot(Cs[a:b], p["mg_cinv"][j]))
+            flat = jnp.concatenate(pieces)[p["inv_perm"]]
+        return flat.reshape(bc.shape)
+
+    def _ms_solve_kx(self, X, p):
+        return self.msmg.solve(
+            X, p["ms_kx"], lambda bc: self._coarse_by_level(bc, p), self.mg_cycles
+        )
 
     def apply_KX(self, R, p=None):
         p = self.params if p is None else p
         C = self.wt.adjoint_jax(R.reshape(self.N + 1, self.m), p["wavelet"])
         n_lvl = self.wt.num_levels + 1
-        if self.wt.is_uniform:
+        if self.inner == "mg":
+            # One multi-shift V-cycle handles every wavelet row at once
+            # (shift = the row's level shift); only the coarsest solve
+            # distinguishes levels.
+            X = C.reshape((self.N + 1,) + self.gs)
+            X = self._ms_solve_kx(X, p)
+            X = self._spmv_A(X)
+            X = self._ms_solve_kx(X, p)
+            C = X.reshape(self.N + 1, self.m)
+        elif self.wt.is_uniform:
             # Level rows are static strided slices: level 0 = rows {0, N},
             # level j = odd multiples of N >> j.
             N = self.N
