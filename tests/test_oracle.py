@@ -106,3 +106,16 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_graded_grid_beats_uniform_on_singular_problem():
+    # cfg4 (BASELINE.md): u ~ t^0.75 has a time singularity at t=0; grading
+    # toward 0 restores the convergence the uniform grid loses. At similar
+    # step counts (8 uniform vs 11 graded) the graded error must be well
+    # below the uniform one, at flat iteration counts.
+    r_u = solve_heat_equation("singular2d", space_n=32, time_levels=3, tol=1e-6)
+    r_g = solve_heat_equation(
+        "singular2d", space_n=32, time_levels=3, extra_time_levels=3, tol=1e-6
+    )
+    assert r_g.l2_error < 0.65 * r_u.l2_error
+    assert abs(r_g.iterations - r_u.iterations) <= 3
