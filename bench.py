@@ -3,16 +3,23 @@
 Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "GDoF/s", "vs_baseline": N}
 
-Metric: sustained throughput of the space-time operator application
-B = A_t⊗M_x + M_t⊗A_x on the ~10^6-DoF single-chip config (BASELINE.md
-cfg2: 2D unit square, 129×129 P1 mesh × 64 timesteps, f32), in giga
-degrees-of-freedom per second (output rows × m per apply).
+Metric: sustained throughput of the space-time operator pair B then Bᵀ
+(B = A_t⊗M_x + M_t⊗A_x applied as batched stencils) on the ~10^6-DoF
+single-chip config (BASELINE.md cfg2: 129×129 P1 mesh × 64 timesteps, f32),
+in giga degrees-of-freedom per second (N_t·m DoF per operator application).
 
-Baseline (BASELINE.md): no published reference numbers exist (empty
-reference mount, see SURVEY.md §0); the driver-defined target is 50% of the
-HBM roofline. Minimal traffic per apply ≈ read U ((N+1)·m·4 B) + write
-(N·m·4 B) + diagonals (14·m·4 B) ⇒ ≈ 8.3 B per output DoF at N=64. With
-v5e HBM ≈ 819 GB/s the roofline is ≈ 98 GDoF/s, so target = 49 GDoF/s and
+Measurement notes (this backend, measured): ``block_until_ready`` does not
+actually block through the axon tunnel and a synchronous host round-trip
+costs ~170 ms regardless of device work, so naive timing loops measure
+dispatch rate, not execution. This benchmark chains k applications inside
+one jitted fori_loop returning a scalar, times k1 and k2 variants with
+forced scalar host reads, and reports the median slope — fixed overheads
+cancel exactly.
+
+Baseline: no published reference numbers exist (empty reference mount, see
+SURVEY.md §0); the driver-defined target is 50% of the HBM roofline.
+Minimal traffic per B application ≈ 8.3 B per output DoF at N=64; with v5e
+HBM ≈ 819 GB/s the roofline is ≈ 98 GDoF/s, so target = 49 GDoF/s and
 vs_baseline = value / 49. Human-readable details go to stderr.
 """
 
@@ -39,6 +46,7 @@ SPACE_N = 128
 TIME_LEVELS = 6  # 64 timesteps
 DTYPE = jnp.float32
 HBM_GBPS = 819.0
+K1, K2, REPS = 16, 128, 7
 
 
 def log(msg):
@@ -53,45 +61,59 @@ def main():
     grid = uniform_time_grid(TIME_LEVELS)
     m = system.m
     N = grid.num_intervals
+    gs = tuple(system.mesh.grid_shape)
     log(f"config: {SPACE_N+1}x{SPACE_N+1} P1 mesh (m={m}) x {N} timesteps "
         f"-> {(N+1)*m/1e6:.2f} MDoF, dtype={DTYPE.__name__}")
 
-    gs = system.mesh.grid_shape
     M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
     A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
     h_half = row_scale(0.5 * time_matrices(grid)["h"], gs, DTYPE)
+    z = jnp.zeros((1,) + gs, DTYPE)
 
-    # h passed as an argument: closed-over array constants trigger a
-    # pathological compile on this backend (see ops/stencil.py).
-    @jax.jit
-    def apply_B(U, hs):
-        DU = U[1:] - U[:-1]
-        SU = U[1:] + U[:-1]
-        return M_st.apply(DU) + hs * A_st.apply(SU)
+    def pair(V, hs):
+        # B: (N+1, gs) -> (N, gs), then B^T back — two Kronecker matvecs.
+        DU = V[1:] - V[:-1]
+        SU = V[1:] + V[:-1]
+        W = M_st.apply(DU) + hs * A_st.apply(SU)
+        VM = M_st.apply(W)
+        VA = hs * A_st.apply(W)
+        out = jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
+        return V + 1e-9 * out  # keep the chain contractive and un-foldable
+
+    def chain(k):
+        @jax.jit
+        def f(U, hs):
+            V = jax.lax.fori_loop(0, k, lambda i, V: pair(V, hs), U)
+            return V[(0,) * V.ndim]
+
+        return f
 
     rng = np.random.default_rng(0)
     U = jnp.asarray(rng.standard_normal((N + 1,) + gs), DTYPE)
 
-    t0 = time.perf_counter()
-    V = apply_B(U, h_half).block_until_ready()
-    log(f"compile+first apply: {time.perf_counter()-t0:.2f}s; out {V.shape}")
+    def timed(f):
+        t0 = time.perf_counter()
+        float(f(U, h_half))  # compile + warm
+        log(f"  compile+warm: {time.perf_counter()-t0:.1f}s")
+        ts = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            float(f(U, h_half))  # scalar host read forces completion
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
-    # Steady-state timing: chain applications to amortize dispatch.
-    reps = 50
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        V = apply_B(U, h_half)
-    V.block_until_ready()
-    elapsed = time.perf_counter() - t0
-    gdofs = reps * N * m / elapsed / 1e9
+    t1 = timed(chain(K1))
+    t2 = timed(chain(K2))
+    per_apply = (t2 - t1) / (K2 - K1) / 2.0  # pair = 2 applications
+    gdofs = N * m / per_apply / 1e9
 
     bytes_per_apply = 4 * ((N + 1) * m + N * m + 14 * m)
     roofline = HBM_GBPS * 1e9 * (N * m) / bytes_per_apply / 1e9
     target = 0.5 * roofline
-    log(f"sustained: {gdofs:.2f} GDoF/s over {reps} reps "
-        f"({elapsed*1e3/reps:.3f} ms/apply); roofline={roofline:.1f} "
-        f"target(50%)={target:.1f} GDoF/s; achieved BW "
-        f"~{gdofs*bytes_per_apply/(N*m):.0f} GB/s")
+    log(f"t({K1})={t1*1e3:.1f} ms, t({K2})={t2*1e3:.1f} ms -> "
+        f"{per_apply*1e3:.4f} ms/apply, {gdofs:.2f} GDoF/s; "
+        f"roofline={roofline:.1f}, target(50%)={target:.1f} GDoF/s; "
+        f"achieved BW ~{gdofs*bytes_per_apply/(N*m):.0f} GB/s")
 
     print(
         json.dumps(

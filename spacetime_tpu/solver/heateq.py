@@ -54,7 +54,7 @@ from ..ops.multigrid import (
 from ..ops.sparse import DiaMatrix, dia_matvec
 from ..ops.stencil import StencilOperator, row_scale
 from ..ops.wavelets import build_wavelet_transform
-from .pcg import pcg
+from .pcg import PCGResult, pcg, pcg_chunk, pcg_init
 
 
 def _dot(a, b):
@@ -92,6 +92,8 @@ class HeatSolver:
         mg_cycles: int = 3,
         mg_nu: int = 2,
         space_n: int | None = None,
+        loop: str = "auto",
+        chunk: int = 10,
     ):
         """``inner``: inner spatial solver — 'dense' (exact precomputed
         inverses, parity phase, m ≤ a few thousand) or 'mg' (geometric
@@ -118,14 +120,21 @@ class HeatSolver:
             self.gs = tuple(gs)
             M_st = StencilOperator.from_dia(M_dia, self.gs)
             A_st = StencilOperator.from_dia(A_dia, self.gs)
-            self._spmv_M = M_st.apply
-            self._spmv_A = A_st.apply
+            # Stencil weights are static Python floats — safe to close over.
+            self._spmv_M = lambda U, p=None: M_st.apply(U)
+            self._spmv_A = lambda U, p=None: A_st.apply(U)
         else:
+            # DIA values are device arrays and must flow through params
+            # (closed-over array constants are pathological on this backend;
+            # see ops/stencil.py) — threaded via _dia_host below.
             self.gs = (self.m,)
-            Mv = jnp.asarray(M_dia.vals, dtype)
-            Av = jnp.asarray(A_dia.vals, dtype)
-            self._spmv_M = lambda U: dia_matvec(Mv, M_dia.offsets, U)
-            self._spmv_A = lambda U: dia_matvec(Av, A_dia.offsets, U)
+            self._dia_host = {"Mv": M_dia.vals, "Av": A_dia.vals}
+            self._spmv_M = lambda U, p=None: dia_matvec(
+                (p or self.params)["dia_Mv"], M_dia.offsets, U
+            )
+            self._spmv_A = lambda U, p=None: dia_matvec(
+                (p or self.params)["dia_Av"], A_dia.offsets, U
+            )
         self.spatial_format = "stencil" if use_stencil else "dia"
 
         # --- inner spatial solver ------------------------------------------
@@ -182,8 +191,22 @@ class HeatSolver:
         counts = np.asarray(self.wt.level_counts)
         self.level_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
 
+        self.loop = loop
+        self.chunk = chunk
         self._solve_jit_cache = {}
         self.setup_seconds = _time.perf_counter() - t0
+
+    def _loop_mode(self) -> str:
+        """'while' = one fused lax.while_loop dispatch — the default and the
+        fastest on every backend measured: a synchronous host round-trip
+        through the axon tunnel costs ~170 ms regardless of work, so the
+        single-dispatch loop wins. 'chunked' = fixed-trip fori_loop chunks
+        with host convergence checks between them; pays one tunnel sync per
+        chunk, useful only when mid-solve host control is needed (e.g.
+        periodic checkpointing)."""
+        if self.loop != "auto":
+            return self.loop
+        return "while"
 
     def params_for(self, dtype):
         """Device params pytree in the requested precision (cached)."""
@@ -198,6 +221,9 @@ class HeatSolver:
             "inv_h": row_scale(1.0 / h, self.gs, dtype),
             "wavelet": self.wt.jax_params(dtype),
         }
+        if self.spatial_format == "dia":
+            p["dia_Mv"] = cast(self._dia_host["Mv"])
+            p["dia_Av"] = cast(self._dia_host["Av"])
         if self.inner == "dense":
             p["Kx_inv"] = cast(self._host["Kx_inv"])
             p["Minv"] = cast(self._host["Minv"])
@@ -227,12 +253,12 @@ class HeatSolver:
         p = self.params if p is None else p
         DU = U[1:] - U[:-1]
         SU = U[1:] + U[:-1]
-        return self._spmv_M(DU) + p["h_half"] * self._spmv_A(SU)
+        return self._spmv_M(DU, p) + p["h_half"] * self._spmv_A(SU, p)
 
     def apply_BT(self, V, p=None):
         p = self.params if p is None else p
-        VM = self._spmv_M(V)
-        VA = p["h_half"] * self._spmv_A(V)
+        VM = self._spmv_M(V, p)
+        VA = p["h_half"] * self._spmv_A(V, p)
         z = self._zrow(V.dtype)
         return jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
 
@@ -252,7 +278,7 @@ class HeatSolver:
     def apply_stab(self, U, p=None):
         p = self.params if p is None else p
         D = U[1:] - U[:-1]
-        W = p["h_stab"] * self._spmv_A(D)
+        W = p["h_stab"] * self._spmv_A(D, p)
         z = self._zrow(U.dtype)
         return jnp.concatenate([z, W]) - jnp.concatenate([W, z])
 
@@ -266,7 +292,7 @@ class HeatSolver:
 
     def apply_trace(self, U, p=None):
         p = self.params if p is None else p
-        r0 = self._spmv_M(self._apply_Minv(self._spmv_M(U[0:1]), p))
+        r0 = self._spmv_M(self._apply_Minv(self._spmv_M(U[0:1], p), p), p)
         return jnp.concatenate([r0, jnp.zeros((self.N,) + self.gs, U.dtype)])
 
     def apply_S(self, U, p=None):
@@ -321,7 +347,7 @@ class HeatSolver:
             # distinguishes levels.
             X = C.reshape((self.N + 1,) + self.gs)
             X = self._ms_solve_kx(X, p)
-            X = self._spmv_A(X)
+            X = self._spmv_A(X, p)
             X = self._ms_solve_kx(X, p)
             C = X.reshape(self.N + 1, self.m)
         elif self.wt.is_uniform:
@@ -362,7 +388,7 @@ class HeatSolver:
         z = self._zrow(gL.dtype)
         f = f - jnp.concatenate([z, corr]) + jnp.concatenate([corr, z])
         u0g = u0_vec.reshape((1,) + self.gs)
-        f0 = self._spmv_M(self._apply_Minv(u0g, p))
+        f0 = self._spmv_M(self._apply_Minv(u0g, p), p)
         return f.at[0].add(f0[0])
 
     # -------------------------------------------------------------- solve
@@ -377,6 +403,32 @@ class HeatSolver:
 
         return jax.jit(run)
 
+    def _build_chunked(self, tol: float, maxiter: int, warm: bool):
+        def prep(gL, gR, u0_vec, p, x0):
+            f = self.rhs_device(gL, gR, u0_vec, p)
+            return pcg_init(
+                lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
+                f, maxiter, x0=x0 if warm else None,
+            )
+
+        def step(state, p):
+            return pcg_chunk(
+                lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
+                state, tol, self.chunk,
+            )
+
+        return jax.jit(prep), jax.jit(step)
+
+    def _run_chunked(self, fns, gL, gR, u0_vec, x0_dev, maxiter: int):
+        prep, step = fns
+        state = prep(gL, gR, u0_vec, self.params, x0_dev)
+        while int(state.it) < maxiter and not bool(state.done):
+            state = step(state, self.params)
+        return PCGResult(
+            U=state.U, iterations=state.it, residuals=state.res,
+            precond_residuals=state.pres, converged=state.done,
+        )
+
     def solve(
         self,
         tol: float = 1e-6,
@@ -387,16 +439,23 @@ class HeatSolver:
     ) -> SolveResult:
         """``x0`` warm-starts PCG (e.g. a checkpointed iterate);
         ``checkpoint_path`` saves the final iterate via utils.checkpoint."""
-        key = (tol, maxiter, x0 is not None)
+        mode = self._loop_mode()
+        key = (mode, tol, maxiter, x0 is not None)
         if key not in self._solve_jit_cache:
-            self._solve_jit_cache[key] = self._build_solve(tol, maxiter, x0 is not None)
+            build = self._build_solve if mode == "while" else self._build_chunked
+            self._solve_jit_cache[key] = build(tol, maxiter, x0 is not None)
         gL, gR, u0_vec = self.assemble_rhs_host()
         if x0 is None:
             x0_dev = jnp.zeros((self.N + 1,) + self.gs, self.dtype)
         else:
             x0_dev = jnp.asarray(x0, self.dtype).reshape((self.N + 1,) + self.gs)
         t0 = _time.perf_counter()
-        out = self._solve_jit_cache[key](gL, gR, u0_vec, self.params, x0_dev)
+        if mode == "while":
+            out = self._solve_jit_cache[key](gL, gR, u0_vec, self.params, x0_dev)
+        else:
+            out = self._run_chunked(
+                self._solve_jit_cache[key], gL, gR, u0_vec, x0_dev, maxiter
+            )
         out = jax.tree.map(np.asarray, jax.device_get(out))
         solve_seconds = _time.perf_counter() - t0
 
@@ -452,18 +511,42 @@ class HeatSolver:
         gR64 = jnp.asarray(gR, jnp.float64).reshape((self.N,) + self.gs)
         u064 = jnp.asarray(u0_vec, jnp.float64)
 
+        mode = self._loop_mode()
         if "_ir_jits" not in self.__dict__:
             rhs64 = jax.jit(lambda a, b, c, p: self.rhs_device(a, b, c, p))
             resid64 = jax.jit(lambda f, u, p: f - self.apply_S(u, p))
-            inner = jax.jit(
-                lambda r32, p: pcg(
-                    lambda U: self.apply_S(U, p),
-                    lambda R: self.apply_KX(R, p),
-                    r32,
-                    inner_tol,
-                    inner_maxiter,
+            if mode == "while":
+                inner = jax.jit(
+                    lambda r32, p: pcg(
+                        lambda U: self.apply_S(U, p),
+                        lambda R: self.apply_KX(R, p),
+                        r32,
+                        inner_tol,
+                        inner_maxiter,
+                    )
                 )
-            )
+            else:
+                prep32 = jax.jit(
+                    lambda r32, p: pcg_init(
+                        lambda U: self.apply_S(U, p),
+                        lambda R: self.apply_KX(R, p),
+                        r32, inner_maxiter,
+                    )
+                )
+                step32 = jax.jit(
+                    lambda st, p: pcg_chunk(
+                        lambda U: self.apply_S(U, p),
+                        lambda R: self.apply_KX(R, p),
+                        st, inner_tol, self.chunk,
+                    )
+                )
+
+                def inner(r32, p):
+                    st = prep32(r32, p)
+                    while int(st.it) < inner_maxiter and not bool(st.done):
+                        st = step32(st, p)
+                    return PCGResult(st.U, st.it, st.res, st.pres, st.done)
+
             self._ir_jits = (rhs64, resid64, inner)
         rhs64, resid64, inner = self._ir_jits
 

@@ -77,3 +77,80 @@ def pcg(
     return PCGResult(
         U=U, iterations=it, residuals=res, precond_residuals=pres, converged=done
     )
+
+
+# --------------------------------------------------------------- chunked PCG
+#
+# Alternative driver: fixed-trip fori_loop chunks (masked updates after
+# convergence, so extra trips are exact no-ops) with host convergence checks
+# between chunks. Identical arithmetic per live iteration -> identical
+# residual histories. NOTE (measured on the axon tunnel): a synchronous host
+# round-trip costs ~170 ms regardless of work and block_until_ready does NOT
+# actually block there, so the single-dispatch while-loop form above is the
+# faster default; chunked exists for mid-solve host control (checkpointing,
+# adaptive policies), at one tunnel sync per chunk.
+
+
+class PCGState(NamedTuple):
+    it: jax.Array
+    U: jax.Array
+    R: jax.Array
+    P: jax.Array
+    rz: jax.Array
+    res: jax.Array
+    pres: jax.Array
+    done: jax.Array
+    fnorm: jax.Array
+
+
+def pcg_init(apply_S, apply_KX, f, maxiter: int, x0=None) -> PCGState:
+    dtype = f.dtype
+    nan = jnp.array(jnp.nan, dtype)
+    U0 = jnp.zeros_like(f) if x0 is None else x0
+    R0 = f - apply_S(U0)
+    Z0 = apply_KX(R0)
+    rz0 = jnp.vdot(R0, Z0)
+    res0 = jnp.full((maxiter + 1,), nan).at[0].set(jnp.linalg.norm(R0))
+    pres0 = jnp.full((maxiter + 1,), nan).at[0].set(
+        jnp.sqrt(jnp.maximum(rz0, 0.0))
+    )
+    return PCGState(
+        it=jnp.int32(0), U=U0, R=R0, P=Z0, rz=rz0, res=res0, pres=pres0,
+        done=jnp.bool_(False), fnorm=jnp.linalg.norm(f),
+    )
+
+
+def pcg_chunk(apply_S, apply_KX, state: PCGState, tol: float, k: int) -> PCGState:
+    """Advance k masked PCG iterations (a single device dispatch)."""
+
+    def body(_, s: PCGState) -> PCGState:
+        SP = apply_S(s.P)
+        alpha = jnp.where(s.done, 0.0, s.rz / jnp.vdot(s.P, SP)).astype(s.rz.dtype)
+        U = s.U + alpha * s.P
+        R = s.R - alpha * SP
+        rnorm = jnp.linalg.norm(R)
+        idx = jnp.where(s.done, 0, s.it + 1)
+        res = s.res.at[idx].set(jnp.where(s.done, s.res[0], rnorm))
+        Z = apply_KX(R)
+        rz_new = jnp.vdot(R, Z)
+        pres = s.pres.at[idx].set(
+            jnp.where(s.done, s.pres[0], jnp.sqrt(jnp.maximum(rz_new, 0.0)))
+        )
+        new_done = jnp.logical_or(s.done, rnorm <= tol * s.fnorm)
+        beta = jnp.where(s.done, 0.0, rz_new / s.rz).astype(s.rz.dtype)
+        # alpha/beta are masked to 0 after convergence, so U and R freeze by
+        # construction; only P needs an explicit select (beta=0 gives Z).
+        P = jnp.where(s.done, s.P, Z + beta * s.P)
+        return PCGState(
+            it=s.it + jnp.int32(jnp.logical_not(s.done)),
+            U=U,
+            R=R,
+            P=P,
+            rz=jnp.where(s.done, s.rz, rz_new),
+            res=res,
+            pres=pres,
+            done=new_done,
+            fnorm=s.fnorm,
+        )
+
+    return jax.lax.fori_loop(0, k, body, state)

@@ -80,3 +80,24 @@ def test_mixed_precision_refinement():
     assert len(r.residuals) <= 4  # ~1e-4 contraction per round
     assert r.residuals[-1] <= 1e-8 * r.residuals[0]
     assert abs(r.l2_error - 3.6711e-03) < 1e-5
+
+
+def test_dia_fallback_matches_stencil():
+    # The generic flat-DIA path (unstructured-mesh fallback) must agree with
+    # the structured stencil path exactly.
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import uniform_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(8))
+    grid = uniform_time_grid(3)
+    r_st = HeatSolver(problem, system, grid, spatial_format="stencil").solve(
+        tol=1e-6, compute_error=False
+    )
+    r_dia = HeatSolver(problem, system, grid, spatial_format="dia").solve(
+        tol=1e-6, compute_error=False
+    )
+    assert r_dia.iterations == r_st.iterations
+    np.testing.assert_allclose(r_dia.residuals, r_st.residuals, rtol=1e-9)
