@@ -72,7 +72,8 @@ class SolveResult:
     precond_residuals: np.ndarray
     converged: bool
     l2_error: float | None = None
-    solve_seconds: float = 0.0
+    solve_seconds: float = 0.0  # dispatch -> completion (small-array sync)
+    transfer_seconds: float = 0.0  # shipping U device->host (tunnel-bound)
     setup_seconds: float = 0.0
 
 
@@ -456,11 +457,18 @@ class HeatSolver:
             out = self._run_chunked(
                 self._solve_jit_cache[key], gL, gR, u0_vec, x0_dev, maxiter
             )
-        out = jax.tree.map(np.asarray, jax.device_get(out))
-        solve_seconds = _time.perf_counter() - t0
-
+        # Sync on the small arrays first: through the axon tunnel, shipping
+        # the full iterate costs ~60 ms/MB, so time-to-solution and
+        # time-to-transfer are reported separately.
+        residuals = np.asarray(out.residuals)
+        pres = np.asarray(out.precond_residuals)
         it = int(out.iterations)
+        converged = bool(out.converged)
+        solve_seconds = _time.perf_counter() - t0
+        t0 = _time.perf_counter()
         U_flat = np.asarray(out.U).reshape(self.N + 1, self.m)
+        transfer_seconds = _time.perf_counter() - t0
+        out = PCGResult(U_flat, it, residuals, pres, converged)
         if checkpoint_path is not None:
             from ..utils.checkpoint import save_solution
 
@@ -477,11 +485,12 @@ class HeatSolver:
         return SolveResult(
             U=U_flat,
             iterations=it,
-            residuals=out.residuals[: it + 1],
-            precond_residuals=out.precond_residuals[: it + 1],
-            converged=bool(out.converged),
+            residuals=residuals[: it + 1],
+            precond_residuals=pres[: it + 1],
+            converged=converged,
             l2_error=err,
             solve_seconds=solve_seconds,
+            transfer_seconds=transfer_seconds,
             setup_seconds=self.setup_seconds,
         )
 
