@@ -171,20 +171,29 @@ def spacetime_loads(problem, mesh: Mesh, grid) -> tuple[np.ndarray, np.ndarray, 
     v = mesh.vertices[mesh.elements]
     pts = np.einsum("qi,eid->eqd", bary, v).reshape(-1, mesh.dim)
     nq = bary.shape[0]
-    scatter = mesh.elements.ravel()
+    # One sparse scatter matrix (ne*nloc, m_interior) replaces per-time
+    # np.add.at passes: batched scatter becomes a single dense@sparse
+    # product over all quadrature times (measured ~10x on 129x129x64ts).
+    flat = mesh.elements.ravel()
+    inv = -np.ones(mesh.num_vertices, dtype=np.int64)
+    inv[idx] = np.arange(idx.size)
+    keep = inv[flat] >= 0
+    scatter_mat = sp.csr_matrix(
+        (np.ones(keep.sum()), (np.nonzero(keep)[0], inv[flat[keep]])),
+        shape=(flat.size, idx.size),
+    )
 
     def half_loads(times_flat: np.ndarray) -> np.ndarray:
         """(k,) times -> (k, m) interior loads, one fused g evaluation per
         chunk (the per-time python loop dominated assembly at scale)."""
-        out = np.zeros((times_flat.size, mesh.num_vertices))
+        out = np.empty((times_flat.size, idx.size))
         chunk = max(1, int(2e8 // max(pts.shape[0], 1)))
         for lo in range(0, times_flat.size, chunk):
             ts = times_flat[lo : lo + chunk]
             fvals = problem.g_many(ts, pts).reshape(ts.size, -1, nq)
             contrib = np.einsum("teq,q,qi,e->tei", fvals, w, bary, measure)
-            for k in range(ts.size):
-                np.add.at(out[lo + k], scatter, contrib[k].ravel())
-        return out[:, idx]
+            out[lo : lo + ts.size] = contrib.reshape(ts.size, -1) @ scatter_mat
+        return out
 
     loads = half_loads(tq.reshape(-1)).reshape(N, 2, 2, idx.size)
     weights = 0.5 * hh  # per Gauss point on each half

@@ -75,6 +75,7 @@ class SolveResult:
     solve_seconds: float = 0.0  # dispatch -> completion (small-array sync)
     transfer_seconds: float = 0.0  # shipping U device->host (tunnel-bound)
     setup_seconds: float = 0.0
+    rhs_seconds: float = 0.0  # host load quadrature (once per solver)
 
 
 class HeatSolver:
@@ -92,6 +93,7 @@ class HeatSolver:
         inner: str = "auto",
         mg_cycles: int = 3,
         mg_nu: int = 2,
+        mg_coarse: int | None = None,
         space_n: int | None = None,
         loop: str = "auto",
         chunk: int = 10,
@@ -164,8 +166,18 @@ class HeatSolver:
             dim = len(self.gs)
             self.mg_cycles = mg_cycles
             cache: dict = {}
+            # A larger coarse level means fewer V-cycle levels (each level
+            # adds ~10 device ops whose launch overhead dominates at small
+            # sizes on this backend; measured 1.55 -> 1.03 ms/iter on cfg2
+            # going 8 -> 32) and a more exact coarse solve. The coarse dense
+            # inverses bound the choice: 31^2 in 2D is tiny, but 3D grows as
+            # (n-1)^6 (16 -> 45 MB f32 per shift level; 32 would be 3.5 GB).
+            if mg_coarse is None:
+                mg_coarse = 32 if dim == 2 else 16
             self.msmg, (A_c, M_c) = MultiShiftMultigrid.build(
-                dim, space_n, nu=mg_nu, _system_cache=cache
+                dim, space_n, nu=mg_nu,
+                n_coarse=min(mg_coarse, max(space_n // 2, 4)),
+                _system_cache=cache,
             )
             # Per-row shifts: K_Y rows solve with A alone (omega = 0); the
             # wavelet rows solve with the shift of their level.
@@ -188,6 +200,9 @@ class HeatSolver:
         else:
             raise ValueError(f"unknown inner solver {inner!r}")
         self._params_cache: dict = {}
+        self._rhs_host = None
+        self._rhs_dev: dict = {}
+        self.rhs_seconds = 0.0
         self.params = self.params_for(dtype)
         counts = np.asarray(self.wt.level_counts)
         self.level_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
@@ -373,14 +388,29 @@ class HeatSolver:
 
     # ---------------------------------------------------------------- rhs
 
-    def assemble_rhs_host(self):
-        """Host-side load quadrature; returns device-ready (gL, gR, u0_vec)."""
-        gL, gR, u0_vec = spacetime_loads(self.problem, self.system.mesh, self.grid)
-        return (
-            jnp.asarray(gL, self.dtype).reshape((self.N,) + self.gs),
-            jnp.asarray(gR, self.dtype).reshape((self.N,) + self.gs),
-            jnp.asarray(u0_vec, self.dtype),
-        )
+    def _rhs_host_arrays(self):
+        """Host-side load quadrature, computed once per solver (the loads
+        depend only on (problem, mesh, grid) — recomputing them dominated
+        end-to-end latency before caching: ~4 s vs ~0.4 s device solve on
+        cfg2)."""
+        if self._rhs_host is None:
+            t0 = _time.perf_counter()
+            self._rhs_host = spacetime_loads(self.problem, self.system.mesh, self.grid)
+            self.rhs_seconds = _time.perf_counter() - t0
+        return self._rhs_host
+
+    def assemble_rhs_host(self, dtype=None):
+        """Device-resident (gL, gR, u0_vec), cached per dtype."""
+        dtype = self.dtype if dtype is None else dtype
+        key = jnp.dtype(dtype).name
+        if key not in self._rhs_dev:
+            gL, gR, u0_vec = self._rhs_host_arrays()
+            self._rhs_dev[key] = (
+                jnp.asarray(gL, dtype).reshape((self.N,) + self.gs),
+                jnp.asarray(gR, dtype).reshape((self.N,) + self.gs),
+                jnp.asarray(u0_vec, dtype),
+            )
+        return self._rhs_dev[key]
 
     def rhs_device(self, gL, gR, u0_vec, p=None):
         p = self.params if p is None else p
@@ -492,6 +522,7 @@ class HeatSolver:
             solve_seconds=solve_seconds,
             transfer_seconds=transfer_seconds,
             setup_seconds=self.setup_seconds,
+            rhs_seconds=self.rhs_seconds,
         )
 
 
@@ -515,10 +546,7 @@ class HeatSolver:
         """
         p64 = self.params_for(jnp.float64)
         p32 = self.params_for(jnp.float32)
-        gL, gR, u0_vec = spacetime_loads(self.problem, self.system.mesh, self.grid)
-        gL64 = jnp.asarray(gL, jnp.float64).reshape((self.N,) + self.gs)
-        gR64 = jnp.asarray(gR, jnp.float64).reshape((self.N,) + self.gs)
-        u064 = jnp.asarray(u0_vec, jnp.float64)
+        gL64, gR64, u064 = self.assemble_rhs_host(jnp.float64)
 
         mode = self._loop_mode()
         if "_ir_jits" not in self.__dict__:
@@ -593,6 +621,7 @@ class HeatSolver:
             l2_error=err,
             solve_seconds=solve_seconds,
             setup_seconds=self.setup_seconds,
+            rhs_seconds=self.rhs_seconds,
         )
 
 
