@@ -4,23 +4,31 @@ Prints ONE JSON line on stdout:
   {"metric": ..., "value": N, "unit": "GDoF/s", "vs_baseline": N}
 
 Metric: sustained throughput of the space-time operator pair B then Bᵀ
-(B = A_t⊗M_x + M_t⊗A_x applied as batched stencils) on the ~10^6-DoF
-single-chip config (BASELINE.md cfg2: 129×129 P1 mesh × 64 timesteps, f32),
-in giga degrees-of-freedom per second (N_t·m DoF per operator application).
+(B = A_t⊗M_x + M_t⊗A_x) on the ~10^6-DoF single-chip config (BASELINE.md
+cfg2: 129×129 P1 mesh × 64 timesteps, f32), in giga degrees-of-freedom per
+second (N_t·m DoF per operator application). The operators are applied with
+the production device path: the fused Pallas kernels of
+spacetime_tpu/ops/kron_pallas.py (one VMEM-resident pass per application —
+at this size the whole space-time array lives on-chip, which is also how
+the solver's PCG loop holds it).
 
 Measurement notes (this backend, measured): ``block_until_ready`` does not
 actually block through the axon tunnel and a synchronous host round-trip
 costs ~170 ms regardless of device work, so naive timing loops measure
-dispatch rate, not execution. This benchmark chains k applications inside
-one jitted fori_loop returning a scalar, times k1 and k2 variants with
-forced scalar host reads, and reports the median slope — fixed overheads
-cancel exactly.
+dispatch rate, not execution. This benchmark chains k pair applications
+inside one jitted fori_loop returning a scalar — the chain stays
+numerically bounded via a spectral-radius normalization fused into the
+kernel (static ``scale``), so no extra elementwise pass pollutes the
+traffic — and reports the median slope between k1 and k2 chains; fixed
+overheads cancel exactly.
 
 Baseline: no published reference numbers exist (empty reference mount, see
 SURVEY.md §0); the driver-defined target is 50% of the HBM roofline.
 Minimal traffic per B application ≈ 8.3 B per output DoF at N=64; with v5e
 HBM ≈ 819 GB/s the roofline is ≈ 98 GDoF/s, so target = 49 GDoF/s and
-vs_baseline = value / 49. Human-readable details go to stderr.
+vs_baseline = value / 49. (The kernel beats the HBM roofline by keeping the
+working set VMEM-resident — the roofline target is kept as the fixed
+yardstick for cross-round comparability.) Human-readable details on stderr.
 """
 
 import json
@@ -39,14 +47,15 @@ enable_compile_cache()
 
 from spacetime_tpu.fem import P1System, unit_square_mesh, uniform_time_grid  # noqa: E402
 from spacetime_tpu.fem.timegrid import time_matrices  # noqa: E402
+from spacetime_tpu.ops.kron_pallas import KronPallas  # noqa: E402
 from spacetime_tpu.ops.sparse import DiaMatrix  # noqa: E402
-from spacetime_tpu.ops.stencil import StencilOperator, row_scale  # noqa: E402
+from spacetime_tpu.ops.stencil import StencilOperator  # noqa: E402
 
 SPACE_N = 128
 TIME_LEVELS = 6  # 64 timesteps
 DTYPE = jnp.float32
 HBM_GBPS = 819.0
-K1, K2, REPS = 16, 128, 7
+K1, K2, REPS = 512, 4096, 7
 
 
 def log(msg):
@@ -67,38 +76,44 @@ def main():
 
     M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
     A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
-    h_half = row_scale(0.5 * time_matrices(grid)["h"], gs, DTYPE)
-    z = jnp.zeros((1,) + gs, DTYPE)
-
-    def pair(V, hs):
-        # B: (N+1, gs) -> (N, gs), then B^T back — two Kronecker matvecs.
-        DU = V[1:] - V[:-1]
-        SU = V[1:] + V[:-1]
-        W = M_st.apply(DU) + hs * A_st.apply(SU)
-        VM = M_st.apply(W)
-        VA = hs * A_st.apply(W)
-        out = jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
-        return V + 1e-9 * out  # keep the chain contractive and un-foldable
-
-    def chain(k):
-        @jax.jit
-        def f(U, hs):
-            V = jax.lax.fori_loop(0, k, lambda i, V: pair(V, hs), U)
-            return V[(0,) * V.ndim]
-
-        return f
+    h = time_matrices(grid)["h"]
+    kp = KronPallas(M_st, A_st, h, DTYPE)
+    log(f"pallas blocks: TB={kp.TB} YB={kp.YB} (ny={gs[0]})")
 
     rng = np.random.default_rng(0)
     U = jnp.asarray(rng.standard_normal((N + 1,) + gs), DTYPE)
 
+    # Spectral normalization: estimate rho(BT∘B) by power iteration so the
+    # k2-link chain neither overflows nor vanishes in f32.
+    X = U
+    rho = 1.0
+    for _ in range(12):
+        Y = kp.apply_BT(kp.apply_B(X))
+        rho = float(jnp.max(jnp.abs(Y)))
+        X = Y / rho
+    scale = float(1.0 / np.sqrt(rho))
+    log(f"power iteration: rho≈{rho:.3e} -> fused scale {scale:.3e}")
+
+    def chain(k):
+        @jax.jit
+        def f(V, p):
+            def body(i, V):
+                W = kp.apply_B(V, p, scale=scale)
+                return kp.apply_BT(W, p, scale=scale)
+
+            V = jax.lax.fori_loop(0, k, body, V)
+            return V[(0,) * V.ndim]
+
+        return f
+
     def timed(f):
         t0 = time.perf_counter()
-        float(f(U, h_half))  # compile + warm
+        float(f(U, kp.params))  # compile + warm
         log(f"  compile+warm: {time.perf_counter()-t0:.1f}s")
         ts = []
         for _ in range(REPS):
             t0 = time.perf_counter()
-            float(f(U, h_half))  # scalar host read forces completion
+            float(f(U, kp.params))  # scalar host read forces completion
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
@@ -113,7 +128,7 @@ def main():
     log(f"t({K1})={t1*1e3:.1f} ms, t({K2})={t2*1e3:.1f} ms -> "
         f"{per_apply*1e3:.4f} ms/apply, {gdofs:.2f} GDoF/s; "
         f"roofline={roofline:.1f}, target(50%)={target:.1f} GDoF/s; "
-        f"achieved BW ~{gdofs*bytes_per_apply/(N*m):.0f} GB/s")
+        f"effective BW ~{gdofs*bytes_per_apply/(N*m):.0f} GB/s")
 
     print(
         json.dumps(

@@ -1,0 +1,393 @@
+"""Fused Pallas TPU kernels for the space-time Kronecker operators B and Bᵀ.
+
+The parabolic operator B = A_t⊗M_x + M_t⊗A_x and its adjoint are the hot
+matvecs of every PCG iteration (SURVEY.md §3.1). The XLA stencil path
+(ops/stencil.py) materializes the time differences/sums and the padded
+stencil inputs as separate fusions, sustaining ~54% of HBM roofline on the
+headline bench; these kernels fuse the whole application — time pairing,
+both spatial stencils, and the h-scaling — into one pass over U, reading
+each input row ~(1+1/TB) times.
+
+Blocking layout (all via BlockSpec, no manual DMA):
+
+- time axis: aligned blocks of TB rows plus a one-row "next" (B) / "prev"
+  (Bᵀ) operand — overlapping windows are not expressible with a single
+  BlockSpec, but a second single-row view of the same array is. Time is a
+  leading (non-tiled) axis, so one-row blocks are Mosaic-legal there.
+- spatial axes: kept whole per block when the working set fits VMEM; the
+  stencil shifts then use an in-kernel zero pad (= the Dirichlet guard).
+  For larger grids the second-to-last axis (y) is blocked in multiples of
+  8 rows (Mosaic's sublane tile), with 8-row halo-slab operands (clamped
+  index maps, one row used, edges masked to zero in-kernel) — one-row halo
+  blocks are not Mosaic-legal on a tiled axis.
+
+Bᵀ maps (T, …) → (T+1, …): the grid runs one extra time block whose only
+valid output row is T (pallas masks the ragged write); that block reads the
+clamped last V block and emits out[T] = M·V[T-1] + h·A·V[T-1].
+
+f64 is not supported in Pallas on TPU — callers fall back to the XLA
+stencil path (the f64 parity configs are latency- not bandwidth-bound).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Workspace budget for picking (TB, YB): the kernel live set is ~8 blocks
+# of (TB, …, YB+2, nx). Measured on the axon v5 chip: unblocked whole-grid
+# kernels compile and run well past 16 MB (a TB=64, 127² kernel — live set
+# ~35 MB — runs at 353 GDoF/s because input, output, and the chained-loop
+# carry all stay VMEM-resident); at 511² a 267 MB request fails to compile.
+_VMEM_BUDGET = 32 * 1024 * 1024
+_HALO = 8  # Mosaic sublane tile: the minimum legal block on a tiled axis
+
+
+def _weight_groups(disps, weights):
+    """Drop zero taps and group displacements by weight (ops/stencil.py's
+    measured-fast form: sum taps first, multiply once per distinct weight)."""
+    groups: dict[float, list] = {}
+    for d, w in zip(disps, weights):
+        if w != 0.0:
+            groups.setdefault(float(w), []).append(tuple(d))
+    return tuple((w, tuple(ds)) for w, ds in groups.items())
+
+
+def _stencil(V, groups, gs, yb):
+    """In-kernel spatial stencil on (TT, *sp). When ``yb`` is None the
+    blocked axis carries no halo rows and is zero-padded like the other
+    axes; otherwise sp's axis -2 has yb+2 rows including halos. Returns
+    (TT, …, yb or ny, nx)."""
+    dim = len(gs)
+    blocked = dim - 2 if yb is not None else -1
+    pad = [(0, 0)]
+    for a in range(dim):
+        pad.append((0, 0) if a == blocked else (1, 1))
+    Vp = jnp.pad(V, pad)
+    out = None
+    for w, ds in groups:
+        acc = None
+        for disp in ds:
+            idx = [slice(None)]
+            for a, d in enumerate(disp):
+                if a == blocked:
+                    idx.append(slice(1 + d, 1 + d + yb))
+                else:
+                    idx.append(slice(1 + d, 1 + d + gs[a]))
+            tap = Vp[tuple(idx)]
+            acc = tap if acc is None else acc + tap
+        term = w * acc
+        out = term if out is None else out + term
+    return out
+
+
+def _assemble_y(up_slab, mid, dn_slab, yi, YB, ny):
+    """Stack halo rows around a y block: takes the last row of the up slab
+    and the first row of the dn slab, zeroing rows beyond the domain and
+    the padded tail of a ragged last block (= Dirichlet zeros)."""
+    y0 = yi * YB
+    # jnp.where, not mask-multiply: out-of-bounds block reads may contain
+    # NaN (pallas interpret mode pads with NaN) and 0*NaN = NaN.
+    up = jnp.where(y0 > 0, up_slab[..., -1:, :], 0.0)
+    dn = jnp.where(y0 + YB <= ny - 1, dn_slab[..., 0:1, :], 0.0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (YB, 1), 0)
+    mask = (y0 + rows < ny).reshape((1,) * (mid.ndim - 2) + (YB, 1))
+    mid = jnp.where(mask, mid, 0.0)
+    return jnp.concatenate([up, mid, dn], axis=-2)
+
+
+def _hcol(h_ref, dim):
+    """(TT, 1, 128) h block -> (TT, 1, …, 1) broadcastable column. The h
+    array carries a dummy middle axis so that single-time-row blocks keep
+    their last two dims at full extent (a Mosaic tiling requirement)."""
+    h = h_ref[:, 0, 0:1]
+    return h.reshape((h.shape[0],) + (1,) * dim)
+
+
+def _pick_blocks(T, gs, itemsize):
+    """Returns (TB, YB); YB == gs[-2] means unblocked spatial axes.
+
+    Measured (v5 axon, 2D): throughput rises monotonically with TB when the
+    grid is unblocked (fewer, larger grid steps; at grid=(1,1) the whole
+    problem stays VMEM-resident), so take the largest divisor of T that
+    fits. When y-blocking is forced, (TB=16, YB=64) was the flat optimum —
+    the kernel is DMA-bound there and block shape barely matters.
+    """
+    ny, nx = gs[-2], gs[-1]
+    rest = int(np.prod(gs[:-2], dtype=int)) if len(gs) > 2 else 1
+    per_row = rest * nx * itemsize  # one y-row across the other axes
+    TB = 1
+    for cand in (64, 32, 16, 8, 4, 2):
+        if T % cand == 0 and cand * (ny + 2) * per_row * 8 <= _VMEM_BUDGET:
+            TB = cand
+            break
+    if TB * (ny + 2) * per_row * 8 <= _VMEM_BUDGET:
+        return TB, ny
+    TB = 1
+    for cand in (16, 8, 4, 2):
+        if T % cand == 0:
+            TB = cand
+            break
+    YB = max(_HALO, (_VMEM_BUDGET // (TB * per_row * 8)) // _HALO * _HALO)
+    return TB, min(YB, ny)
+
+
+def _u_specs(TB, YB, gs, time_idx, blocked):
+    """U-operand BlockSpecs: {aligned TB, single next/prev row} ×
+    ({aligned YB, up slab, dn slab} if blocked else {full}). ``time_idx``:
+    (aligned_map, single_map) on the time grid index."""
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    al, sg = time_idx
+    nyb8 = pl.cdiv(ny, _HALO)
+
+    def spec(tb, yb, tmap, ymap):
+        shape = (tb,) + rest + (yb, nx)
+        return pl.BlockSpec(
+            shape,
+            lambda ti, yi, tmap=tmap, ymap=ymap: (tmap(ti),) + zeros + (ymap(yi), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    if not blocked:
+        full = lambda yi: 0
+        return [spec(TB, ny, al, full), spec(1, ny, sg, full)]
+    s = YB // _HALO  # y-slab stride of the aligned block, in 8-row units
+    y_mid = lambda yi: yi
+    y_up = lambda yi: jnp.maximum(yi * s - 1, 0)
+    y_dn = lambda yi: jnp.minimum(yi * s + s, nyb8 - 1)
+    return [
+        spec(TB, YB, al, y_mid),
+        spec(TB, _HALO, al, y_up),
+        spec(TB, _HALO, al, y_dn),
+        spec(1, YB, sg, y_mid),
+        spec(1, _HALO, sg, y_up),
+        spec(1, _HALO, sg, y_dn),
+    ]
+
+
+def _gather_window(urefs, yi, YB, ny, blocked):
+    """Read one time-window's refs into a (TT, …, YB(+2), nx) array."""
+    if not blocked:
+        return urefs[0][...]
+    mid, up, dn = urefs
+    return _assemble_y(up[...], mid[...], dn[...], yi, YB, ny)
+
+
+def _cost(T, gs, itemsize, n_stencil_rows, taps):
+    vol = int(np.prod(gs, dtype=int))
+    return pl.CostEstimate(
+        flops=2 * taps * n_stencil_rows * vol,
+        bytes_accessed=itemsize * vol * (n_stencil_rows + T) * 2,
+        transcendentals=0,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups_M", "groups_A", "gs", "TB", "YB", "scale", "interpret"),
+)
+def _apply_B_call(
+    U, h128, *, groups_M, groups_A, gs, TB, YB, scale=1.0, interpret=False
+):
+    """U (T+1, *gs), h128 (T, 128) -> (T, *gs):
+    out[j] = M·(U[j+1]-U[j]) + h_j·A·(U[j+1]+U[j])."""
+    T = U.shape[0] - 1
+    dim = len(gs)
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    blocked = YB < ny
+    yb = YB if blocked else None
+    nyi = pl.cdiv(ny, YB)
+    n_u = 3 if blocked else 1
+
+    def kernel(h_ref, *refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        U0 = _gather_window(refs[:n_u], yi, YB, ny, blocked)
+        U1r = _gather_window(refs[n_u : 2 * n_u], yi, YB, ny, blocked)
+        U1 = jnp.concatenate([U0[1:], U1r], axis=0)
+        h = _hcol(h_ref, dim)
+        out = _stencil(U1 - U0, groups_M, gs, yb) + h * _stencil(
+            U1 + U0, groups_A, gs, yb
+        )
+        out_ref[...] = out if scale == 1.0 else scale * out
+
+    time_idx = (lambda ti: ti, lambda ti: ti * TB + TB)  # row T is valid in U
+    specs = _u_specs(TB, YB, gs, time_idx, blocked)
+    in_specs = [
+        pl.BlockSpec((TB, 1, 128), lambda ti, yi: (ti, 0, 0), memory_space=pltpu.VMEM)
+    ] + specs
+    out_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            cost_estimate=_cost(
+                T, gs, U.dtype.itemsize, T + 1, len(groups_M) + len(groups_A)
+            ),
+        )
+    n_ops = len(specs) // 2
+    return pl.pallas_call(
+        kernel,
+        grid=(T // TB, nyi),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((T,) + gs, U.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(h128, *([U] * n_ops), *([U] * n_ops))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups_M", "groups_A", "gs", "TB", "YB", "scale", "interpret"),
+)
+def _apply_BT_call(
+    V, h128, *, groups_M, groups_A, gs, TB, YB, scale=1.0, interpret=False
+):
+    """V (T, *gs), h128 (T, 128) -> (T+1, *gs):
+    out[i] = [i<T]·(-M·V[i] + h_i·A·V[i]) + [i≥1]·(M·V[i-1] + h_{i-1}·A·V[i-1])."""
+    T = V.shape[0]
+    dim = len(gs)
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    blocked = YB < ny
+    yb = YB if blocked else None
+    nti = T // TB
+    nyi = pl.cdiv(ny, YB)
+    n_u = 3 if blocked else 1
+
+    def kernel(h_ref, hp_ref, *refs):
+        out_ref = refs[-1]
+        ti = pl.program_id(0)
+        yi = pl.program_id(1)
+        V0 = _gather_window(refs[:n_u], yi, YB, ny, blocked)
+
+        @pl.when(ti < nti)
+        def _():
+            Vp = _gather_window(refs[n_u : 2 * n_u], yi, YB, ny, blocked)
+            Vp = jnp.where(ti > 0, Vp, 0.0)  # row -1 of V is zero
+            Vext = jnp.concatenate([Vp, V0], axis=0)  # rows i0-1 … i0+TB-1
+            hext = jnp.concatenate(
+                [jnp.where(ti > 0, _hcol(hp_ref, dim), 0.0), _hcol(h_ref, dim)],
+                axis=0,
+            )
+            VM = _stencil(Vext, groups_M, gs, yb)
+            VA = hext * _stencil(Vext, groups_A, gs, yb)
+            out = (-VM[1:] + VA[1:]) + (VM[:-1] + VA[:-1])
+            out_ref[...] = out if scale == 1.0 else scale * out
+
+        @pl.when(ti == nti)
+        def _():
+            # Final block: only out row T is in-array (ragged write is
+            # masked); it reads the clamped last V block's final row.
+            last = V0[-1:]
+            VM = _stencil(last, groups_M, gs, yb)
+            VA = _hcol(h_ref, dim)[-1:] * _stencil(last, groups_A, gs, yb)
+            out = VM + VA
+            out_ref[0:1] = out if scale == 1.0 else scale * out
+
+    t_al = lambda ti: jnp.minimum(ti, nti - 1)
+    t_pm = lambda ti: jnp.maximum(ti * TB - 1, 0)
+    specs = _u_specs(TB, YB, gs, (t_al, t_pm), blocked)
+    in_specs = [
+        pl.BlockSpec(
+            (TB, 1, 128), lambda ti, yi: (t_al(ti), 0, 0), memory_space=pltpu.VMEM
+        ),
+        pl.BlockSpec(
+            (1, 1, 128), lambda ti, yi: (t_pm(ti), 0, 0), memory_space=pltpu.VMEM
+        ),
+    ] + specs
+    out_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            cost_estimate=_cost(
+                T, gs, V.dtype.itemsize, T + 1, len(groups_M) + len(groups_A)
+            ),
+        )
+    n_ops = len(specs) // 2
+    return pl.pallas_call(
+        kernel,
+        grid=(nti + 1, nyi),
+        in_specs=in_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((T + 1,) + gs, V.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(h128, h128, *([V] * n_ops), *([V] * n_ops))
+
+
+class KronPallas:
+    """Fused B / Bᵀ applications for one (M, A, time-grid) configuration.
+
+    ``h128`` (the per-interval h/2 column broadcast to 128 lanes) lives in
+    ``params`` so callers can thread it through jit (closed-over device
+    constants are pathological on this backend; see ops/stencil.py).
+    """
+
+    def __init__(self, M_st, A_st, h: np.ndarray, dtype, interpret=False):
+        """``h``: raw time-interval lengths (T,); the kernels consume h/2."""
+        if M_st.grid_shape != A_st.grid_shape:
+            raise ValueError("M/A grid mismatch")
+        self.gs = tuple(M_st.grid_shape)
+        self.groups_M = _weight_groups(M_st.disps, M_st.weights)
+        self.groups_A = _weight_groups(A_st.disps, A_st.weights)
+        self.T = int(h.shape[0])
+        self.interpret = interpret
+        self.TB, self.YB = _pick_blocks(self.T, self.gs, jnp.dtype(dtype).itemsize)
+        self.params = {
+            "h128": jnp.broadcast_to(
+                jnp.asarray(0.5 * h, dtype)[:, None, None], (self.T, 1, 128)
+            ).copy()
+        }
+
+    @classmethod
+    def supported(cls, grid_shape, T, dtype) -> bool:
+        if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
+            return False
+        if grid_shape is None or len(grid_shape) not in (2, 3):
+            return False
+        if T < 1 or min(grid_shape) < 3:
+            return False
+        return True
+
+    def apply_B(self, U, p=None, scale: float = 1.0):
+        """``scale``: static output scaling fused into the kernel (free);
+        benchmark chains use it to stay contractive without an extra pass."""
+        p = self.params if p is None else p
+        return _apply_B_call(
+            U, p["h128"], groups_M=self.groups_M, groups_A=self.groups_A,
+            gs=self.gs, TB=self.TB, YB=self.YB, scale=scale,
+            interpret=self.interpret,
+        )
+
+    def apply_BT(self, V, p=None, scale: float = 1.0):
+        p = self.params if p is None else p
+        return _apply_BT_call(
+            V, p["h128"], groups_M=self.groups_M, groups_A=self.groups_A,
+            gs=self.gs, TB=self.TB, YB=self.YB, scale=scale,
+            interpret=self.interpret,
+        )

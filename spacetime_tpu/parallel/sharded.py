@@ -28,6 +28,10 @@ class ShardedHeatSolver(HeatSolver):
     """HeatSolver whose solve is jitted over a 1-D ``time`` mesh."""
 
     def __init__(self, problem, system, grid, mesh: Mesh, **kwargs):
+        # pallas_call does not auto-partition under GSPMD — the sharded
+        # path keeps the XLA stencil operators (which GSPMD halo-exchanges
+        # correctly across the time axis).
+        kwargs["pallas_kron"] = False
         super().__init__(problem, system, grid, **kwargs)
         if tuple(mesh.axis_names) not in [("time",), ("time", "space")]:
             raise ValueError(

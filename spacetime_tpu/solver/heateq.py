@@ -97,6 +97,7 @@ class HeatSolver:
         space_n: int | None = None,
         loop: str = "auto",
         chunk: int = 10,
+        pallas_kron: bool | str = "auto",
     ):
         """``inner``: inner spatial solver — 'dense' (exact precomputed
         inverses, parity phase, m ≤ a few thousand) or 'mg' (geometric
@@ -123,6 +124,7 @@ class HeatSolver:
             self.gs = tuple(gs)
             M_st = StencilOperator.from_dia(M_dia, self.gs)
             A_st = StencilOperator.from_dia(A_dia, self.gs)
+            self._st_ops = (M_st, A_st)
             # Stencil weights are static Python floats — safe to close over.
             self._spmv_M = lambda U, p=None: M_st.apply(U)
             self._spmv_A = lambda U, p=None: A_st.apply(U)
@@ -199,6 +201,14 @@ class HeatSolver:
             self._cheb_Minv = chebyshev_inverse(M_st, 1.0 / center, lmin, lmax, 30)
         else:
             raise ValueError(f"unknown inner solver {inner!r}")
+        # Fused Pallas B/Bᵀ kernels (ops/kron_pallas.py): single-device TPU
+        # only — pallas_call does not auto-partition under GSPMD (the
+        # sharded subclass forces this off), and f64 is not supported in
+        # Pallas (the f64 parity path keeps the XLA stencils).
+        if pallas_kron == "auto":
+            pallas_kron = use_stencil and jax.default_backend() not in ("cpu",)
+        self.pallas_kron = bool(pallas_kron) and use_stencil
+        self._kron: dict = {}
         self._params_cache: dict = {}
         self._rhs_host = None
         self._rhs_dev: dict = {}
@@ -237,6 +247,14 @@ class HeatSolver:
             "inv_h": row_scale(1.0 / h, self.gs, dtype),
             "wavelet": self.wt.jax_params(dtype),
         }
+        if self.pallas_kron:
+            from ..ops.kron_pallas import KronPallas
+
+            if KronPallas.supported(self.gs, self.N, dtype):
+                M_st, A_st = self._st_ops
+                kp = KronPallas(M_st, A_st, h, dtype)
+                self._kron[key] = kp
+                p["kron"] = kp.params
         if self.spatial_format == "dia":
             p["dia_Mv"] = cast(self._dia_host["Mv"])
             p["dia_Av"] = cast(self._dia_host["Av"])
@@ -265,14 +283,25 @@ class HeatSolver:
     def _zrow(self, dtype=None):
         return jnp.zeros((1,) + self.gs, dtype or self.dtype)
 
+    def _kron_for(self, dtype, p):
+        if "kron" not in p:
+            return None
+        return self._kron.get(jnp.dtype(dtype).name)
+
     def apply_B(self, U, p=None):
         p = self.params if p is None else p
+        kp = self._kron_for(U.dtype, p)
+        if kp is not None:
+            return kp.apply_B(U, p["kron"])
         DU = U[1:] - U[:-1]
         SU = U[1:] + U[:-1]
         return self._spmv_M(DU, p) + p["h_half"] * self._spmv_A(SU, p)
 
     def apply_BT(self, V, p=None):
         p = self.params if p is None else p
+        kp = self._kron_for(V.dtype, p)
+        if kp is not None:
+            return kp.apply_BT(V, p["kron"])
         VM = self._spmv_M(V, p)
         VA = p["h_half"] * self._spmv_A(V, p)
         z = self._zrow(V.dtype)

@@ -1,0 +1,122 @@
+"""Fused Pallas B/Bᵀ kernels vs the XLA stencil path (interpret mode).
+
+The pallas kernels must reproduce the stencil-path Kronecker applications
+exactly (same weight grouping, same arithmetic order per element) across
+2D/3D grids, graded (ragged) time grids, and both blocking modes.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from spacetime_tpu.fem import (
+    P1System,
+    unit_cube_mesh,
+    unit_square_mesh,
+    uniform_time_grid,
+)
+from spacetime_tpu.fem.timegrid import graded_time_grid, time_matrices
+from spacetime_tpu.ops.sparse import DiaMatrix
+from spacetime_tpu.ops.stencil import StencilOperator, row_scale
+from spacetime_tpu.ops import kron_pallas
+from spacetime_tpu.ops.kron_pallas import KronPallas
+
+
+def _reference(system, grid, U, V, dtype):
+    gs = tuple(system.mesh.grid_shape)
+    M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
+    A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
+    h = time_matrices(grid)["h"]
+    hh = row_scale(0.5 * h, gs, dtype)
+    z = jnp.zeros((1,) + gs, dtype)
+    DU, SU = U[1:] - U[:-1], U[1:] + U[:-1]
+    refB = M_st.apply(DU) + hh * A_st.apply(SU)
+    VM, VA = M_st.apply(V), hh * A_st.apply(V)
+    refBT = jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
+    return (M_st, A_st, h), refB, refBT
+
+
+def _check(mk_mesh, n, grid, budget=None, monkeypatch=None):
+    if budget is not None:
+        monkeypatch.setattr(kron_pallas, "_VMEM_BUDGET", budget)
+    system = P1System.from_mesh(mk_mesh(n))
+    gs = tuple(system.mesh.grid_shape)
+    T = grid.num_intervals
+    rng = np.random.default_rng(0)
+    U = jnp.asarray(rng.standard_normal((T + 1,) + gs), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((T,) + gs), jnp.float32)
+    (M_st, A_st, h), refB, refBT = _reference(system, grid, U, V, jnp.float32)
+    kp = KronPallas(M_st, A_st, h, jnp.float32, interpret=True)
+    # f32: identical up to rounding (graded h weights reassociate slightly)
+    refB, refBT = np.asarray(refB), np.asarray(refBT)
+    np.testing.assert_allclose(
+        np.asarray(kp.apply_B(U)), refB, rtol=1e-5, atol=1e-6 * np.abs(refB).max()
+    )
+    np.testing.assert_allclose(
+        np.asarray(kp.apply_BT(V)), refBT, rtol=1e-5, atol=1e-6 * np.abs(refBT).max()
+    )
+    return kp
+
+
+def test_2d_uniform():
+    kp = _check(unit_square_mesh, 16, uniform_time_grid(4))
+    assert kp.YB == 15  # unblocked
+
+
+def test_2d_graded_ragged_time():
+    _check(unit_square_mesh, 16, graded_time_grid(3, 2))
+
+
+def test_3d():
+    _check(unit_cube_mesh, 8, uniform_time_grid(3))
+
+
+def test_2d_blocked_y(monkeypatch):
+    kp = _check(
+        unit_square_mesh, 32, uniform_time_grid(4), budget=16 * 1024,
+        monkeypatch=monkeypatch,
+    )
+    assert kp.YB < 31  # y-blocking engaged
+
+
+def test_3d_blocked_y(monkeypatch):
+    _check(
+        unit_cube_mesh, 10, uniform_time_grid(3), budget=16 * 1024,
+        monkeypatch=monkeypatch,
+    )
+
+
+def test_scale_is_fused():
+    system = P1System.from_mesh(unit_square_mesh(12))
+    grid = uniform_time_grid(3)
+    gs = tuple(system.mesh.grid_shape)
+    T = grid.num_intervals
+    rng = np.random.default_rng(1)
+    U = jnp.asarray(rng.standard_normal((T + 1,) + gs), jnp.float32)
+    M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
+    A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
+    h = time_matrices(grid)["h"]
+    kp = KronPallas(M_st, A_st, h, jnp.float32, interpret=True)
+    a = np.asarray(kp.apply_B(U, scale=0.5))
+    b = 0.5 * np.asarray(kp.apply_B(U))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
+
+
+def test_supported_gate():
+    assert not KronPallas.supported((15, 15), 8, jnp.float64)
+    assert not KronPallas.supported(None, 8, jnp.float32)
+    assert not KronPallas.supported((15,), 8, jnp.float32)
+    assert KronPallas.supported((15, 15), 8, jnp.float32)
+    assert KronPallas.supported((7, 7, 7), 8, jnp.bfloat16)
+
+
+def test_solver_gate_off_on_cpu():
+    """On the CPU test backend the solver must auto-disable pallas."""
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(8))
+    solver = HeatSolver(problem, system, uniform_time_grid(3))
+    assert not solver.pallas_kron
+    assert "kron" not in solver.params
