@@ -6,11 +6,11 @@ Prints ONE JSON line on stdout:
 Metric: sustained throughput of the space-time operator pair B then Bᵀ
 (B = A_t⊗M_x + M_t⊗A_x) on the ~10^6-DoF single-chip config (BASELINE.md
 cfg2: 129×129 P1 mesh × 64 timesteps, f32), in giga degrees-of-freedom per
-second (N_t·m DoF per operator application). The operators are applied with
-the production device path: the fused Pallas kernels of
-spacetime_tpu/ops/kron_pallas.py (one VMEM-resident pass per application —
-at this size the whole space-time array lives on-chip, which is also how
-the solver's PCG loop holds it).
+second (N_t·m DoF per operator application). Both production
+implementations are measured — the XLA stencil pair (what HeatSolver picks
+at this size) and the fused Pallas kernels of ops/kron_pallas.py (what it
+picks at ≥100k-point grids) — and the better one is reported, mirroring
+the solver's size-based dispatch.
 
 Measurement notes (this backend, measured): ``block_until_ready`` does not
 actually block through the axon tunnel and a synchronous host round-trip
@@ -117,16 +117,45 @@ def main():
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    t1 = timed(chain(K1))
-    t2 = timed(chain(K2))
-    per_apply = (t2 - t1) / (K2 - K1) / 2.0  # pair = 2 applications
+    def slope(mk):
+        t1 = timed(mk(K1))
+        t2 = timed(mk(K2))
+        return (t2 - t1) / (K2 - K1) / 2.0  # pair = 2 applications
+
+    per_pallas = slope(chain)
+
+    # XLA stencil pair (the solver's choice at this size), same chain
+    # methodology; the scale multiplies fuse into the stencil fusions.
+    from spacetime_tpu.ops.stencil import row_scale  # noqa: E402
+
+    hh = row_scale(0.5 * h, gs, DTYPE)
+    z = jnp.zeros((1,) + gs, DTYPE)
+
+    def xla_pair(V, hs):
+        DU, SU = V[1:] - V[:-1], V[1:] + V[:-1]
+        W = scale * (M_st.apply(DU) + hs * A_st.apply(SU))
+        VM, VA = M_st.apply(W), hs * A_st.apply(W)
+        return scale * (
+            jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
+        )
+
+    def xla_chain(k):
+        @jax.jit
+        def f(V, hs):
+            V = jax.lax.fori_loop(0, k, lambda i, V: xla_pair(V, hs), V)
+            return V[(0,) * V.ndim]
+
+        return lambda U, p: f(U, hh)
+
+    per_xla = slope(xla_chain)
+    log(f"pallas: {per_pallas*1e3:.4f} ms/apply; xla: {per_xla*1e3:.4f} ms/apply")
+    per_apply = min(per_pallas, per_xla)
     gdofs = N * m / per_apply / 1e9
 
     bytes_per_apply = 4 * ((N + 1) * m + N * m + 14 * m)
     roofline = HBM_GBPS * 1e9 * (N * m) / bytes_per_apply / 1e9
     target = 0.5 * roofline
-    log(f"t({K1})={t1*1e3:.1f} ms, t({K2})={t2*1e3:.1f} ms -> "
-        f"{per_apply*1e3:.4f} ms/apply, {gdofs:.2f} GDoF/s; "
+    log(f"{per_apply*1e3:.4f} ms/apply, {gdofs:.2f} GDoF/s; "
         f"roofline={roofline:.1f}, target(50%)={target:.1f} GDoF/s; "
         f"effective BW ~{gdofs*bytes_per_apply/(N*m):.0f} GB/s")
 

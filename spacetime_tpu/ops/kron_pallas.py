@@ -109,6 +109,14 @@ def _hcol(h_ref, dim):
     return h.reshape((h.shape[0],) + (1,) * dim)
 
 
+def _live_factor(dim: int) -> int:
+    """Working-set multiplier (blocks of the out size concurrently live):
+    3D kernels hold far more stencil temporaries (15 taps, z and x both
+    padded in-kernel) — a 2D-calibrated factor 8 OOM'd the chip's 128 MB
+    VMEM on 65³×32 (measured 171 MB requested)."""
+    return 8 if dim == 2 else 24
+
+
 def _pick_blocks(T, gs, itemsize):
     """Returns (TB, YB); YB == gs[-2] means unblocked spatial axes.
 
@@ -120,20 +128,21 @@ def _pick_blocks(T, gs, itemsize):
     """
     ny, nx = gs[-2], gs[-1]
     rest = int(np.prod(gs[:-2], dtype=int)) if len(gs) > 2 else 1
+    lf = _live_factor(len(gs))
     per_row = rest * nx * itemsize  # one y-row across the other axes
     TB = 1
     for cand in (64, 32, 16, 8, 4, 2):
-        if T % cand == 0 and cand * (ny + 2) * per_row * 8 <= _VMEM_BUDGET:
+        if T % cand == 0 and cand * (ny + 2) * per_row * lf <= _VMEM_BUDGET:
             TB = cand
             break
-    if TB * (ny + 2) * per_row * 8 <= _VMEM_BUDGET:
+    if TB * (ny + 2) * per_row * lf <= _VMEM_BUDGET:
         return TB, ny
     TB = 1
     for cand in (16, 8, 4, 2):
         if T % cand == 0:
             TB = cand
             break
-    YB = max(_HALO, (_VMEM_BUDGET // (TB * per_row * 8)) // _HALO * _HALO)
+    YB = max(_HALO, (_VMEM_BUDGET // (TB * per_row * lf)) // _HALO * _HALO)
     return TB, min(YB, ny)
 
 
@@ -213,7 +222,8 @@ def _apply_B_call(
         yi = pl.program_id(1)
         U0 = _gather_window(refs[:n_u], yi, YB, ny, blocked)
         U1r = _gather_window(refs[n_u : 2 * n_u], yi, YB, ny, blocked)
-        U1 = jnp.concatenate([U0[1:], U1r], axis=0)
+        # TB == 1: U0[1:] is zero-size, which Mosaic rejects as a vector type.
+        U1 = U1r if TB == 1 else jnp.concatenate([U0[1:], U1r], axis=0)
         h = _hcol(h_ref, dim)
         out = _stencil(U1 - U0, groups_M, gs, yb) + h * _stencil(
             U1 + U0, groups_A, gs, yb

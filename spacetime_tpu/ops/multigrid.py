@@ -30,8 +30,76 @@ from .sparse import DiaMatrix
 from .stencil import StencilOperator, row_scale
 
 
+def _transfer_kernel(dim: int):
+    """The P1 interpolation stencil as a conv kernel: weight 1 at the coarse
+    node, 1/2 at each of the 2·(2^dim − 1)/... fine midpoints' parent
+    directions — exactly the mesh's edge structure (axis edges, the SW–NE
+    face diagonals, and in 3D the Kuhn cube diagonal). Symmetric under
+    negation, so correlation == convolution and the restriction (exact
+    transpose) uses the same kernel."""
+    K = np.zeros((3,) * dim)
+    center = (1,) * dim
+    K[center] = 1.0
+    for a in range(dim):
+        for s in (-1, 1):
+            d = list(center)
+            d[a] += s
+            K[tuple(d)] = 0.5
+    if dim == 2:
+        K[2, 2] = K[0, 0] = 0.5
+    else:
+        for pair in ((0, 1), (1, 2), (0, 2)):
+            d = [1, 1, 1]
+            for a in pair:
+                d[a] = 2
+            K[tuple(d)] = 0.5
+            d = [1, 1, 1]
+            for a in pair:
+                d[a] = 0
+            K[tuple(d)] = 0.5
+        K[2, 2, 2] = K[0, 0, 0] = 0.5
+    return K
+
+
+def _conv_dims(dim: int):
+    # (T·batch, 1, *spatial) layout; feature dims are singletons.
+    sp = "".join("DHW"[3 - dim :])
+    return (f"NC{sp}", f"OI{sp}", f"NC{sp}")
+
+
+def _transfer_conv(X, dim: int, *, restrict: bool):
+    """Shared conv implementation of restriction (stride-2 VALID correlation)
+    and prolongation (its exact transpose: 2-dilated input, pad 2, stride 1).
+    Replaces the strided .at[].set scatter chains, which cost ~37 memory
+    passes per transfer pair on the axon backend (measured 12.2 ms vs ~1 ms
+    at 511²×128)."""
+    import jax
+    import jax.numpy as jnp
+
+    batch = X.shape[:-dim]
+    sp = X.shape[-dim:]
+    K = jnp.asarray(_transfer_kernel(dim), X.dtype)[(None, None) + (slice(None),) * dim]
+    lhs = X.reshape((-1, 1) + sp)
+    if restrict:
+        out = jax.lax.conv_general_dilated(
+            lhs, K, window_strides=(2,) * dim, padding="VALID",
+            dimension_numbers=_conv_dims(dim),
+        )
+    else:
+        out = jax.lax.conv_general_dilated(
+            lhs, K, window_strides=(1,) * dim, padding=[(2, 2)] * dim,
+            lhs_dilation=(2,) * dim, dimension_numbers=_conv_dims(dim),
+        )
+    return out.reshape(batch + out.shape[2:])
+
+
 def _interp2d(C, nc: int):
     """Prolong coarse (…, nc-1, nc-1) -> fine (…, 2nc-1, 2nc-1)."""
+    return _transfer_conv(C, 2, restrict=False)
+
+
+def _interp2d_scatter(C, nc: int):
+    """Reference scatter form of _interp2d (tests; slow on TPU)."""
     import jax.numpy as jnp
 
     n = 2 * nc
@@ -48,6 +116,11 @@ def _interp2d(C, nc: int):
 
 def _restrict2d(F, nc: int):
     """Restriction = interpolation transpose: (…, 2nc-1, 2nc-1) -> (…, nc-1, nc-1)."""
+    return _transfer_conv(F, 2, restrict=True)
+
+
+def _restrict2d_slices(F, nc: int):
+    """Reference strided-slice form of _restrict2d (tests)."""
     C = F[..., 1::2, 1::2]
     up = F[..., 0::2, 1::2]
     C = C + 0.5 * (up[..., :-1, :] + up[..., 1:, :])
@@ -65,6 +138,11 @@ def _interp3d(C, nc: int):
     diagonals (x+y, y+z, x+z with positive orientation), and the cube
     diagonal (x+y+z) — each averages its two coarse edge endpoints.
     """
+    return _transfer_conv(C, 3, restrict=False)
+
+
+def _interp3d_scatter(C, nc: int):
+    """Reference scatter form of _interp3d (tests; slow on TPU)."""
     import jax.numpy as jnp
 
     n = 2 * nc
@@ -92,6 +170,11 @@ def _interp3d(C, nc: int):
 
 
 def _restrict3d(F, nc: int):
+    """Restriction = interpolation transpose (conv form)."""
+    return _transfer_conv(F, 3, restrict=True)
+
+
+def _restrict3d_slices(F, nc: int):
     o = slice(1, None, 2)
     e = slice(0, None, 2)
     lo = slice(None, -1)
@@ -363,23 +446,37 @@ class MultiShiftMultigrid:
     def _restrict(self, F, nc):
         return _restrict2d(F, nc) if self.dim == 2 else _restrict3d(F, nc)
 
-    def vcycle(self, b, lps, coarse_solve, lvl: int = 0):
+    def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
+        """``pallas``: optional per-level list of ops.mg_pallas.MSPallasLevel
+        (or None entries) — fused smoother/residual kernels on TPU; each
+        level's Chebyshev columns then live in lps[lvl]['cols']."""
         if lvl == len(self.levels):
             return coarse_solve(b)
         lev = self.levels[lvl]
         lp = lps[lvl]
-        x = self._smooth(lev, lp, b * 0.0, b)
-        r = b - self._op(lev, lp, x)
+        pj = pallas[lvl] if pallas is not None else None
+        if pj is not None:
+            x = pj.smooth(None, b, lp["cols"], zero_init=True)
+            r = pj.residual(x, b, lp["cols"])
+        else:
+            x = self._smooth(lev, lp, b * 0.0, b)
+            r = b - self._op(lev, lp, x)
         nc = lev.n // 2
-        ec = self.vcycle(self._restrict(r, nc), lps, coarse_solve, lvl + 1)
+        ec = self.vcycle(self._restrict(r, nc), lps, coarse_solve, lvl + 1, pallas)
         x = x + self._interp(ec, nc)
+        if pj is not None:
+            return pj.smooth(x, b, lp["cols"])
         return self._smooth(lev, lp, x, b)
 
-    def solve(self, b, lps, coarse_solve, cycles: int = 2):
-        x = self.vcycle(b, lps, coarse_solve)
+    def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
+        x = self.vcycle(b, lps, coarse_solve, pallas=pallas)
         for _ in range(cycles - 1):
-            r = b - self._op(self.levels[0], lps[0], x)
-            x = x + self.vcycle(r, lps, coarse_solve)
+            pj = pallas[0] if pallas is not None else None
+            if pj is not None:
+                r = pj.residual(x, b, lps[0]["cols"])
+            else:
+                r = b - self._op(self.levels[0], lps[0], x)
+            x = x + self.vcycle(r, lps, coarse_solve, pallas=pallas)
         return x
 
 

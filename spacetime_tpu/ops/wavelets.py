@@ -122,10 +122,34 @@ class WaveletTransform:
                 return False
         return True
 
-    def jax_params(self, dtype):
-        """Device pytree of transform arrays, to be passed through jit."""
+    # Above this many time nodes the dense-W GEMM's O(N² m) FLOPs overtake
+    # the O(N m log N) lifting's memory passes (measured crossover ~800 on
+    # v5e-class MXU vs ~40 lifting passes at ~400 GB/s).
+    _DENSE_MAX_NODES = 1025
+
+    def _use_dense(self, dtype) -> bool:
         import jax.numpy as jnp
 
+        return (
+            jnp.dtype(dtype) != jnp.dtype(jnp.float64)
+            and self.grid.num_nodes <= self._DENSE_MAX_NODES
+        )
+
+    def jax_params(self, dtype):
+        """Device pytree of transform arrays, to be passed through jit.
+
+        For f32/bf16 and moderate N the whole transform is shipped as the
+        dense (N+1)² synthesis matrix: W and W' then apply as single MXU
+        GEMMs (~2 memory passes) instead of J levels of strided full-array
+        updates (~40 passes, measured 46 ms vs ~1 ms on 511²×128). The f64
+        parity path keeps the lifting form, whose rounding matches the
+        NumPy oracle's operation order.
+        """
+        import jax.numpy as jnp
+
+        if self._use_dense(dtype):
+            Wd = self.dense()
+            return {"Wd": jnp.asarray(Wd, dtype), "WdT": jnp.asarray(Wd.T, dtype)}
         levels = []
         for lev in self.levels:
             d = {
@@ -151,10 +175,23 @@ class WaveletTransform:
         right = slice(2 * s, N + 1, 2 * s)
         return mid, left, right
 
+    @staticmethod
+    def _gemm_axis0(Wmat, x):
+        """W @ x along axis 0 of (N+1, …) at full f32 accuracy (the MXU's
+        default bf16 passes would perturb the preconditioner by ~1e-3)."""
+        import jax
+        import jax.numpy as jnp
+
+        flat = x.reshape(x.shape[0], -1)
+        out = jnp.dot(Wmat, flat, precision=jax.lax.Precision.HIGHEST)
+        return out.reshape(x.shape)
+
     def forward_jax(self, c, wp):
         """Synthesis W along axis 0; solver path (see class jax notes)."""
         import jax.numpy as jnp
 
+        if "Wd" in wp:
+            return self._gemm_axis0(wp["Wd"], c)
         r = lambda a: a.reshape(a.shape[:1] + (1,) * (c.ndim - 1))
         v = jnp.zeros_like(c)
         if self.is_uniform:
@@ -186,6 +223,8 @@ class WaveletTransform:
         """Transpose W' along axis 0; solver path (see class jax notes)."""
         import jax.numpy as jnp
 
+        if "WdT" in wp:
+            return self._gemm_axis0(wp["WdT"], x)
         r = lambda a: a.reshape(a.shape[:1] + (1,) * (x.ndim - 1))
         y = jnp.asarray(x)
         if self.is_uniform:

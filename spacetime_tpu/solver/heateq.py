@@ -167,6 +167,8 @@ class HeatSolver:
                 space_n = self.gs[0] + 1
             dim = len(self.gs)
             self.mg_cycles = mg_cycles
+            self.mg_nu = mg_nu
+            self._mg_dim = dim
             cache: dict = {}
             # A larger coarse level means fewer V-cycle levels (each level
             # adds ~10 device ops whose launch overhead dominates at small
@@ -206,9 +208,15 @@ class HeatSolver:
         # sharded subclass forces this off), and f64 is not supported in
         # Pallas (the f64 parity path keeps the XLA stencils).
         if pallas_kron == "auto":
-            pallas_kron = use_stencil and jax.default_backend() not in ("cpu",)
+            # Size gate (measured): at 127² the XLA stencil fusion is
+            # launch-bound and slightly faster (0.50 vs 0.72 ms/iter); at
+            # 511² the pallas pair is ~5x faster (XLA's fusion splits into
+            # multiple materializations at that size).
+            big = use_stencil and int(np.prod(self.gs)) >= 100_000
+            pallas_kron = big and jax.default_backend() not in ("cpu",)
         self.pallas_kron = bool(pallas_kron) and use_stencil
         self._kron: dict = {}
+        self._ms_pl: dict = {}
         self._params_cache: dict = {}
         self._rhs_host = None
         self._rhs_dev: dict = {}
@@ -267,6 +275,27 @@ class HeatSolver:
             p["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
             p["ms_ky"] = self.msmg.row_params(self._host["omega_ky"], dtype)
             p["ms_kx"] = self.msmg.row_params(self._host["omega_kx"], dtype)
+            # Fused Pallas smoother/residual kernels per level (large levels
+            # only — the XLA form wins at small sizes); each level's
+            # Chebyshev columns ride in the params pytree.
+            if self.pallas_kron and jnp.dtype(dtype) != jnp.dtype(jnp.float64):
+                from ..ops.mg_pallas import MSPallasLevel
+
+                self._ms_pl[key] = [
+                    MSPallasLevel(lev.A_st, lev.M_st, self.N + 1, dtype, self.mg_nu)
+                    if (lev.n - 1) ** self._mg_dim >= 100_000
+                    else None
+                    for lev in self.msmg.levels
+                ]
+                for name, omr in (
+                    ("ms_ky", self._host["omega_ky"]),
+                    ("ms_kx", self._host["omega_kx"]),
+                ):
+                    for pj, lp, lev in zip(
+                        self._ms_pl[key], p[name], self.msmg.levels
+                    ):
+                        if pj is not None:
+                            lp["cols"] = MSPallasLevel.columns(lev, omr, dtype)
         if not self.wt.is_uniform:
             p["perm"] = jnp.asarray(self.wt.perm_by_level)
             inv_perm = np.empty_like(self.wt.perm_by_level)
@@ -317,7 +346,10 @@ class HeatSolver:
                 lead = bc.shape[0]
                 return _dot(bc.reshape(lead, -1), p["mg_cinv_ky"]).reshape(bc.shape)
 
-            sol = self.msmg.solve(V, p["ms_ky"], coarse, self.mg_cycles)
+            sol = self.msmg.solve(
+                V, p["ms_ky"], coarse, self.mg_cycles,
+                pallas=self._ms_pl.get(jnp.dtype(V.dtype).name),
+            )
         return sol * p["inv_h"]
 
     def apply_stab(self, U, p=None):
@@ -379,7 +411,8 @@ class HeatSolver:
 
     def _ms_solve_kx(self, X, p):
         return self.msmg.solve(
-            X, p["ms_kx"], lambda bc: self._coarse_by_level(bc, p), self.mg_cycles
+            X, p["ms_kx"], lambda bc: self._coarse_by_level(bc, p), self.mg_cycles,
+            pallas=self._ms_pl.get(jnp.dtype(X.dtype).name),
         )
 
     def apply_KX(self, R, p=None):

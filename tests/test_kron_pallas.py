@@ -120,3 +120,26 @@ def test_solver_gate_off_on_cpu():
     solver = HeatSolver(problem, system, uniform_time_grid(3))
     assert not solver.pallas_kron
     assert "kron" not in solver.params
+
+
+def test_tb1():
+    """TB=1 (3D configs hit this): no zero-size time slices in the kernel."""
+    system = P1System.from_mesh(unit_square_mesh(12))
+    grid = uniform_time_grid(3)
+    gs = tuple(system.mesh.grid_shape)
+    T = grid.num_intervals
+    rng = np.random.default_rng(2)
+    U = jnp.asarray(rng.standard_normal((T + 1,) + gs), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((T,) + gs), jnp.float32)
+    _, refB, refBT = _reference(system, grid, U, V, jnp.float32)
+    M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
+    A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
+    h = time_matrices(grid)["h"]
+    kp = KronPallas(M_st, A_st, h, jnp.float32, interpret=True)
+    kp.TB = 1
+    np.testing.assert_allclose(
+        np.asarray(kp.apply_B(U)), np.asarray(refB), rtol=1e-5,
+        atol=1e-6 * float(np.abs(np.asarray(refB)).max()))
+    np.testing.assert_allclose(
+        np.asarray(kp.apply_BT(V)), np.asarray(refBT), rtol=1e-5,
+        atol=1e-6 * float(np.abs(np.asarray(refBT)).max()))

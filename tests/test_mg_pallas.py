@@ -1,0 +1,102 @@
+"""Pallas multi-shift smoother/residual kernels vs the XLA forms
+(interpret mode). The kernels implement the identical Chebyshev–Jacobi
+recurrence, so agreement is exact up to f32 reassociation inside the fused
+stencil sums."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import spacetime_tpu.ops.kron_pallas as kron_pallas
+from spacetime_tpu.ops.mg_pallas import MSPallasLevel
+from spacetime_tpu.ops.multigrid import MultiShiftMultigrid
+
+
+def _check(dim, n, T, nu, monkeypatch=None, budget=None):
+    if budget is not None:
+        monkeypatch.setattr(kron_pallas, "_VMEM_BUDGET", budget)
+    msmg, _ = MultiShiftMultigrid.build(dim, n, nu=nu)
+    lev = msmg.levels[0]
+    rng = np.random.default_rng(0)
+    omega_rows = np.abs(rng.standard_normal(T)) * 10
+    lp = msmg.row_params(omega_rows, jnp.float32)[0]
+    gs = (n - 1,) * dim
+    x = jnp.asarray(rng.standard_normal((T,) + gs), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T,) + gs), jnp.float32)
+    ref_s = np.asarray(msmg._smooth(lev, lp, x, b))
+    ref_s0 = np.asarray(msmg._smooth(lev, lp, x * 0.0, b))
+    ref_r = np.asarray(b - msmg._op(lev, lp, x))
+
+    pj = MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float32, nu, interpret=True)
+    cols = MSPallasLevel.columns(lev, omega_rows, jnp.float32)
+    sc = np.abs(ref_s).max()
+    np.testing.assert_allclose(
+        np.asarray(pj.smooth(x, b, cols)), ref_s, rtol=1e-5, atol=1e-6 * sc
+    )
+    np.testing.assert_allclose(
+        np.asarray(pj.smooth(None, b, cols, zero_init=True)), ref_s0,
+        rtol=1e-5, atol=1e-6 * sc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pj.residual(x, b, cols)), ref_r,
+        rtol=1e-5, atol=1e-6 * np.abs(ref_r).max(),
+    )
+    return pj
+
+
+def test_2d_nu2():
+    _check(2, 16, 8, 2)
+
+
+def test_2d_nu3():
+    _check(2, 16, 8, 3)
+
+
+def test_3d():
+    _check(3, 16, 4, 2)
+
+
+def test_ragged_time():
+    _check(2, 16, 7, 2)  # T=7: ragged tail time block
+
+
+def test_2d_blocked(monkeypatch):
+    pj = _check(2, 32, 8, 2, monkeypatch, budget=16 * 1024)
+    assert pj.YB < 31
+
+
+def test_2d_blocked_nu3(monkeypatch):
+    _check(2, 32, 8, 3, monkeypatch, budget=16 * 1024)
+
+
+def test_3d_blocked(monkeypatch):
+    _check(3, 16, 4, 2, monkeypatch, budget=16 * 1024)
+
+
+def test_vcycle_with_pallas_matches_xla():
+    """A full multi-shift V-cycle with pallas smoothers at every level must
+    match the XLA V-cycle."""
+    msmg, (A_c, M_c) = MultiShiftMultigrid.build(2, 32, nu=2)
+    T = 8
+    rng = np.random.default_rng(1)
+    omega_rows = np.abs(rng.standard_normal(T)) * 5
+    lps = msmg.row_params(omega_rows, jnp.float32)
+    coarse_inv = jnp.asarray(
+        np.linalg.inv(A_c + omega_rows.mean() * M_c), jnp.float32
+    )
+
+    def coarse(bc):
+        lead = bc.shape[0]
+        return jnp.dot(bc.reshape(lead, -1), coarse_inv).reshape(bc.shape)
+
+    b = jnp.asarray(rng.standard_normal((T, 31, 31)), jnp.float32)
+    ref = np.asarray(msmg.solve(b, lps, coarse, cycles=2))
+
+    pallas = [
+        MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float32, 2, interpret=True)
+        for lev in msmg.levels
+    ]
+    for pj, lp, lev in zip(pallas, lps, msmg.levels):
+        lp["cols"] = MSPallasLevel.columns(lev, omega_rows, jnp.float32)
+    got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pallas))
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6 * np.abs(ref).max())

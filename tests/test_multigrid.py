@@ -106,3 +106,31 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_conv_transfers_match_scatter_forms():
+    """The conv-based prolongation/restriction must equal the strided
+    scatter/slice reference forms exactly (they are the same operator)."""
+    import jax.numpy as jnp
+    from spacetime_tpu.ops.multigrid import (
+        _interp2d, _interp2d_scatter, _restrict2d, _restrict2d_slices,
+        _interp3d, _interp3d_scatter, _restrict3d, _restrict3d_slices)
+
+    rng = np.random.default_rng(3)
+    for nc in (4, 8):
+        C = jnp.asarray(rng.standard_normal((5, nc - 1, nc - 1)))
+        F = jnp.asarray(rng.standard_normal((5, 2 * nc - 1, 2 * nc - 1)))
+        np.testing.assert_allclose(
+            np.asarray(_interp2d(C, nc)), np.asarray(_interp2d_scatter(C, nc)),
+            atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(_restrict2d(F, nc)), np.asarray(_restrict2d_slices(F, nc)),
+            atol=1e-13)
+        C3 = jnp.asarray(rng.standard_normal((3,) + (nc - 1,) * 3))
+        F3 = jnp.asarray(rng.standard_normal((3,) + (2 * nc - 1,) * 3))
+        np.testing.assert_allclose(
+            np.asarray(_interp3d(C3, nc)), np.asarray(_interp3d_scatter(C3, nc)),
+            atol=1e-13)
+        np.testing.assert_allclose(
+            np.asarray(_restrict3d(F3, nc)), np.asarray(_restrict3d_slices(F3, nc)),
+            atol=1e-13)
