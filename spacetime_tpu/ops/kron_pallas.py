@@ -142,7 +142,10 @@ def _pick_blocks(T, gs, itemsize):
         if T % cand == 0:
             TB = cand
             break
-    YB = max(_HALO, (_VMEM_BUDGET // (TB * per_row * lf)) // _HALO * _HALO)
+    # Blocked mode carries a larger live set (halo slabs, the assembled
+    # Vext/VM/VA temporaries): a 32 MB-budget block OOM'd the 110 MB scoped
+    # limit at 1023^2 (107.8 MB measured) — budget half in this branch.
+    YB = max(_HALO, (_VMEM_BUDGET // (2 * TB * per_row * lf)) // _HALO * _HALO)
     return TB, min(YB, ny)
 
 
@@ -244,7 +247,7 @@ def _apply_B_call(
     if not interpret:
         kwargs = dict(
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=110 * 1024 * 1024
             ),
             cost_estimate=_cost(
                 T, gs, U.dtype.itemsize, T + 1, len(groups_M) + len(groups_A)
@@ -332,7 +335,7 @@ def _apply_BT_call(
     if not interpret:
         kwargs = dict(
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=110 * 1024 * 1024
             ),
             cost_estimate=_cost(
                 T, gs, V.dtype.itemsize, T + 1, len(groups_M) + len(groups_A)

@@ -202,7 +202,7 @@ def _smooth_call(
         taps = len(groups_A) + len(groups_M)
         kwargs = dict(
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=110 * 1024 * 1024
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * taps * nu * T * vol,
@@ -263,7 +263,7 @@ def _residual_call(
         vol = int(np.prod(gs, dtype=int))
         kwargs = dict(
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=110 * 1024 * 1024
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * (len(groups_A) + len(groups_M)) * T * vol,
@@ -299,7 +299,8 @@ def _pick_blocks_mg(T, gs, itemsize):
     if TB * (ny + 2) * per_row * lf <= budget:
         return TB, ny
     TB = min(8, max(T, 1))
-    YB = max(_HALO, (budget // (TB * per_row * lf)) // _HALO * _HALO)
+    # Halved in blocked mode (larger live set; see kron_pallas._pick_blocks).
+    YB = max(_HALO, (budget // (2 * TB * per_row * lf)) // _HALO * _HALO)
     return TB, min(YB, ny)
 
 
