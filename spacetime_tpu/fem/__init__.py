@@ -5,7 +5,14 @@ assembly run once on the host (NumPy), emitting operators in device-friendly
 formats (DIA diagonals / blocked-ELL) for the JAX/Pallas compute path.
 """
 
-from .mesh import Mesh, unit_square_mesh, unit_cube_mesh
+from .mesh import (
+    Mesh,
+    unit_square_mesh,
+    unit_cube_mesh,
+    l_shape_mesh,
+    refine_uniform,
+    domain_mesh,
+)
 from .assembly import assemble_p1, load_vector, spacetime_loads, P1System
 from .timegrid import (
     TimeGrid,
@@ -18,6 +25,9 @@ __all__ = [
     "Mesh",
     "unit_square_mesh",
     "unit_cube_mesh",
+    "l_shape_mesh",
+    "refine_uniform",
+    "domain_mesh",
     "assemble_p1",
     "load_vector",
     "spacetime_loads",

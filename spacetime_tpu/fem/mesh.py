@@ -1,10 +1,13 @@
-"""Structured simplicial meshes of the unit square / unit cube.
+"""Simplicial meshes: structured unit square / unit cube, plus generic
+(unstructured-path) domains and uniform red refinement.
 
 The reference delegated meshing to NGSolve (SURVEY.md §2, L0); here meshes are
-generated directly as structured triangulations — uniform refinement is just
-regeneration at twice the resolution, and the structured node ordering is what
-lets the spatial operators be stored as a handful of diagonals (DIA format)
-for the TPU SpMV path.
+generated directly. Structured triangulations of the unit square/cube carry a
+``grid_shape`` so the spatial operators become constant stencils / a handful
+of diagonals (the TPU fast path); meshes without ``grid_shape`` (the L-shaped
+domain, refined general meshes) run through the generic DIA / blocked-ELL
+SpMV path. Uniform refinement of a structured mesh is regeneration at twice
+the resolution; ``refine_uniform`` red-refines arbitrary simplicial meshes.
 """
 
 from __future__ import annotations
@@ -127,3 +130,116 @@ def unit_cube_mesh(n: int) -> Mesh:
         on_bdry |= np.isclose(vertices[:, d], 0.0) | np.isclose(vertices[:, d], 1.0)
     interior = np.flatnonzero(~on_bdry).astype(np.int32)
     return Mesh(vertices, tets, on_bdry, interior, grid_shape=(n - 1, n - 1, n - 1))
+
+
+# ------------------------------------------------- generic (unstructured path)
+
+
+def _boundary_vertex_mask(num_vertices: int, elements: np.ndarray) -> np.ndarray:
+    """Topological boundary detection: a facet (edge in 2D, face in 3D) is on
+    the boundary iff it belongs to exactly one element; boundary vertices are
+    the vertices of boundary facets. Assumes the whole boundary is Dirichlet
+    (the framework's convention, SURVEY.md Appendix A)."""
+    import itertools
+
+    k = elements.shape[1]  # d+1 vertices per simplex
+    d = k - 1
+    facets = np.concatenate(
+        [elements[:, list(c)] for c in itertools.combinations(range(k), d)],
+        axis=0,
+    )
+    F = np.sort(facets.astype(np.int64), axis=1)
+    order = np.lexsort(F.T[::-1])
+    Fs = F[order]
+    new = np.ones(len(Fs), dtype=bool)
+    new[1:] = (Fs[1:] != Fs[:-1]).any(axis=1)
+    grp = np.cumsum(new) - 1
+    counts = np.bincount(grp)
+    bdry = Fs[new][counts == 1]
+    mask = np.zeros(num_vertices, dtype=bool)
+    mask[bdry.ravel()] = True
+    return mask
+
+
+def l_shape_mesh(n: int) -> Mesh:
+    """L-shaped domain (0,1)² minus the closed quadrant [½,1]², n×n base cells
+    (n even). The classic non-tensor-product domain: exercises the generic
+    (non-stencil) spatial path the reference reached through NGSolve meshes."""
+    if n < 4 or n % 2:
+        raise ValueError("need even n >= 4")
+    xs = np.linspace(0.0, 1.0, n + 1)
+    X, Y = np.meshgrid(xs, xs, indexing="xy")
+    vertices_full = np.stack([X.ravel(), Y.ravel()], axis=1)
+
+    ix, iy = np.meshgrid(np.arange(n), np.arange(n), indexing="xy")
+    keep = ~((ix >= n // 2) & (iy >= n // 2))
+    ix, iy = ix[keep].ravel(), iy[keep].ravel()
+    v00 = iy * (n + 1) + ix
+    v10 = v00 + 1
+    v01 = v00 + (n + 1)
+    v11 = v01 + 1
+    tris = np.concatenate(
+        [np.stack([v00, v10, v11], axis=1), np.stack([v00, v11, v01], axis=1)],
+        axis=0,
+    )
+    used = np.unique(tris)
+    remap = np.full(vertices_full.shape[0], -1, dtype=np.int64)
+    remap[used] = np.arange(used.size)
+    vertices = vertices_full[used]
+    tris = remap[tris].astype(np.int32)
+
+    on_bdry = _boundary_vertex_mask(vertices.shape[0], tris)
+    interior = np.flatnonzero(~on_bdry).astype(np.int32)
+    return Mesh(vertices, tris, on_bdry, interior, grid_shape=None)
+
+
+_TET_CHILDREN_CORNERS = [(0, 4, 5, 6), (4, 1, 7, 8), (5, 7, 2, 9), (6, 8, 9, 3)]
+# Bey's red refinement of the inner octahedron along the m02–m13 diagonal
+# (local ids: 4=m01, 5=m02, 6=m03, 7=m12, 8=m13, 9=m23).
+_TET_CHILDREN_OCTA = [(4, 5, 6, 8), (4, 5, 7, 8), (5, 6, 8, 9), (5, 7, 8, 9)]
+
+
+def refine_uniform(mesh: Mesh) -> Mesh:
+    """Red uniform refinement of an arbitrary simplicial mesh: every edge is
+    bisected; each triangle splits into 4 similar children, each tetrahedron
+    into 4 corner tets + 4 octahedron tets (Bey's rule). The result carries no
+    ``grid_shape`` (structured meshes should regenerate at 2× resolution to
+    keep the stencil fast path)."""
+    V, E = mesh.vertices, mesh.elements.astype(np.int64)
+    k = E.shape[1]
+    import itertools
+
+    pair_ids = list(itertools.combinations(range(k), 2))
+    edges = np.sort(
+        np.concatenate([E[:, list(c)] for c in pair_ids], axis=0), axis=1
+    )
+    uniq, inv = np.unique(edges, axis=0, return_inverse=True)
+    mid_ids = V.shape[0] + inv.reshape(len(pair_ids), -1)  # (npairs, ne)
+    midpoints = 0.5 * (V[uniq[:, 0]] + V[uniq[:, 1]])
+    vertices = np.concatenate([V, midpoints], axis=0)
+
+    if k == 3:  # triangles: local ids 3=m01, 4=m02, 5=m12
+        loc = np.stack([E[:, 0], E[:, 1], E[:, 2], *mid_ids], axis=1)
+        children = [(0, 3, 4), (1, 5, 3), (2, 4, 5), (3, 5, 4)]
+    elif k == 4:  # tets: pair order (01,02,03,12,13,23) -> local ids 4..9
+        loc = np.stack([E[:, 0], E[:, 1], E[:, 2], E[:, 3], *mid_ids], axis=1)
+        children = _TET_CHILDREN_CORNERS + _TET_CHILDREN_OCTA
+    else:
+        raise ValueError(f"unsupported element arity {k}")
+    elements = np.concatenate([loc[:, list(c)] for c in children], axis=0)
+    elements = elements.astype(np.int32)
+
+    on_bdry = _boundary_vertex_mask(vertices.shape[0], elements)
+    interior = np.flatnonzero(~on_bdry).astype(np.int32)
+    return Mesh(vertices, elements, on_bdry, interior, grid_shape=None)
+
+
+def domain_mesh(domain: str, dim: int, n: int) -> Mesh:
+    """Mesh factory keyed by a problem's domain tag."""
+    if domain == "unit":
+        return unit_square_mesh(n) if dim == 2 else unit_cube_mesh(n)
+    if domain == "lshape":
+        if dim != 2:
+            raise ValueError("lshape domain is 2D")
+        return l_shape_mesh(n)
+    raise ValueError(f"unknown domain {domain!r}")

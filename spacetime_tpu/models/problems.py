@@ -35,6 +35,8 @@ class Problem:
       g_override / u0_override: data for non-manufactured problems.
       graded_time: whether the benchmark calls for a time grid graded
         toward t=0 (the singular family).
+      domain: spatial domain tag for fem.mesh.domain_mesh ('unit' square/
+        cube, 'lshape' — the generic non-tensor-product mesh path).
     """
 
     name: str
@@ -44,6 +46,7 @@ class Problem:
     g_override: Callable | None = None
     u0_override: Callable | None = None
     graded_time: bool = False
+    domain: str = "unit"
 
     # ---------------------------------------------------------------- data
 
@@ -170,6 +173,18 @@ def _moving_peak2d():
     return Problem(name="moving_peak2d", dim=2, exact=u)
 
 
+def _lshape2d():
+    def u(t, x):
+        import jax.numpy as jnp
+
+        # sin(2πx)·sin(2πy) vanishes on x,y ∈ {0, ½, 1} — i.e. on the whole
+        # boundary of the L-shaped domain including the reentrant edges — so
+        # this is a valid manufactured solution there.
+        return jnp.exp(-t) * jnp.prod(jnp.sin(2.0 * jnp.pi * x))
+
+    return Problem(name="lshape2d", dim=2, exact=u, domain="lshape")
+
+
 PROBLEMS = {
     p.name: p
     for p in [
@@ -177,6 +192,7 @@ PROBLEMS = {
         _smooth(3),
         _singular2d(),
         _moving_peak2d(),
+        _lshape2d(),
     ]
 }
 

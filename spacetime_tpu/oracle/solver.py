@@ -45,7 +45,7 @@ import numpy as np
 import scipy.sparse as sp
 import scipy.sparse.linalg as spla
 
-from ..fem import P1System, TimeGrid, time_matrices, unit_square_mesh, unit_cube_mesh
+from ..fem import P1System, TimeGrid, domain_mesh, time_matrices
 from ..fem.timegrid import uniform_time_grid, graded_time_grid
 from ..models import Problem, get_problem
 from ..ops.wavelets import WaveletTransform, build_wavelet_transform
@@ -245,7 +245,7 @@ def solve_heat_equation(
 ) -> OracleResult:
     """One-call driver: mesh + grid + assemble + solve (serial oracle)."""
     problem = get_problem(problem_name)
-    mesh = unit_square_mesh(space_n) if problem.dim == 2 else unit_cube_mesh(space_n)
+    mesh = domain_mesh(problem.domain, problem.dim, space_n)
     system = P1System.from_mesh(mesh)
     if extra_time_levels > 0:
         grid = graded_time_grid(time_levels, extra_time_levels, t_crit=0.0, T=problem.T)

@@ -45,6 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="platform selection (cpu8 = 8 virtual CPU devices)")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f64")
     p.add_argument("--inner", choices=["auto", "dense", "mg"], default="auto")
+    p.add_argument("--spatial", choices=["auto", "stencil", "dia", "ell"],
+                   default="auto",
+                   help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")
     p.add_argument("--mg-cycles", type=int, default=3)
     p.add_argument("--no-error", action="store_true",
                    help="skip L2 error computation")
@@ -80,18 +83,14 @@ def main(argv=None) -> int:
 
     import numpy as np
 
-    from .fem import P1System, unit_cube_mesh, unit_square_mesh
+    from .fem import P1System, domain_mesh
     from .fem.timegrid import graded_time_grid, uniform_time_grid
     from .models import get_problem
 
     timer = PhaseTimer()
     problem = get_problem(args.problem)
     with timer("assembly"):
-        mesh = (
-            unit_square_mesh(args.space_n)
-            if problem.dim == 2
-            else unit_cube_mesh(args.space_n)
-        )
+        mesh = domain_mesh(problem.domain, problem.dim, args.space_n)
         system = P1System.from_mesh(mesh)
         if args.extra_levels > 0:
             grid = graded_time_grid(args.time_levels, args.extra_levels, T=problem.T)
@@ -120,7 +119,8 @@ def main(argv=None) -> int:
         import jax.numpy as jnp
 
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
-        kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles)
+        kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
+                      spatial_format=args.spatial)
         with timer("setup"):
             if args.backend == "sharded":
                 from .parallel import ShardedHeatSolver, make_time_mesh

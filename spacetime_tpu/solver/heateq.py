@@ -38,10 +38,9 @@ import numpy as np
 from ..fem import (
     P1System,
     TimeGrid,
+    domain_mesh,
     spacetime_loads,
     time_matrices,
-    unit_cube_mesh,
-    unit_square_mesh,
 )
 from ..fem.errors import l2_error_spacetime
 from ..fem.timegrid import graded_time_grid, uniform_time_grid
@@ -92,6 +91,7 @@ class HeatSolver:
         spatial_format: str = "auto",
         inner: str = "auto",
         mg_cycles: int = 3,
+        mg_cycles_kx: int | None = None,
         mg_nu: int = 2,
         mg_coarse: int | None = None,
         space_n: int | None = None,
@@ -117,8 +117,10 @@ class HeatSolver:
         M_dia = DiaMatrix.from_csr(system.M)
         A_dia = DiaMatrix.from_csr(system.A)
         gs = system.mesh.grid_shape
-        use_stencil = spatial_format == "stencil" or (
-            spatial_format == "auto" and gs is not None and min(gs) >= 3
+        use_ell = spatial_format == "ell"
+        use_stencil = not use_ell and (
+            spatial_format == "stencil"
+            or (spatial_format == "auto" and gs is not None and min(gs) >= 3)
         )
         if use_stencil:
             self.gs = tuple(gs)
@@ -129,18 +131,41 @@ class HeatSolver:
             self._spmv_M = lambda U, p=None: M_st.apply(U)
             self._spmv_A = lambda U, p=None: A_st.apply(U)
         else:
-            # DIA values are device arrays and must flow through params
-            # (closed-over array constants are pathological on this backend;
-            # see ops/stencil.py) — threaded via _dia_host below.
+            # Generic-mesh paths. DIA: ndiag shifted multiply-adds, one fused
+            # XLA pass, any dtype. Blocked-ELL ('ell'): the Pallas SpMM kernel
+            # of ops/spmv_pallas.py (f32/bf16 on TPU; interpret-mode on CPU);
+            # f64 applications fall back to DIA inside the same solver, which
+            # is what lets solve_refined mix f64 residuals with f32 ELL inner
+            # solves on unstructured meshes. Device arrays flow through
+            # params (closed-over constants are pathological here; see
+            # ops/stencil.py).
             self.gs = (self.m,)
             self._dia_host = {"Mv": M_dia.vals, "Av": A_dia.vals}
-            self._spmv_M = lambda U, p=None: dia_matvec(
-                (p or self.params)["dia_Mv"], M_dia.offsets, U
-            )
-            self._spmv_A = lambda U, p=None: dia_matvec(
-                (p or self.params)["dia_Av"], A_dia.offsets, U
-            )
-        self.spatial_format = "stencil" if use_stencil else "dia"
+            if use_ell:
+                from ..ops.blocked_ell import BlockedEll
+
+                self._ell_host = {
+                    "M": BlockedEll.from_csr(system.M),
+                    "A": BlockedEll.from_csr(system.A),
+                }
+                self._ell_interpret = jax.default_backend() == "cpu"
+                self._ell_ops: dict = {}
+                self._spmv_M = lambda U, p=None: self._spmv_generic(
+                    "M", M_dia.offsets, U, p or self.params
+                )
+                self._spmv_A = lambda U, p=None: self._spmv_generic(
+                    "A", A_dia.offsets, U, p or self.params
+                )
+            else:
+                self._spmv_M = lambda U, p=None: dia_matvec(
+                    (p or self.params)["dia_Mv"], M_dia.offsets, U
+                )
+                self._spmv_A = lambda U, p=None: dia_matvec(
+                    (p or self.params)["dia_Av"], A_dia.offsets, U
+                )
+        self.spatial_format = (
+            "stencil" if use_stencil else ("ell" if use_ell else "dia")
+        )
 
         # --- inner spatial solver ------------------------------------------
         if inner == "auto":
@@ -167,6 +192,11 @@ class HeatSolver:
                 space_n = self.gs[0] + 1
             dim = len(self.gs)
             self.mg_cycles = mg_cycles
+            # K_Y sits inside S, so its V-cycle count sets the accuracy of
+            # the computed solution; K_X is only a preconditioner — its
+            # cycle count trades preconditioner quality (outer iterations)
+            # against per-iteration cost without touching the fixed point.
+            self.mg_cycles_kx = mg_cycles if mg_cycles_kx is None else mg_cycles_kx
             self.mg_nu = mg_nu
             self._mg_dim = dim
             cache: dict = {}
@@ -263,7 +293,22 @@ class HeatSolver:
                 kp = KronPallas(M_st, A_st, h, dtype)
                 self._kron[key] = kp
                 p["kron"] = kp.params
-        if self.spatial_format == "dia":
+        if self.spatial_format in ("dia", "ell"):
+            dia_dtype = dtype
+            if self.spatial_format == "ell" and jnp.dtype(dtype) != jnp.dtype(
+                jnp.float64
+            ):
+                from ..ops.spmv_pallas import EllOperator
+
+                opM = EllOperator(
+                    self._ell_host["M"], dtype, interpret=self._ell_interpret
+                )
+                opA = EllOperator(
+                    self._ell_host["A"], dtype, interpret=self._ell_interpret
+                )
+                self._ell_ops[key] = {"M": opM, "A": opA}
+                p["ell_M"] = opM.params
+                p["ell_A"] = opA.params
             p["dia_Mv"] = cast(self._dia_host["Mv"])
             p["dia_Av"] = cast(self._dia_host["Av"])
         if self.inner == "dense":
@@ -303,6 +348,17 @@ class HeatSolver:
             p["inv_perm"] = jnp.asarray(inv_perm)
         self._params_cache[key] = p
         return p
+
+    def _spmv_generic(self, which: str, offsets, U, p):
+        """'ell' spatial path: Pallas blocked-ELL SpMM for f32/bf16, DIA for
+        f64 (Pallas TPU has no f64)."""
+        key = jnp.dtype(U.dtype).name
+        ops = self._ell_ops.get(key)
+        if ops is None or ("ell_" + which) not in p:
+            return dia_matvec(p["dia_" + which + "v"], offsets, U)
+        lead = U.shape[:-1]
+        Y = ops[which].apply(U.reshape(-1, self.m), p["ell_" + which])
+        return Y.reshape(lead + (self.m,))
 
     # ---------------------------------------------------------- operators
     # U has shape (N_t+1, *gs); V (test side) has shape (N_t, *gs).
@@ -411,7 +467,8 @@ class HeatSolver:
 
     def _ms_solve_kx(self, X, p):
         return self.msmg.solve(
-            X, p["ms_kx"], lambda bc: self._coarse_by_level(bc, p), self.mg_cycles,
+            X, p["ms_kx"], lambda bc: self._coarse_by_level(bc, p),
+            self.mg_cycles_kx,
             pallas=self._ms_pl.get(jnp.dtype(X.dtype).name),
         )
 
@@ -701,7 +758,7 @@ def solve_heat_equation_tpu(
     """One-call driver for the jitted single-device path (mirrors
     ``oracle.solve_heat_equation``)."""
     problem = get_problem(problem_name)
-    mesh = unit_square_mesh(space_n) if problem.dim == 2 else unit_cube_mesh(space_n)
+    mesh = domain_mesh(problem.domain, problem.dim, space_n)
     system = P1System.from_mesh(mesh)
     if extra_time_levels > 0:
         grid = graded_time_grid(time_levels, extra_time_levels, T=problem.T)
