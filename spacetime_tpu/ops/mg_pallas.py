@@ -350,3 +350,341 @@ class MSPallasLevel:
             groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
             TB=self.TB, YB=self.YB, interpret=self.interpret,
         )
+
+    # ------------------------------------------------- fused V-cycle stages
+
+    @property
+    def fused_ok(self) -> bool:
+        return _fused_supported(self.gs, self.nu, self.YB, self.gs[-2])
+
+    def transfers(self, dtype):
+        """Banded 1-D transfer factors as device arrays (params pytree)."""
+        Ux, Wx = _transfer_mats_np(self.gs[-1])
+        return {
+            "Ux": jnp.asarray(Ux, dtype),
+            "Wx": jnp.asarray(Wx, dtype),
+            "UxT": jnp.asarray(Ux.T, dtype),
+            "WxT": jnp.asarray(Wx.T, dtype),
+        }
+
+    def fused_pre(self, b, cols, tx):
+        return _fused_pre_call(
+            b, cols["omega"], cols["invD"], cols["invT"], cols["invDel"],
+            tx["Ux"], tx["Wx"],
+            groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
+            TB=self.TB, YB=self.YB, nu=self.nu, interpret=self.interpret,
+        )
+
+    def fused_post(self, x, b, ec, cols, tx):
+        return _fused_post_call(
+            x, b, ec, cols["omega"], cols["invD"], cols["invT"],
+            cols["invDel"], tx["UxT"], tx["WxT"],
+            groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
+            TB=self.TB, YB=self.YB, nu=self.nu, interpret=self.interpret,
+        )
+
+
+# ----------------------------------------------------- fused V-cycle kernels
+#
+# The V-cycle's fine-level chain (pre-smooth -> residual -> restrict, and
+# prolong -> correct -> post-smooth) costs ~6 separate memory passes plus
+# per-op dispatch overhead when left to XLA (measured: transfers alone are
+# ~3 ms at 511²×128 f32 even in the separated repeat/pairsum form, because
+# nothing fuses on this backend). These kernels collapse each chain into ONE
+# pass over the fine arrays:
+#
+#   fused_pre(b)        -> (x, r_c): x = smooth(0, b); r = b - Op(x);
+#                          r_c = R(r)            [reads b, writes x + ¼]
+#   fused_post(x, b, e) -> smooth(x + P(e), b)   [reads x,b,¼; writes x]
+#
+# The P1 transfer kernel factors exactly as K = ½(u^⊗2 + w^⊗2) with
+# u = [1,1,0], w = [0,1,1] (see ops/multigrid._transfer_fast), so inside the
+# kernel the x-direction transfer is a banded-matrix MXU matmul (Ux/Wx are
+# (nx, nxc) 0/1 operands) and the y-direction a sublane pair-sum / offset
+# repeat — no gathers, no lane-strided ops. 2D only; 3D keeps the unfused
+# path (its fine grids are smaller per axis and the z handling triples the
+# window bookkeeping for less payoff).
+
+
+def _transfer_mats_np(nx: int):
+    """0/1 banded factors of the 1-D P1 transfer: Ux[f,c]=1 at f ∈ {2c,2c+1},
+    Wx[f,c]=1 at f ∈ {2c+1,2c+2} (fine size nx = 2·nxc+1)."""
+    nxc = (nx - 1) // 2
+    Ux = np.zeros((nx, nxc), np.float64)
+    Wx = np.zeros((nx, nxc), np.float64)
+    c = np.arange(nxc)
+    Ux[2 * c, c] = 1.0
+    Ux[2 * c + 1, c] = 1.0
+    Wx[2 * c + 1, c] = 1.0
+    Wx[2 * c + 2, c] = 1.0
+    return Ux, Wx
+
+
+def _dot_last(a, mat):
+    """Contract the last (lane) axis with a matrix on the MXU, at ~f32
+    accuracy in two bf16 passes (hi + lo mantissa split).
+
+    Mosaic's dot lowering only offers DEFAULT (one bf16 pass, ~4e-3 relative
+    — too coarse even for transfers) or HIGHEST (six passes, ~1 ms extra per
+    fused stage at 511²×128, measured). The transfer matrices are 0/1 — exact
+    in bf16 — so splitting only the data side gives ≤ ~2⁻¹⁶ relative error at
+    a third of the HIGHEST cost."""
+    if a.dtype == jnp.float32:
+        a2 = a.reshape(-1, a.shape[-1])
+        hi = a2.astype(jnp.bfloat16)
+        lo = (a2 - hi.astype(a2.dtype)).astype(jnp.bfloat16)
+        mb = mat.astype(jnp.bfloat16)
+        dn = (((1,), (0,)), ((), ()))
+        d = lambda v: jax.lax.dot_general(
+            v, mb, dimension_numbers=dn, preferred_element_type=jnp.float32
+        )
+        return (d(hi) + d(lo)).reshape(a.shape[:-1] + (mat.shape[1],))
+    return jax.lax.dot_general(
+        a, mat, dimension_numbers=(((a.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=a.dtype, precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _pairsum_rows(A, start: int, npairs: int):
+    """out[k] = A[start+2k] + A[start+2k+1] along axis -2 (sublane dim)."""
+    W = A[..., start : start + 2 * npairs, :]
+    shape = W.shape[:-2] + (npairs, 2, W.shape[-1])
+    Wp = W.reshape(shape)
+    return Wp[..., 0, :] + Wp[..., 1, :]
+
+
+def _repeat_rows(A, start: int, nrows: int):
+    """out[l] = A[(start+l)//2] along axis -2 (offset 2x element repeat;
+    note pltpu.repeat TILES copies — jnp.repeat is the element-wise one)."""
+    R = jnp.repeat(A, 2, axis=A.ndim - 2)
+    return R[..., start : start + nrows, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "nu", "interpret"),
+)
+def _fused_pre_call(
+    b, omega, invD, invT, invDel, Ux, Wx, *, groups_A, groups_M, gs, TB, YB,
+    nu, interpret=False,
+):
+    """(x, r_c) with x = zero-init degree-ν sweep on b, r = b − Op(x),
+    r_c = R(r). 2D only."""
+    T = b.shape[0]
+    ny, nx = gs
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    blocked = YB < ny
+    YBc = YB // 2 if blocked else nyc
+    G = nu - 1
+    E = 2  # extra halo carried so the residual is valid on 1 halo row
+    if blocked and (G + E + 1 > _HALO or YB % 16):
+        raise ValueError("fused_pre needs halo G+3 <= 8 and YB % 16 == 0")
+    n_f = 3 if blocked else 1
+    off = 1 if blocked else 0
+
+    def kernel(om_ref, iD_ref, iT_ref, iDel_ref, Ux_ref, Wx_ref, *refs):
+        x_ref, rc_ref = refs[-2], refs[-1]
+        yi = pl.program_id(1)
+        om, iD = _col(om_ref, 2), _col(iD_ref, 2)
+        iT, iDel = _col(iT_ref, 2), _col(iDel_ref, 2)
+        Bw = _window(refs[:n_f], yi, YB, ny, G + E, blocked)
+
+        def rows(h):
+            return (YB + 2 * h) if blocked else None
+
+        # zero-init Chebyshev-Jacobi sweep, carrying E extra halo rows
+        r = iD * Bw
+        d = r * iT
+        x = d
+        rho = 1.0 / _SIGMA
+        for k in range(1, nu):
+            rho_new = 1.0 / (2.0 * _SIGMA - rho)
+            if blocked:
+                d = _domain_mask(d, yi, YB, ny, G + E - k + 1)
+            Opd = _op_rows(d, om, groups_A, groups_M, gs, rows(G + E - k))
+            c = 1 if blocked else 0
+            r = _crop(r, c) - iD * Opd
+            d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
+            x = _crop(x, c) + d
+            rho = rho_new
+        # x now carries halo E; residual on 1 halo row
+        if blocked:
+            x = _domain_mask(x, yi, YB, ny, E)
+        Opx = _op_rows(x, om, groups_A, groups_M, gs, rows(E - 1))
+        Bw1 = _crop(Bw, G + 1 if blocked else 0)
+        rr = Bw1 - Opx  # halo 1 (blocked) / full (unblocked)
+        x_ref[...] = _crop(x, E if blocked else 0)
+        # restriction: x-direction on the MXU, y-direction as sublane pairsums
+        A = _dot_last(rr, Ux_ref[...])
+        B = _dot_last(rr, Wx_ref[...])
+        rc_ref[...] = 0.5 * (
+            _pairsum_rows(A, off, YBc) + _pairsum_rows(B, off + 1, YBc)
+        )
+
+    mat_spec = pl.BlockSpec(
+        (nx, nxc), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    specs = (
+        [_col_spec(TB)] * 4
+        + [mat_spec, mat_spec]
+        + _y_specs(TB, YB, gs, blocked)  # b
+    )
+    x_spec = pl.BlockSpec(
+        (TB, YB, nx), lambda ti, yi: (ti, yi, 0), memory_space=pltpu.VMEM
+    )
+    rc_spec = pl.BlockSpec(
+        (TB, YBc, nxc), lambda ti, yi: (ti, yi, 0), memory_space=pltpu.VMEM
+    )
+    kwargs = {}
+    if not interpret:
+        vol = ny * nx
+        taps = len(groups_A) + len(groups_M)
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * (taps * (nu + 1) * vol + 2 * vol * nxc),
+                bytes_accessed=b.dtype.itemsize * T * vol * 9 // 4,
+                transcendentals=0,
+            ),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=specs,
+        out_specs=[x_spec, rc_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((T, ny, nx), b.dtype),
+            jax.ShapeDtypeStruct((T, nyc, nxc), b.dtype),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(omega, invD, invT, invDel, Ux, Wx, *([b] * n_f))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "nu", "interpret"),
+)
+def _fused_post_call(
+    x, b, ec, omega, invD, invT, invDel, UxT, WxT, *, groups_A, groups_M, gs,
+    TB, YB, nu, interpret=False,
+):
+    """smooth(x + P(ec), b): prolongation + correction + degree-ν sweep in
+    one pass. 2D only."""
+    T = b.shape[0]
+    ny, nx = gs
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    blocked = YB < ny
+    YBc = YB // 2 if blocked else nyc
+    G = nu - 1
+    if blocked and (YB % 16 or YBc % _HALO):
+        raise ValueError("fused_post needs YB % 16 == 0")
+    n_f = 3 if blocked else 1
+    gsc = (nyc, nxc)
+
+    def kernel(om_ref, iD_ref, iT_ref, iDel_ref, UxT_ref, WxT_ref, *refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        om, iD = _col(om_ref, 2), _col(iD_ref, 2)
+        iT, iDel = _col(iT_ref, 2), _col(iDel_ref, 2)
+        Xw = _window(refs[:n_f], yi, YB, ny, G + 1, blocked)
+        Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, G, blocked)
+        if blocked:
+            Cw = _window(refs[2 * n_f : 3 * n_f], yi, YBc, nyc, 2, blocked)
+        else:
+            Cw = jnp.pad(refs[2 * n_f][...], ((0, 0), (2, 2), (0, 0)))
+        # prolongation on the window rows of Xw (halo G+1 = nu)
+        A = _dot_last(Cw, UxT_ref[...])
+        B = _dot_last(Cw, WxT_ref[...])
+        nrows = YB + 2 * (G + 1) if blocked else ny
+        # Local fine row l sits at global f = l - halo_f; the matching
+        # repeat-index is j = f + 2·halo_c = l + (2·halo_c - halo_f), with
+        # coarse halo 2 in both modes and fine halo G+1 (blocked) / 0.
+        start = 4 - (G + 1) if blocked else 4
+        P = 0.5 * (
+            _repeat_rows(A, start, nrows) + _repeat_rows(B, start - 1, nrows)
+        )
+        Xc = Xw + P
+        # standard non-zero-init sweep (mirrors _smooth_call)
+        if blocked:
+            Xc = _domain_mask(Xc, yi, YB, ny, G + 1)
+
+        def rows(h):
+            return (YB + 2 * h) if blocked else None
+
+        r = iD * (Bw - _op_rows(Xc, om, groups_A, groups_M, gs, rows(G)))
+        x_acc = _crop(Xc, 1 if blocked else 0)
+        d = r * iT
+        x_acc = x_acc + d
+        rho = 1.0 / _SIGMA
+        for k in range(1, nu):
+            rho_new = 1.0 / (2.0 * _SIGMA - rho)
+            if blocked:
+                d = _domain_mask(d, yi, YB, ny, G - k + 1)
+            Opd = _op_rows(d, om, groups_A, groups_M, gs, rows(G - k))
+            c = 1 if blocked else 0
+            r = _crop(r, c) - iD * Opd
+            d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
+            x_acc = _crop(x_acc, c) + d
+            rho = rho_new
+        out_ref[...] = x_acc
+
+    matT_spec = pl.BlockSpec(
+        (nxc, nx), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    if blocked:
+        c_specs = _y_specs(TB, YBc, gsc, True)
+    else:
+        c_specs = [
+            pl.BlockSpec(
+                (TB, nyc, nxc), lambda ti, yi: (ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    specs = (
+        [_col_spec(TB)] * 4
+        + [matT_spec, matT_spec]
+        + _y_specs(TB, YB, gs, blocked)  # x
+        + _y_specs(TB, YB, gs, blocked)  # b
+        + c_specs  # ec
+    )
+    out_spec = pl.BlockSpec(
+        (TB, YB, nx), lambda ti, yi: (ti, yi, 0), memory_space=pltpu.VMEM
+    )
+    kwargs = {}
+    if not interpret:
+        vol = ny * nx
+        taps = len(groups_A) + len(groups_M)
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * (taps * nu * vol + 2 * vol * nxc),
+                bytes_accessed=b.dtype.itemsize * T * vol * 13 // 4,
+                transcendentals=0,
+            ),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((T, ny, nx), b.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(omega, invD, invT, invDel, UxT, WxT, *([x] * n_f), *([b] * n_f),
+      *([ec] * len(c_specs)))
+
+
+def _fused_supported(gs, nu: int, YB: int, ny: int) -> bool:
+    """Fused pre/post kernels: 2D, nu small enough for the slab halos and
+    the prolongation repeat offsets, blocked YB aligned for the coarse
+    slabs."""
+    if len(gs) != 2 or not (2 <= nu <= 3):
+        return False
+    if YB < ny and (YB % 16 or (YB // 2) % _HALO):
+        return False
+    return True

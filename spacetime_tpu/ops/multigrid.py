@@ -93,9 +93,65 @@ def _transfer_conv(X, dim: int, *, restrict: bool):
     return out.reshape(batch + out.shape[2:])
 
 
+def _repeat2_pad(X, axis: int):
+    """G with G[f] = X[floor(f/2)] along ``axis`` (size n -> 2n+1, the last
+    row reading the zero Dirichlet ghost): repeat + zero-pad, no gathers."""
+    import jax.numpy as jnp
+
+    G = jnp.repeat(X, 2, axis=axis)
+    pad = [(0, 0)] * X.ndim
+    pad[axis] = (0, 1)
+    return jnp.pad(G, pad)
+
+
+def _shift1_zero(X, axes, sign: int = 1):
+    """X translated by ``sign`` (+1 or -1) along each of ``axes``, zero fill:
+    out[f] = X[f - sign]."""
+    import jax.numpy as jnp
+
+    pad = [(0, 0)] * X.ndim
+    sl = [slice(None)] * X.ndim
+    for a in axes:
+        pad[a] = (1, 0) if sign > 0 else (0, 1)
+        sl[a] = slice(0, X.shape[a]) if sign > 0 else slice(1, X.shape[a] + 1)
+    return jnp.pad(X, pad)[tuple(sl)]
+
+
+def _pairsum(X, axis: int):
+    """C[c] = X[2c] + X[2c+1] along ``axis`` (size 2n-1 -> n-1; the final
+    odd row belongs to the Dirichlet ghost and is dropped)."""
+    sl = [slice(None)] * X.ndim
+    sl[axis] = slice(0, X.shape[axis] - 1)
+    Xe = X[tuple(sl)]
+    shape = list(Xe.shape)
+    shape[axis] = shape[axis] // 2
+    shape.insert(axis + 1, 2)
+    return Xe.reshape(shape).sum(axis=axis + 1)
+
+
+def _transfer_fast(X, dim: int, *, restrict: bool):
+    """Separated form of the P1 transfer: the 3^dim kernel factors exactly as
+    K = ½(u^⊗dim + w^⊗dim) with u = [1,1,0], w = [0,1,1] (the two families of
+    Kuhn-path corners), and the w-term equals the u-term translated by one
+    fine step per axis. So prolongation is an axis-wise repeat (+ one shifted
+    add) and restriction an axis-wise pair-sum — pure elementwise/reshape
+    passes that XLA fuses far better than the C=1 conv form (measured 2.9 ms
+    conv vs ~0.6 ms at 511²×128 f32)."""
+    axes = tuple(range(X.ndim - dim, X.ndim))
+    if restrict:
+        H = X + _shift1_zero(X, axes, sign=-1)
+        for a in axes:
+            H = _pairsum(H, a)
+        return 0.5 * H
+    G = X
+    for a in axes:
+        G = _repeat2_pad(G, a)
+    return 0.5 * (G + _shift1_zero(G, axes))
+
+
 def _interp2d(C, nc: int):
     """Prolong coarse (…, nc-1, nc-1) -> fine (…, 2nc-1, 2nc-1)."""
-    return _transfer_conv(C, 2, restrict=False)
+    return _transfer_fast(C, 2, restrict=False)
 
 
 def _interp2d_scatter(C, nc: int):
@@ -116,7 +172,7 @@ def _interp2d_scatter(C, nc: int):
 
 def _restrict2d(F, nc: int):
     """Restriction = interpolation transpose: (…, 2nc-1, 2nc-1) -> (…, nc-1, nc-1)."""
-    return _transfer_conv(F, 2, restrict=True)
+    return _transfer_fast(F, 2, restrict=True)
 
 
 def _restrict2d_slices(F, nc: int):
@@ -138,7 +194,7 @@ def _interp3d(C, nc: int):
     diagonals (x+y, y+z, x+z with positive orientation), and the cube
     diagonal (x+y+z) — each averages its two coarse edge endpoints.
     """
-    return _transfer_conv(C, 3, restrict=False)
+    return _transfer_fast(C, 3, restrict=False)
 
 
 def _interp3d_scatter(C, nc: int):
@@ -171,7 +227,7 @@ def _interp3d_scatter(C, nc: int):
 
 def _restrict3d(F, nc: int):
     """Restriction = interpolation transpose (conv form)."""
-    return _transfer_conv(F, 3, restrict=True)
+    return _transfer_fast(F, 3, restrict=True)
 
 
 def _restrict3d_slices(F, nc: int):
@@ -455,6 +511,12 @@ class MultiShiftMultigrid:
         lev = self.levels[lvl]
         lp = lps[lvl]
         pj = pallas[lvl] if pallas is not None else None
+        if pj is not None and pj.fused_ok and "tx" in lp:
+            # Fully fused fine-level stages (ops/mg_pallas.py): one pass for
+            # smooth+residual+restrict, one for prolong+correct+smooth.
+            x, rc = pj.fused_pre(b, lp["cols"], lp["tx"])
+            ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
+            return pj.fused_post(x, b, ec, lp["cols"], lp["tx"])
         if pj is not None:
             x = pj.smooth(None, b, lp["cols"], zero_init=True)
             r = pj.residual(x, b, lp["cols"])

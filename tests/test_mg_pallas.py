@@ -100,3 +100,68 @@ def test_vcycle_with_pallas_matches_xla():
         lp["cols"] = MSPallasLevel.columns(lev, omega_rows, jnp.float32)
     got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pallas))
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-6 * np.abs(ref).max())
+
+
+@pytest.mark.parametrize("nu,force_blocked", [(2, False), (2, True), (3, True)])
+def test_fused_pre_post_match_unfused(nu, force_blocked):
+    """fused_pre == (zero-smooth, residual, restrict) and fused_post ==
+    (prolong, correct, smooth), blocked and unblocked, in interpret mode.
+    f32 exercises the bf16x2 transfer-matmul split (tolerance ~2^-16)."""
+    n, T = 32, 5
+    msmg, _ = MultiShiftMultigrid.build(2, n, nu=nu, n_coarse=8)
+    rng = np.random.default_rng(0)
+    omega = np.abs(rng.standard_normal(T)) * 20
+    lps = msmg.row_params(omega, jnp.float32)
+    lev = msmg.levels[0]
+    cols = MSPallasLevel.columns(lev, omega, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T, n - 1, n - 1)), jnp.float32)
+
+    x_ref = msmg._smooth(lev, lps[0], b * 0.0, b)
+    r_ref = b - msmg._op(lev, lps[0], x_ref)
+    rc_ref = msmg._restrict(r_ref, lev.n // 2)
+    ec = jnp.asarray(rng.standard_normal(np.asarray(rc_ref).shape), jnp.float32)
+    post_ref = msmg._smooth(
+        lev, lps[0], x_ref + msmg._interp(ec, lev.n // 2), b
+    )
+
+    pj = MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float32, nu, interpret=True)
+    if force_blocked:
+        pj.YB = 16
+    assert pj.fused_ok
+    tx = pj.transfers(jnp.float32)
+    x, rc = pj.fused_pre(b, cols, tx)
+    post = pj.fused_post(x_ref, b, ec, cols, tx)
+    scale = float(np.abs(np.asarray(rc_ref)).max())
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-5,
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_ref), rtol=1e-4,
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(post), np.asarray(post_ref),
+                               rtol=1e-4, atol=3e-5)
+
+
+def test_fused_vcycle_matches_unfused_f64():
+    """The vcycle fused path (exercised via lp['tx']) is exact in f64."""
+    n, T, nu = 32, 4, 2
+    msmg, (A_c, M_c) = MultiShiftMultigrid.build(2, n, nu=nu, n_coarse=8)
+    rng = np.random.default_rng(2)
+    omega = np.abs(rng.standard_normal(T)) * 10
+    lps = msmg.row_params(omega, jnp.float64)
+    coarse_inv = jnp.asarray(np.linalg.inv(A_c + omega.mean() * M_c))
+
+    def coarse(bc):
+        lead = bc.shape[0]
+        return jnp.dot(bc.reshape(lead, -1), coarse_inv).reshape(bc.shape)
+
+    b = jnp.asarray(rng.standard_normal((T, n - 1, n - 1)))
+    ref = np.asarray(msmg.solve(b, lps, coarse, cycles=2))
+    pallas = [
+        MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float64, nu, interpret=True)
+        for lev in msmg.levels
+    ]
+    for pj, lp, lev in zip(pallas, lps, msmg.levels):
+        lp["cols"] = MSPallasLevel.columns(lev, omega, jnp.float64)
+        if pj.fused_ok:
+            lp["tx"] = pj.transfers(jnp.float64)
+    got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pallas))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
