@@ -317,6 +317,28 @@ class MSPallasLevel:
         self.nu = nu
         self.interpret = interpret
         self.TB, self.YB = _pick_blocks_mg(T, self.gs, jnp.dtype(dtype).itemsize)
+        ny = self.gs[-2]
+        if not interpret and self.YB >= ny and ny >= 33:
+            # The fused kernels' unblocked layout is correct in interpret
+            # mode but faults the TPU worker (measured at 255²); force a
+            # blocked y layout so the fused path is hardware-safe.
+            self.YB = max(16, ((ny + 1) // 2) // 16 * 16)
+        if not interpret and len(self.gs) == 3 and self.YB < ny:
+            # Mosaic compile time scales with the number of grid programs
+            # (measured: 3D fused_pre at T=17 takes 625 s with TB=1 / 34
+            # programs but 56 s with TB=4 / 10); push TB up within a
+            # conservative VMEM model (~10 live windows, 80 MB).
+            per_win = (
+                int(np.prod(self.gs[:-2], dtype=int))
+                * (self.YB + 8) * self.gs[-1] * jnp.dtype(dtype).itemsize
+            )
+            # TB=8 at 63³ standalone fits, but inside the full solve module
+            # XLA's VMEM accounting hit 192 MB (measured OOM) — stay at
+            # TB<=4 with a conservative 40 MB window budget.
+            for cand in (4, 2):
+                if cand <= T and cand * per_win * 10 <= 40 * 1024 * 1024:
+                    self.TB = max(self.TB, cand)
+                    break
 
     @staticmethod
     def columns(lev, omega_rows: np.ndarray, dtype):
@@ -445,19 +467,38 @@ def _dot_last(a, mat):
     )
 
 
-def _pairsum_rows(A, start: int, npairs: int):
-    """out[k] = A[start+2k] + A[start+2k+1] along axis -2 (sublane dim)."""
-    W = A[..., start : start + 2 * npairs, :]
-    shape = W.shape[:-2] + (npairs, 2, W.shape[-1])
+def _pairsum_rows(A, start: int, npairs: int, axis: int = -2):
+    """out[k] = A[start+2k] + A[start+2k+1] along ``axis``."""
+    axis = axis % A.ndim
+    sl = [slice(None)] * A.ndim
+    sl[axis] = slice(start, start + 2 * npairs)
+    W = A[tuple(sl)]
+    shape = W.shape[:axis] + (npairs, 2) + W.shape[axis + 1 :]
     Wp = W.reshape(shape)
-    return Wp[..., 0, :] + Wp[..., 1, :]
+    i0 = [slice(None)] * Wp.ndim
+    i1 = list(i0)
+    i0[axis + 1] = 0
+    i1[axis + 1] = 1
+    return Wp[tuple(i0)] + Wp[tuple(i1)]
 
 
-def _repeat_rows(A, start: int, nrows: int):
-    """out[l] = A[(start+l)//2] along axis -2 (offset 2x element repeat;
-    note pltpu.repeat TILES copies — jnp.repeat is the element-wise one)."""
-    R = jnp.repeat(A, 2, axis=A.ndim - 2)
-    return R[..., start : start + nrows, :]
+def _repeat_rows(A, start: int, nrows: int, axis: int = -2):
+    """out[l] = A[(start+l)//2] along ``axis`` (offset 2x element repeat;
+    note pltpu.repeat TILES copies — jnp.repeat is the element-wise one).
+    Out-of-range rows (``start`` < 0 or the slice running past the repeat)
+    read the Dirichlet zero ghost."""
+    axis = axis % A.ndim
+    R = jnp.repeat(A, 2, axis=axis)
+    lo = max(0, -start)
+    hi = max(0, start + nrows - R.shape[axis])
+    if lo or hi:
+        pad = [(0, 0)] * R.ndim
+        pad[axis] = (lo, hi)
+        R = jnp.pad(R, pad)
+        start += lo
+    sl = [slice(None)] * R.ndim
+    sl[axis] = slice(start, start + nrows)
+    return R[tuple(sl)]
 
 
 @functools.partial(
@@ -469,10 +510,13 @@ def _fused_pre_call(
     nu, interpret=False,
 ):
     """(x, r_c) with x = zero-init degree-ν sweep on b, r = b − Op(x),
-    r_c = R(r). 2D only."""
+    r_c = R(r)."""
     T = b.shape[0]
-    ny, nx = gs
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    restc = tuple((g - 1) // 2 for g in rest)
     nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    YB = min(YB, ny)
     blocked = YB < ny
     YBc = YB // 2 if blocked else nyc
     G = nu - 1
@@ -482,11 +526,13 @@ def _fused_pre_call(
     n_f = 3 if blocked else 1
     off = 1 if blocked else 0
 
+    dim = len(gs)
+
     def kernel(om_ref, iD_ref, iT_ref, iDel_ref, Ux_ref, Wx_ref, *refs):
         x_ref, rc_ref = refs[-2], refs[-1]
         yi = pl.program_id(1)
-        om, iD = _col(om_ref, 2), _col(iD_ref, 2)
-        iT, iDel = _col(iT_ref, 2), _col(iDel_ref, 2)
+        om, iD = _col(om_ref, dim), _col(iD_ref, dim)
+        iT, iDel = _col(iT_ref, dim), _col(iDel_ref, dim)
         Bw = _window(refs[:n_f], yi, YB, ny, G + E, blocked)
 
         def rows(h):
@@ -514,12 +560,17 @@ def _fused_pre_call(
         Bw1 = _crop(Bw, G + 1 if blocked else 0)
         rr = Bw1 - Opx  # halo 1 (blocked) / full (unblocked)
         x_ref[...] = _crop(x, E if blocked else 0)
-        # restriction: x-direction on the MXU, y-direction as sublane pairsums
+        # restriction: x-direction on the MXU, y as sublane pairsums, z (3D)
+        # as whole-axis pairsums — the CP split K = 0.5(u^d + w^d) keeps the
+        # u-chain (A) and w-chain (B) separate across ALL axes.
         A = _dot_last(rr, Ux_ref[...])
         B = _dot_last(rr, Wx_ref[...])
-        rc_ref[...] = 0.5 * (
-            _pairsum_rows(A, off, YBc) + _pairsum_rows(B, off + 1, YBc)
-        )
+        A = _pairsum_rows(A, off, YBc)
+        B = _pairsum_rows(B, off + 1, YBc)
+        if rest:
+            A = _pairsum_rows(A, 0, restc[0], axis=-3)
+            B = _pairsum_rows(B, 1, restc[0], axis=-3)
+        rc_ref[...] = 0.5 * (A + B)
 
     mat_spec = pl.BlockSpec(
         (nx, nxc), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
@@ -529,15 +580,20 @@ def _fused_pre_call(
         + [mat_spec, mat_spec]
         + _y_specs(TB, YB, gs, blocked)  # b
     )
+    zeros = (0,) * len(rest)
     x_spec = pl.BlockSpec(
-        (TB, YB, nx), lambda ti, yi: (ti, yi, 0), memory_space=pltpu.VMEM
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
     )
     rc_spec = pl.BlockSpec(
-        (TB, YBc, nxc), lambda ti, yi: (ti, yi, 0), memory_space=pltpu.VMEM
+        (TB,) + restc + (YBc, nxc),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
     )
     kwargs = {}
     if not interpret:
-        vol = ny * nx
+        vol = int(np.prod(gs, dtype=int))
         taps = len(groups_A) + len(groups_M)
         kwargs = dict(
             compiler_params=pltpu.CompilerParams(
@@ -555,8 +611,8 @@ def _fused_pre_call(
         in_specs=specs,
         out_specs=[x_spec, rc_spec],
         out_shape=[
-            jax.ShapeDtypeStruct((T, ny, nx), b.dtype),
-            jax.ShapeDtypeStruct((T, nyc, nxc), b.dtype),
+            jax.ShapeDtypeStruct((T,) + rest + (ny, nx), b.dtype),
+            jax.ShapeDtypeStruct((T,) + restc + (nyc, nxc), b.dtype),
         ],
         interpret=interpret,
         **kwargs,
@@ -572,29 +628,36 @@ def _fused_post_call(
     TB, YB, nu, interpret=False,
 ):
     """smooth(x + P(ec), b): prolongation + correction + degree-ν sweep in
-    one pass. 2D only."""
+    one pass."""
     T = b.shape[0]
-    ny, nx = gs
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    restc = tuple((g - 1) // 2 for g in rest)
     nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    YB = min(YB, ny)
     blocked = YB < ny
     YBc = YB // 2 if blocked else nyc
     G = nu - 1
     if blocked and (YB % 16 or YBc % _HALO):
         raise ValueError("fused_post needs YB % 16 == 0")
     n_f = 3 if blocked else 1
-    gsc = (nyc, nxc)
+    gsc = restc + (nyc, nxc)
+    dim = len(gs)
 
     def kernel(om_ref, iD_ref, iT_ref, iDel_ref, UxT_ref, WxT_ref, *refs):
         out_ref = refs[-1]
         yi = pl.program_id(1)
-        om, iD = _col(om_ref, 2), _col(iD_ref, 2)
-        iT, iDel = _col(iT_ref, 2), _col(iDel_ref, 2)
+        om, iD = _col(om_ref, dim), _col(iD_ref, dim)
+        iT, iDel = _col(iT_ref, dim), _col(iDel_ref, dim)
         Xw = _window(refs[:n_f], yi, YB, ny, G + 1, blocked)
         Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, G, blocked)
         if blocked:
             Cw = _window(refs[2 * n_f : 3 * n_f], yi, YBc, nyc, 2, blocked)
         else:
-            Cw = jnp.pad(refs[2 * n_f][...], ((0, 0), (2, 2), (0, 0)))
+            Cw = jnp.pad(
+                refs[2 * n_f][...],
+                [(0, 0)] + [(0, 0)] * len(rest) + [(2, 2), (0, 0)],
+            )
         # prolongation on the window rows of Xw (halo G+1 = nu)
         A = _dot_last(Cw, UxT_ref[...])
         B = _dot_last(Cw, WxT_ref[...])
@@ -603,6 +666,12 @@ def _fused_post_call(
         # repeat-index is j = f + 2·halo_c = l + (2·halo_c - halo_f), with
         # coarse halo 2 in both modes and fine halo G+1 (blocked) / 0.
         start = 4 - (G + 1) if blocked else 4
+        if rest:
+            # z-direction: whole axis, no halo — Pu: zf <- C[zf//2] (repeat
+            # slice at 0), Pw: zf <- C[(zf-1)//2] (repeat slice at -1, the
+            # missing first row reading the Dirichlet zero).
+            A = _repeat_rows(A, 0, rest[0], axis=-3)
+            B = _repeat_rows(B, -1, rest[0], axis=-3)
         P = 0.5 * (
             _repeat_rows(A, start, nrows) + _repeat_rows(B, start - 1, nrows)
         )
@@ -634,12 +703,14 @@ def _fused_post_call(
     matT_spec = pl.BlockSpec(
         (nxc, nx), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
     )
+    zeros = (0,) * len(rest)
     if blocked:
         c_specs = _y_specs(TB, YBc, gsc, True)
     else:
         c_specs = [
             pl.BlockSpec(
-                (TB, nyc, nxc), lambda ti, yi: (ti, 0, 0),
+                (TB,) + restc + (nyc, nxc),
+                lambda ti, yi: (ti,) + zeros + (0, 0),
                 memory_space=pltpu.VMEM,
             )
         ]
@@ -651,11 +722,13 @@ def _fused_post_call(
         + c_specs  # ec
     )
     out_spec = pl.BlockSpec(
-        (TB, YB, nx), lambda ti, yi: (ti, yi, 0), memory_space=pltpu.VMEM
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
     )
     kwargs = {}
     if not interpret:
-        vol = ny * nx
+        vol = int(np.prod(gs, dtype=int))
         taps = len(groups_A) + len(groups_M)
         kwargs = dict(
             compiler_params=pltpu.CompilerParams(
@@ -672,7 +745,7 @@ def _fused_post_call(
         grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
         in_specs=specs,
         out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((T, ny, nx), b.dtype),
+        out_shape=jax.ShapeDtypeStruct((T,) + rest + (ny, nx), b.dtype),
         interpret=interpret,
         **kwargs,
     )(omega, invD, invT, invDel, UxT, WxT, *([x] * n_f), *([b] * n_f),
@@ -680,10 +753,10 @@ def _fused_post_call(
 
 
 def _fused_supported(gs, nu: int, YB: int, ny: int) -> bool:
-    """Fused pre/post kernels: 2D, nu small enough for the slab halos and
+    """Fused pre/post kernels: 2D/3D, nu small enough for the slab halos and
     the prolongation repeat offsets, blocked YB aligned for the coarse
     slabs."""
-    if len(gs) != 2 or not (2 <= nu <= 3):
+    if len(gs) not in (2, 3) or not (2 <= nu <= 3):
         return False
     if YB < ny and (YB % 16 or (YB // 2) % _HALO):
         return False

@@ -329,9 +329,12 @@ class HeatSolver:
             if self.pallas_kron and jnp.dtype(dtype) != jnp.dtype(jnp.float64):
                 from ..ops.mg_pallas import MSPallasLevel
 
+                # Gate (measured): fused 2D levels win from ~40k points
+                # (255² level-1 included at 513²+ solves); smaller levels
+                # stay XLA where launch overhead dominates either way.
                 self._ms_pl[key] = [
                     MSPallasLevel(lev.A_st, lev.M_st, self.N + 1, dtype, self.mg_nu)
-                    if (lev.n - 1) ** self._mg_dim >= 100_000
+                    if (lev.n - 1) ** self._mg_dim >= 40_000
                     else None
                     for lev in self.msmg.levels
                 ]

@@ -165,3 +165,31 @@ def test_fused_vcycle_matches_unfused_f64():
             lp["tx"] = pj.transfers(jnp.float64)
     got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pallas))
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+
+def test_fused_pre_post_3d_matches_unfused():
+    """3D fused stages (z pair-sum/repeat + y sublane + x matmul) match the
+    unfused path in interpret mode, blocked and unblocked."""
+    n, T = 32, 2
+    msmg, _ = MultiShiftMultigrid.build(3, n, nu=2, n_coarse=8)
+    rng = np.random.default_rng(3)
+    omega = np.abs(rng.standard_normal(T)) * 10
+    lps = msmg.row_params(omega, jnp.float64)
+    lev = msmg.levels[0]
+    cols = MSPallasLevel.columns(lev, omega, jnp.float64)
+    b = jnp.asarray(rng.standard_normal((T, n - 1, n - 1, n - 1)))
+    x_ref = msmg._smooth(lev, lps[0], b * 0.0, b)
+    rc_ref = msmg._restrict(b - msmg._op(lev, lps[0], x_ref), lev.n // 2)
+    ec = jnp.asarray(rng.standard_normal(np.asarray(rc_ref).shape))
+    post_ref = msmg._smooth(
+        lev, lps[0], x_ref + msmg._interp(ec, lev.n // 2), b
+    )
+    for YB in (n - 1, 16):
+        pj = MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float64, 2, interpret=True)
+        pj.YB = YB
+        tx = pj.transfers(jnp.float64)
+        x, rc = pj.fused_pre(b, cols, tx)
+        post = pj.fused_post(x_ref, b, ec, cols, tx)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_ref), atol=1e-13)
+        np.testing.assert_allclose(np.asarray(post), np.asarray(post_ref), atol=1e-13)
