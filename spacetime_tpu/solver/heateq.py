@@ -671,6 +671,14 @@ class HeatSolver:
         multiplies the residual by ~inner_tol, so tol=1e-8 typically takes
         2 rounds. Requires jax_enable_x64.
         """
+        if not jax.config.jax_enable_x64:
+            # Without x64 the "f64" residual loop silently truncates to f32
+            # and refinement stalls at ~1e-4 relative (measured) — fail loud.
+            raise RuntimeError(
+                "solve_refined needs float64 residuals: call "
+                "jax.config.update('jax_enable_x64', True) (or "
+                "spacetime_tpu.utils.ensure_x64()) at process start"
+            )
         p64 = self.params_for(jnp.float64)
         p32 = self.params_for(jnp.float32)
         gL64, gR64, u064 = self.assemble_rhs_host(jnp.float64)
