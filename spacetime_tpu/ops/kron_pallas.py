@@ -117,7 +117,7 @@ def _live_factor(dim: int) -> int:
     return 8 if dim == 2 else 24
 
 
-def _pick_blocks(T, gs, itemsize):
+def _pick_blocks(T, gs, itemsize, extra: int = 0):
     """Returns (TB, YB); YB == gs[-2] means unblocked spatial axes.
 
     Measured (v5 axon, 2D): throughput rises monotonically with TB when the
@@ -125,10 +125,14 @@ def _pick_blocks(T, gs, itemsize):
     problem stays VMEM-resident), so take the largest divisor of T that
     fits. When y-blocking is forced, (TB=16, YB=64) was the flat optimum —
     the kernel is DMA-bound there and block shape barely matters.
+
+    ``extra``: additional live blocks beyond the plain-kernel working set
+    (the stab-fused variants carry one more stencil temporary and one more
+    output block).
     """
     ny, nx = gs[-2], gs[-1]
     rest = int(np.prod(gs[:-2], dtype=int)) if len(gs) > 2 else 1
-    lf = _live_factor(len(gs))
+    lf = _live_factor(len(gs)) + extra
     per_row = rest * nx * itemsize  # one y-row across the other axes
     TB = 1
     for cand in (64, 32, 16, 8, 4, 2):
@@ -149,10 +153,11 @@ def _pick_blocks(T, gs, itemsize):
     return TB, min(YB, ny)
 
 
-def _u_specs(TB, YB, gs, time_idx, blocked):
+def _u_specs(TB, YB, gs, time_idx, blocked, halo=True):
     """U-operand BlockSpecs: {aligned TB, single next/prev row} ×
     ({aligned YB, up slab, dn slab} if blocked else {full}). ``time_idx``:
-    (aligned_map, single_map) on the time grid index."""
+    (aligned_map, single_map) on the time grid index. ``halo=False`` drops
+    the up/dn slabs (pointwise operands need no spatial neighborhood)."""
     ny, nx = gs[-2], gs[-1]
     rest = tuple(gs[:-2])
     zeros = (0,) * len(rest)
@@ -172,6 +177,8 @@ def _u_specs(TB, YB, gs, time_idx, blocked):
         return [spec(TB, ny, al, full), spec(1, ny, sg, full)]
     s = YB // _HALO  # y-slab stride of the aligned block, in 8-row units
     y_mid = lambda yi: yi
+    if not halo:
+        return [spec(TB, YB, al, y_mid), spec(1, YB, sg, y_mid)]
     y_up = lambda yi: jnp.maximum(yi * s - 1, 0)
     y_dn = lambda yi: jnp.minimum(yi * s + s, nyb8 - 1)
     return [
@@ -203,13 +210,21 @@ def _cost(T, gs, itemsize, n_stencil_rows, taps):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups_M", "groups_A", "gs", "TB", "YB", "scale", "interpret"),
+    static_argnames=(
+        "groups_M", "groups_A", "gs", "TB", "YB", "scale", "stab", "interpret"
+    ),
 )
 def _apply_B_call(
-    U, h128, *, groups_M, groups_A, gs, TB, YB, scale=1.0, interpret=False
+    U, h128, hs128=None, *, groups_M, groups_A, gs, TB, YB, scale=1.0,
+    stab=False, interpret=False
 ):
     """U (T+1, *gs), h128 (T, 128) -> (T, *gs):
-    out[j] = M·(U[j+1]-U[j]) + h_j·A·(U[j+1]+U[j])."""
+    out[j] = M·(U[j+1]-U[j]) + h_j·A·(U[j+1]+U[j]).
+
+    ``stab=True`` additionally emits the stabilization half-product
+    W[j] = hs_j·A·(U[j+1]-U[j]) (hs = h/16) as a second output, reusing the
+    time windows already in VMEM — one extra in-register stencil instead of
+    a separate full pass over U (solver.apply_stab)."""
     T = U.shape[0] - 1
     dim = len(gs)
     ny, nx = gs[-2], gs[-1]
@@ -219,25 +234,35 @@ def _apply_B_call(
     yb = YB if blocked else None
     nyi = pl.cdiv(ny, YB)
     n_u = 3 if blocked else 1
+    n_h = 2 if stab else 1
 
-    def kernel(h_ref, *refs):
-        out_ref = refs[-1]
+    def kernel(*refs):
+        h_ref = refs[0]
+        urefs = refs[n_h : n_h + 2 * n_u]
         yi = pl.program_id(1)
-        U0 = _gather_window(refs[:n_u], yi, YB, ny, blocked)
-        U1r = _gather_window(refs[n_u : 2 * n_u], yi, YB, ny, blocked)
+        U0 = _gather_window(urefs[:n_u], yi, YB, ny, blocked)
+        U1r = _gather_window(urefs[n_u:], yi, YB, ny, blocked)
         # TB == 1: U0[1:] is zero-size, which Mosaic rejects as a vector type.
         U1 = U1r if TB == 1 else jnp.concatenate([U0[1:], U1r], axis=0)
         h = _hcol(h_ref, dim)
-        out = _stencil(U1 - U0, groups_M, gs, yb) + h * _stencil(
+        DU = U1 - U0
+        out = _stencil(DU, groups_M, gs, yb) + h * _stencil(
             U1 + U0, groups_A, gs, yb
         )
+        if stab:
+            out_ref, w_ref = refs[-2], refs[-1]
+            hs = _hcol(refs[1], dim)
+            w_ref[...] = hs * _stencil(DU, groups_A, gs, yb)
+        else:
+            out_ref = refs[-1]
         out_ref[...] = out if scale == 1.0 else scale * out
 
     time_idx = (lambda ti: ti, lambda ti: ti * TB + TB)  # row T is valid in U
     specs = _u_specs(TB, YB, gs, time_idx, blocked)
-    in_specs = [
-        pl.BlockSpec((TB, 1, 128), lambda ti, yi: (ti, 0, 0), memory_space=pltpu.VMEM)
-    ] + specs
+    h_spec = pl.BlockSpec(
+        (TB, 1, 128), lambda ti, yi: (ti, 0, 0), memory_space=pltpu.VMEM
+    )
+    in_specs = [h_spec] * n_h + specs
     out_spec = pl.BlockSpec(
         (TB,) + rest + (YB, nx),
         lambda ti, yi: (ti,) + zeros + (yi, 0),
@@ -250,30 +275,41 @@ def _apply_B_call(
                 vmem_limit_bytes=110 * 1024 * 1024
             ),
             cost_estimate=_cost(
-                T, gs, U.dtype.itemsize, T + 1, len(groups_M) + len(groups_A)
+                T, gs, U.dtype.itemsize, T + 1 + (T if stab else 0),
+                len(groups_M) + (2 if stab else 1) * len(groups_A),
             ),
         )
     n_ops = len(specs) // 2
+    hs_args = (hs128,) if stab else ()
+    out_shape = jax.ShapeDtypeStruct((T,) + gs, U.dtype)
     return pl.pallas_call(
         kernel,
         grid=(T // TB, nyi),
         in_specs=in_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((T,) + gs, U.dtype),
+        out_specs=[out_spec, out_spec] if stab else out_spec,
+        out_shape=[out_shape, out_shape] if stab else out_shape,
         interpret=interpret,
         **kwargs,
-    )(h128, *([U] * n_ops), *([U] * n_ops))
+    )(h128, *hs_args, *([U] * n_ops), *([U] * n_ops))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups_M", "groups_A", "gs", "TB", "YB", "scale", "interpret"),
+    static_argnames=(
+        "groups_M", "groups_A", "gs", "TB", "YB", "scale", "stab", "interpret"
+    ),
 )
 def _apply_BT_call(
-    V, h128, *, groups_M, groups_A, gs, TB, YB, scale=1.0, interpret=False
+    V, h128, W=None, *, groups_M, groups_A, gs, TB, YB, scale=1.0,
+    stab=False, interpret=False
 ):
     """V (T, *gs), h128 (T, 128) -> (T+1, *gs):
-    out[i] = [i<T]·(-M·V[i] + h_i·A·V[i]) + [i≥1]·(M·V[i-1] + h_{i-1}·A·V[i-1])."""
+    out[i] = [i<T]·(-M·V[i] + h_i·A·V[i]) + [i≥1]·(M·V[i-1] + h_{i-1}·A·V[i-1]).
+
+    ``stab=True`` takes the stabilization half-product W (T, *gs) from the
+    stab-fused B application and folds the jump combine
+    out[i] += W[i-1] − W[i] (W[-1] = W[T] = 0) into the same pass — W is
+    pointwise in space, so its operands carry no y-halos."""
     T = V.shape[0]
     dim = len(gs)
     ny, nx = gs[-2], gs[-1]
@@ -303,6 +339,10 @@ def _apply_BT_call(
             VM = _stencil(Vext, groups_M, gs, yb)
             VA = hext * _stencil(Vext, groups_A, gs, yb)
             out = (-VM[1:] + VA[1:]) + (VM[:-1] + VA[:-1])
+            if stab:
+                Wp = jnp.where(ti > 0, refs[2 * n_u + 1][...], 0.0)
+                Wext = jnp.concatenate([Wp, refs[2 * n_u][...]], axis=0)
+                out = out + (Wext[:-1] - Wext[1:])
             out_ref[...] = out if scale == 1.0 else scale * out
 
         @pl.when(ti == nti)
@@ -313,11 +353,14 @@ def _apply_BT_call(
             VM = _stencil(last, groups_M, gs, yb)
             VA = _hcol(h_ref, dim)[-1:] * _stencil(last, groups_A, gs, yb)
             out = VM + VA
+            if stab:
+                out = out + refs[2 * n_u][-1:]  # + W[T-1]
             out_ref[0:1] = out if scale == 1.0 else scale * out
 
     t_al = lambda ti: jnp.minimum(ti, nti - 1)
     t_pm = lambda ti: jnp.maximum(ti * TB - 1, 0)
     specs = _u_specs(TB, YB, gs, (t_al, t_pm), blocked)
+    w_specs = _u_specs(TB, YB, gs, (t_al, t_pm), blocked, halo=False)
     in_specs = [
         pl.BlockSpec(
             (TB, 1, 128), lambda ti, yi: (t_al(ti), 0, 0), memory_space=pltpu.VMEM
@@ -325,7 +368,7 @@ def _apply_BT_call(
         pl.BlockSpec(
             (1, 1, 128), lambda ti, yi: (t_pm(ti), 0, 0), memory_space=pltpu.VMEM
         ),
-    ] + specs
+    ] + specs + (w_specs if stab else [])
     out_spec = pl.BlockSpec(
         (TB,) + rest + (YB, nx),
         lambda ti, yi: (ti,) + zeros + (yi, 0),
@@ -338,10 +381,12 @@ def _apply_BT_call(
                 vmem_limit_bytes=110 * 1024 * 1024
             ),
             cost_estimate=_cost(
-                T, gs, V.dtype.itemsize, T + 1, len(groups_M) + len(groups_A)
+                T, gs, V.dtype.itemsize, T + 1 + (T if stab else 0),
+                len(groups_M) + len(groups_A),
             ),
         )
     n_ops = len(specs) // 2
+    w_args = (W, W) if stab else ()
     return pl.pallas_call(
         kernel,
         grid=(nti + 1, nyi),
@@ -350,7 +395,7 @@ def _apply_BT_call(
         out_shape=jax.ShapeDtypeStruct((T + 1,) + gs, V.dtype),
         interpret=interpret,
         **kwargs,
-    )(h128, h128, *([V] * n_ops), *([V] * n_ops))
+    )(h128, h128, *([V] * n_ops), *([V] * n_ops), *w_args)
 
 
 class KronPallas:
@@ -370,12 +415,15 @@ class KronPallas:
         self.groups_A = _weight_groups(A_st.disps, A_st.weights)
         self.T = int(h.shape[0])
         self.interpret = interpret
-        self.TB, self.YB = _pick_blocks(self.T, self.gs, jnp.dtype(dtype).itemsize)
-        self.params = {
-            "h128": jnp.broadcast_to(
-                jnp.asarray(0.5 * h, dtype)[:, None, None], (self.T, 1, 128)
-            ).copy()
-        }
+        itemsize = jnp.dtype(dtype).itemsize
+        self.TB, self.YB = _pick_blocks(self.T, self.gs, itemsize)
+        # Stab-fused variants hold ~2 extra live blocks (AD temporary + W),
+        # so they get their own, possibly smaller, blocking.
+        self.TBs, self.YBs = _pick_blocks(self.T, self.gs, itemsize, extra=2)
+        bc = lambda v: jnp.broadcast_to(
+            jnp.asarray(v, dtype)[:, None, None], (self.T, 1, 128)
+        ).copy()
+        self.params = {"h128": bc(0.5 * h), "hs128": bc(h / 16.0)}
 
     @classmethod
     def supported(cls, grid_shape, T, dtype) -> bool:
@@ -402,5 +450,25 @@ class KronPallas:
         return _apply_BT_call(
             V, p["h128"], groups_M=self.groups_M, groups_A=self.groups_A,
             gs=self.gs, TB=self.TB, YB=self.YB, scale=scale,
+            interpret=self.interpret,
+        )
+
+    def apply_B_stab(self, U, p=None):
+        """(B·U, W) with W[j] = (h_j/16)·A·(U[j+1]−U[j]) — the extra pass of
+        solver.apply_stab folded into the B kernel."""
+        p = self.params if p is None else p
+        return _apply_B_call(
+            U, p["h128"], p["hs128"], groups_M=self.groups_M,
+            groups_A=self.groups_A, gs=self.gs, TB=self.TBs, YB=self.YBs,
+            stab=True, interpret=self.interpret,
+        )
+
+    def apply_BT_stab(self, V, W, p=None):
+        """Bᵀ·V plus the stabilization jump combine of W (see apply_B_stab):
+        out[i] += W[i-1] − W[i], completing Bᵀ K_Y B + stab in two kernels."""
+        p = self.params if p is None else p
+        return _apply_BT_call(
+            V, p["h128"], W, groups_M=self.groups_M, groups_A=self.groups_A,
+            gs=self.gs, TB=self.TBs, YB=self.YBs, stab=True,
             interpret=self.interpret,
         )

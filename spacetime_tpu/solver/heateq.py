@@ -431,18 +431,28 @@ class HeatSolver:
             return _dot(flat, p["Minv"]).reshape(lead + self.gs)
         return self._cheb_Minv(X)
 
+    def _trace_row(self, U, p):
+        """Row 0 of the trace term: M·K_H·M·U[0], shape (1, *gs)."""
+        return self._spmv_M(self._apply_Minv(self._spmv_M(U[0:1], p), p), p)
+
     def apply_trace(self, U, p=None):
         p = self.params if p is None else p
-        r0 = self._spmv_M(self._apply_Minv(self._spmv_M(U[0:1], p), p), p)
+        r0 = self._trace_row(U, p)
         return jnp.concatenate([r0, jnp.zeros((self.N,) + self.gs, U.dtype)])
 
     def apply_S(self, U, p=None):
         p = self.params if p is None else p
-        return (
-            self.apply_BT(self.apply_KY(self.apply_B(U, p), p), p)
-            + self.apply_stab(U, p)
-            + self.apply_trace(U, p)
-        )
+        kp = self._kron_for(U.dtype, p)
+        if kp is not None:
+            # Fused path: stab rides the B/Bᵀ kernels (no separate stencil
+            # pass over U, no full-array three-way add).
+            V, W = kp.apply_B_stab(U, p["kron"])
+            out = kp.apply_BT_stab(self.apply_KY(V, p), W, p["kron"])
+        else:
+            out = self.apply_BT(
+                self.apply_KY(self.apply_B(U, p), p), p
+            ) + self.apply_stab(U, p)
+        return out.at[0].add(self._trace_row(U, p)[0])
 
     def _sandwich_rows(self, rows_flat, j, p):
         """Dense path: K_j = (A+ω_j M)⁻¹ A (A+ω_j M)⁻¹ on (k, m)-flat rows."""

@@ -102,6 +102,80 @@ def test_scale_is_fused():
     np.testing.assert_allclose(a, b, rtol=1e-6)
 
 
+def _stab_reference(system, grid, U, V, dtype):
+    """XLA composition of (B·U, W) and Bᵀ·V + stab-combine(W)."""
+    gs = tuple(system.mesh.grid_shape)
+    A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
+    h = time_matrices(grid)["h"]
+    hs = row_scale(h / 16.0, gs, dtype)
+    _, refB, refBT = _reference(system, grid, U, V, dtype)
+    W = hs * A_st.apply(U[1:] - U[:-1])
+    z = jnp.zeros((1,) + gs, dtype)
+    stab = jnp.concatenate([z, W]) - jnp.concatenate([W, z])
+    return refB, W, refBT + stab
+
+
+@pytest.mark.parametrize(
+    "mk_mesh,n,grid",
+    [
+        (unit_square_mesh, 16, uniform_time_grid(4)),
+        (unit_square_mesh, 16, graded_time_grid(3, 2)),
+        (unit_cube_mesh, 8, uniform_time_grid(3)),
+    ],
+)
+def test_stab_fused(mk_mesh, n, grid):
+    system = P1System.from_mesh(mk_mesh(n))
+    gs = tuple(system.mesh.grid_shape)
+    T = grid.num_intervals
+    rng = np.random.default_rng(3)
+    U = jnp.asarray(rng.standard_normal((T + 1,) + gs), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((T,) + gs), jnp.float32)
+    refB, refW, refOut = _stab_reference(system, grid, U, V, jnp.float32)
+    M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
+    A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
+    h = time_matrices(grid)["h"]
+    kp = KronPallas(M_st, A_st, h, jnp.float32, interpret=True)
+    B, W = kp.apply_B_stab(U)
+    out = kp.apply_BT_stab(V, W)
+    for got, ref in ((B, refB), (W, refW)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), rtol=1e-5,
+            atol=1e-6 * float(np.abs(np.asarray(ref)).max()),
+        )
+    # out uses the pallas W (identical rounding to refW within tolerance)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(refOut), rtol=1e-4,
+        atol=1e-5 * float(np.abs(np.asarray(refOut)).max()),
+    )
+
+
+def test_stab_fused_blocked_y(monkeypatch):
+    monkeypatch.setattr(kron_pallas, "_VMEM_BUDGET", 16 * 1024)
+    system = P1System.from_mesh(unit_square_mesh(32))
+    gs = tuple(system.mesh.grid_shape)
+    grid = uniform_time_grid(4)
+    T = grid.num_intervals
+    rng = np.random.default_rng(4)
+    U = jnp.asarray(rng.standard_normal((T + 1,) + gs), jnp.float32)
+    V = jnp.asarray(rng.standard_normal((T,) + gs), jnp.float32)
+    refB, refW, refOut = _stab_reference(system, grid, U, V, jnp.float32)
+    M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
+    A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
+    h = time_matrices(grid)["h"]
+    kp = KronPallas(M_st, A_st, h, jnp.float32, interpret=True)
+    assert kp.YBs < 31  # blocked mode engaged for the stab variants
+    B, W = kp.apply_B_stab(U)
+    out = kp.apply_BT_stab(V, W)
+    np.testing.assert_allclose(
+        np.asarray(B), np.asarray(refB), rtol=1e-5,
+        atol=1e-6 * float(np.abs(np.asarray(refB)).max()),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(refOut), rtol=1e-4,
+        atol=1e-5 * float(np.abs(np.asarray(refOut)).max()),
+    )
+
+
 def test_supported_gate():
     assert not KronPallas.supported((15, 15), 8, jnp.float64)
     assert not KronPallas.supported(None, 8, jnp.float32)

@@ -48,6 +48,19 @@ class TestSharded:
         r1, r8 = self._solve_pair("smooth2d", 8, uniform_time_grid(4))
         assert r8.iterations == r1.iterations
 
+    def test_odd_device_count(self):
+        # SURVEY.md §4: halo/wavelet comm correctness under odd rank counts.
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(4)
+        r1 = HeatSolver(problem, system, grid).solve(tol=1e-6, compute_error=False)
+        r5 = ShardedHeatSolver(problem, system, grid, make_time_mesh(5)).solve(
+            tol=1e-6, compute_error=False
+        )
+        assert r5.converged
+        assert r5.iterations == r1.iterations
+        np.testing.assert_allclose(r5.residuals, r1.residuals, rtol=1e-9)
+
     def test_sharding_is_applied(self):
         problem = get_problem("smooth2d")
         system = P1System.from_mesh(unit_square_mesh(8))
