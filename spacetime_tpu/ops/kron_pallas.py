@@ -199,6 +199,30 @@ def _gather_window(urefs, yi, YB, ny, blocked):
     return _assemble_y(up[...], mid[...], dn[...], yi, YB, ny)
 
 
+def _i32_specs(specs):
+    """Multi-output pallas_call + x64 workaround (measured on the axon
+    backend): index maps whose non-leading components are Python literals
+    lower those components as i64 constants under jax_enable_x64, and
+    Mosaic then fails to legalize the map's func.return for multi-output
+    calls ("failed to legalize operation 'func.return'", types
+    (i32, i64, i64)). Deriving every literal from the (i32) program index
+    keeps the whole return i32. No-op for traced components."""
+
+    def fix(map_fn):
+        def fixed(*ids):
+            z = ids[0] * 0
+            return tuple(
+                z + v if isinstance(v, int) else v for v in map_fn(*ids)
+            )
+
+        return fixed
+
+    return [
+        pl.BlockSpec(s.block_shape, fix(s.index_map), memory_space=pltpu.VMEM)
+        for s in specs
+    ]
+
+
 def _cost(T, gs, itemsize, n_stencil_rows, taps):
     vol = int(np.prod(gs, dtype=int))
     return pl.CostEstimate(
@@ -282,11 +306,13 @@ def _apply_B_call(
     n_ops = len(specs) // 2
     hs_args = (hs128,) if stab else ()
     out_shape = jax.ShapeDtypeStruct((T,) + gs, U.dtype)
+    in_specs = _i32_specs(in_specs)
+    out_specs = _i32_specs([out_spec] * (2 if stab else 1))
     return pl.pallas_call(
         kernel,
         grid=(T // TB, nyi),
         in_specs=in_specs,
-        out_specs=[out_spec, out_spec] if stab else out_spec,
+        out_specs=out_specs if stab else out_specs[0],
         out_shape=[out_shape, out_shape] if stab else out_shape,
         interpret=interpret,
         **kwargs,
@@ -390,8 +416,8 @@ def _apply_BT_call(
     return pl.pallas_call(
         kernel,
         grid=(nti + 1, nyi),
-        in_specs=in_specs,
-        out_specs=out_spec,
+        in_specs=_i32_specs(in_specs),
+        out_specs=_i32_specs([out_spec])[0],
         out_shape=jax.ShapeDtypeStruct((T + 1,) + gs, V.dtype),
         interpret=interpret,
         **kwargs,

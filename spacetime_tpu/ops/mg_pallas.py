@@ -282,6 +282,60 @@ def _residual_call(
     )(omega, *([x] * n_f), *([b] * n_f))
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups", "gs", "TB", "YB", "interpret"),
+)
+def _apply_stencil_call(x, *, groups, gs, TB, YB, interpret=False):
+    """out = Op(x) for a single constant stencil, one fused pass.
+
+    Used for the plain A application between the two shifted solves of the
+    K_X sandwich (solver.apply_KX): the XLA stencil form costs ~6 memory
+    passes there (pad materializations + separate fusions, measured ~3x a
+    fused pass at 511²×128)."""
+    T = x.shape[0]
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    blocked = YB < ny
+    n_f = 3 if blocked else 1
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        Xw = _window(refs[:n_f], yi, YB, ny, 1 if blocked else 0, blocked)
+        out_ref[...] = _stencil(Xw, groups, gs, YB if blocked else None)
+
+    specs = _y_specs(TB, YB, gs, blocked)
+    out_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * len(groups) * T * vol,
+                bytes_accessed=x.dtype.itemsize * T * vol * 2,
+                transcendentals=0,
+            ),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((T,) + gs, x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(*([x] * n_f))
+
+
 def _pick_blocks_mg(T, gs, itemsize):
     """(TB, YB) for the smoother kernels; same budget model as kron_pallas
     but with a live set of ~6 windows."""
@@ -371,6 +425,14 @@ class MSPallasLevel:
             x, b, cols["omega"],
             groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
             TB=self.TB, YB=self.YB, interpret=self.interpret,
+        )
+
+    def apply_A(self, x):
+        """Plain stiffness application A(x) as one fused pass (the middle
+        step of the K_X sandwich)."""
+        return _apply_stencil_call(
+            x, groups=self.groups_A, gs=self.gs, TB=self.TB, YB=self.YB,
+            interpret=self.interpret,
         )
 
     # ------------------------------------------------- fused V-cycle stages

@@ -500,7 +500,11 @@ class HeatSolver:
             # distinguishes levels.
             X = C.reshape((self.N + 1,) + self.gs)
             X = self._ms_solve_kx(X, p)
-            X = self._spmv_A(X, p)
+            pls = self._ms_pl.get(jnp.dtype(X.dtype).name)
+            if pls is not None and pls[0] is not None:
+                X = pls[0].apply_A(X)  # fused pass (ops/mg_pallas.py)
+            else:
+                X = self._spmv_A(X, p)
             X = self._ms_solve_kx(X, p)
             C = X.reshape(self.N + 1, self.m)
         elif self.wt.is_uniform:

@@ -41,6 +41,11 @@ def _check(dim, n, T, nu, monkeypatch=None, budget=None):
         np.asarray(pj.residual(x, b, cols)), ref_r,
         rtol=1e-5, atol=1e-6 * np.abs(ref_r).max(),
     )
+    ref_a = np.asarray(lev.A_st.apply(x))
+    np.testing.assert_allclose(
+        np.asarray(pj.apply_A(x)), ref_a,
+        rtol=1e-5, atol=1e-6 * np.abs(ref_a).max(),
+    )
     return pj
 
 
