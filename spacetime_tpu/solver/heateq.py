@@ -248,6 +248,9 @@ class HeatSolver:
             big = use_stencil and int(np.prod(self.gs)) >= 100_000
             pallas_kron = big and jax.default_backend() not in ("cpu",)
         self.pallas_kron = bool(pallas_kron) and use_stencil
+        # Explicitly-requested pallas on the CPU backend runs the kernels in
+        # interpret mode (tests exercise the fused apply_S branch this way).
+        self._pl_interpret = jax.default_backend() == "cpu"
         self._kron: dict = {}
         self._ms_pl: dict = {}
         self._params_cache: dict = {}
@@ -293,7 +296,7 @@ class HeatSolver:
 
             if KronPallas.supported(self.gs, self.N, dtype):
                 M_st, A_st = self._st_ops
-                kp = KronPallas(M_st, A_st, h, dtype)
+                kp = KronPallas(M_st, A_st, h, dtype, interpret=self._pl_interpret)
                 self._kron[key] = kp
                 p["kron"] = kp.params
         if self.spatial_format in ("dia", "ell"):
@@ -333,7 +336,8 @@ class HeatSolver:
                 # (255² level-1 included at 513²+ solves); smaller levels
                 # stay XLA where launch overhead dominates either way.
                 self._ms_pl[key] = [
-                    MSPallasLevel(lev.A_st, lev.M_st, self.N + 1, dtype, self.mg_nu)
+                    MSPallasLevel(lev.A_st, lev.M_st, self.N + 1, dtype,
+                                  self.mg_nu, interpret=self._pl_interpret)
                     if (lev.n - 1) ** self._mg_dim >= 40_000
                     else None
                     for lev in self.msmg.levels

@@ -184,6 +184,35 @@ def test_supported_gate():
     assert KronPallas.supported((7, 7, 7), 8, jnp.bfloat16)
 
 
+def test_solver_fused_apply_S_matches_xla():
+    """End-to-end: HeatSolver's stab-fused pallas apply_S branch (interpret
+    mode on CPU) must match the XLA branch, and a full solve must keep the
+    oracle iteration count."""
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(16))
+    grid = uniform_time_grid(4)
+    mk = lambda pk: HeatSolver(
+        problem, system, grid, dtype=jnp.float32, pallas_kron=pk
+    )
+    s_pl, s_xla = mk(True), mk(False)
+    assert s_pl.pallas_kron and not s_xla.pallas_kron
+    rng = np.random.default_rng(5)
+    U = jnp.asarray(
+        rng.standard_normal((s_pl.N + 1,) + s_pl.gs), jnp.float32
+    )
+    a = np.asarray(s_pl.apply_S(U))
+    b = np.asarray(s_xla.apply_S(U))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5 * np.abs(b).max())
+    r = s_pl.solve(tol=1e-6, compute_error=False)
+    assert r.converged
+    # BASELINE.md: smooth2d 17x17x16ts = 11 iters (f64 oracle); f32
+    # reassociation is allowed the documented ±1 drift.
+    assert abs(r.iterations - 11) <= 1
+
+
 def test_solver_gate_off_on_cpu():
     """On the CPU test backend the solver must auto-disable pallas."""
     from spacetime_tpu.models import get_problem
