@@ -128,18 +128,25 @@ def _pick_blocks(T, gs, itemsize, extra: int = 0):
 
     ``extra``: additional live blocks beyond the plain-kernel working set
     (the stab-fused variants carry one more stencil temporary and one more
-    output block).
+    output block). Halving TB doubles the grid-program count and with it
+    the Mosaic compile time (see BASELINE.md caveats), so the unblocked
+    branch relaxes the budget instead of shrinking TB.
     """
     ny, nx = gs[-2], gs[-1]
     rest = int(np.prod(gs[:-2], dtype=int)) if len(gs) > 2 else 1
-    lf = _live_factor(len(gs)) + extra
+    base_lf = _live_factor(len(gs))
+    lf = base_lf + extra
+    # Unblocked branch: relax the budget proportionally so the stab variants
+    # keep the plain TB (same grid-program count, ~25% larger live set —
+    # well under the 110 MB scoped limit at every unblocked shape).
+    budget = _VMEM_BUDGET * lf // base_lf
     per_row = rest * nx * itemsize  # one y-row across the other axes
     TB = 1
     for cand in (64, 32, 16, 8, 4, 2):
-        if T % cand == 0 and cand * (ny + 2) * per_row * lf <= _VMEM_BUDGET:
+        if T % cand == 0 and cand * (ny + 2) * per_row * lf <= budget:
             TB = cand
             break
-    if TB * (ny + 2) * per_row * lf <= _VMEM_BUDGET:
+    if TB * (ny + 2) * per_row * lf <= budget:
         return TB, ny
     TB = 1
     for cand in (16, 8, 4, 2):

@@ -37,7 +37,9 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import kron_pallas as _kp
-from .kron_pallas import _HALO, _live_factor, _stencil, _weight_groups
+from .kron_pallas import (
+    _HALO, _i32_specs, _live_factor, _stencil, _weight_groups,
+)
 
 _SIGMA = 5.0 / 3.0  # theta/delta for the lmin = lmax/4 smoothing range
 
@@ -215,8 +217,8 @@ def _smooth_call(
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
-        in_specs=specs,
-        out_specs=out_spec,
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
         out_shape=jax.ShapeDtypeStruct((T,) + gs, b.dtype),
         interpret=interpret,
         **kwargs,
@@ -274,8 +276,8 @@ def _residual_call(
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
-        in_specs=specs,
-        out_specs=out_spec,
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
         out_shape=jax.ShapeDtypeStruct((T,) + gs, b.dtype),
         interpret=interpret,
         **kwargs,
@@ -328,8 +330,8 @@ def _apply_stencil_call(x, *, groups, gs, TB, YB, interpret=False):
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
-        in_specs=specs,
-        out_specs=out_spec,
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
         out_shape=jax.ShapeDtypeStruct((T,) + gs, x.dtype),
         interpret=interpret,
         **kwargs,
@@ -670,8 +672,8 @@ def _fused_pre_call(
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
-        in_specs=specs,
-        out_specs=[x_spec, rc_spec],
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([x_spec, rc_spec]),
         out_shape=[
             jax.ShapeDtypeStruct((T,) + rest + (ny, nx), b.dtype),
             jax.ShapeDtypeStruct((T,) + restc + (nyc, nxc), b.dtype),
@@ -805,8 +807,8 @@ def _fused_post_call(
     return pl.pallas_call(
         kernel,
         grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
-        in_specs=specs,
-        out_specs=out_spec,
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
         out_shape=jax.ShapeDtypeStruct((T,) + rest + (ny, nx), b.dtype),
         interpret=interpret,
         **kwargs,

@@ -45,19 +45,33 @@ def _make_kernel(nslots: int):
     return kernel
 
 
+def _fix(map_fn):
+    """Derive literal index-map components from the i32 program index —
+    Mosaic rejects maps whose components lower as i64 constants under
+    jax_enable_x64 (see ops/kron_pallas._i32_specs)."""
+
+    def fixed(rb, cidx):
+        z = rb * 0
+        return tuple(
+            z + v if isinstance(v, int) else v for v in map_fn(rb, cidx)
+        )
+
+    return fixed
+
+
 @functools.partial(jax.jit, static_argnames=("nrb", "nslots", "br", "bc", "interpret"))
 def _spmm_call(colidx, blocks, Xp, *, nrb, nslots, br, bc, interpret=False):
     T = Xp.shape[0]
 
     def x_spec(s):
-        return pl.BlockSpec((T, bc), lambda rb, cidx, s=s: (0, cidx[rb, s]))
+        return pl.BlockSpec((T, bc), _fix(lambda rb, cidx, s=s: (0, cidx[rb, s])))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(nrb,),
         in_specs=[x_spec(s) for s in range(nslots)]
-        + [pl.BlockSpec((1, nslots, br, bc), lambda rb, cidx: (rb, 0, 0, 0))],
-        out_specs=pl.BlockSpec((T, br), lambda rb, cidx: (0, rb)),
+        + [pl.BlockSpec((1, nslots, br, bc), _fix(lambda rb, cidx: (rb, 0, 0, 0)))],
+        out_specs=pl.BlockSpec((T, br), _fix(lambda rb, cidx: (0, rb))),
     )
     itemsize = Xp.dtype.itemsize
     kwargs = {}
@@ -101,7 +115,9 @@ class EllOperator:
         self.interpret = interpret
         self.params = {
             "blocks": jnp.asarray(ell.blocks, dtype),
-            "colidx": jnp.asarray(ell.colidx),
+            # int32: under x64 an int64 prefetch index would flow i64 into
+            # the BlockSpec index maps, which Mosaic fails to legalize.
+            "colidx": jnp.asarray(ell.colidx, jnp.int32),
         }
 
     def apply(self, U, p=None):
