@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")
     p.add_argument("--mg-cycles", type=int, default=3)
+    p.add_argument("--refined", action="store_true",
+                   help="mixed-precision iterative refinement (f32 inner PCG "
+                        "+ f64 residuals; backend=jax, pairs with --dtype f32 "
+                        "and tight --tol like 1e-8)")
     p.add_argument("--no-error", action="store_true",
                    help="skip L2 error computation")
     p.add_argument("--estimate-condition", action="store_true",
@@ -64,7 +68,10 @@ def main(argv=None) -> int:
     from .utils import use_cpu, use_tpu
     from .utils.profiling import PhaseTimer, write_jsonl
 
-    x64 = args.dtype == "f64" or args.backend == "oracle"
+    if args.refined and args.backend != "jax":
+        print("--refined requires --backend jax", file=sys.stderr)
+        return 2
+    x64 = args.dtype == "f64" or args.backend == "oracle" or args.refined
     if args.device == "cpu":
         use_cpu(x64=x64)
     elif args.device == "cpu8":
@@ -133,10 +140,15 @@ def main(argv=None) -> int:
 
                 solver = HeatSolver(problem, system, grid, **kwargs)
         with timer("solve (incl. compile)"):
-            res = solver.solve(
-                tol=args.tol, maxiter=args.maxiter,
-                compute_error=not args.no_error,
-            )
+            if args.refined:
+                res = solver.solve_refined(
+                    tol=args.tol, compute_error=not args.no_error,
+                )
+            else:
+                res = solver.solve(
+                    tol=args.tol, maxiter=args.maxiter,
+                    compute_error=not args.no_error,
+                )
 
     rel = res.residuals / res.residuals[0]
     print(

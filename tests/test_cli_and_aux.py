@@ -33,6 +33,20 @@ class TestCLI:
         # The paper's headline property: kappa(K_X S) uniformly small.
         assert rec["kappa_estimate"] < 10.0
 
+    def test_refined_flag(self, tmp_path):
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "jax", "--dtype", "f32", "--refined",
+            "--tol", "1e-8", "--space-n", "8", "--time-levels", "3",
+            "--out", str(out), "--no-error",
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        assert rec["converged"] and rec["final_rel_residual"] < 1e-8
+
+    def test_refined_requires_jax_backend(self):
+        assert run_main(["--backend", "oracle", "--refined"]) == 2
+
     def test_sharded_backend(self, tmp_path):
         out = tmp_path / "res.jsonl"
         rc = run_main([
