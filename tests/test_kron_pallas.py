@@ -176,7 +176,28 @@ def test_stab_fused_blocked_y(monkeypatch):
     )
 
 
-def test_supported_gate():
+def test_i32_specs_preserve_maps():
+    """The x64 legalization workaround must preserve index-map semantics
+    exactly (literals become program-index-derived values of the same int
+    value; traced components pass through)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    spec = pl.BlockSpec(
+        (8, 16, 128),
+        lambda ti, yi: (ti * 4 + 4, yi, 3),
+        memory_space=pltpu.VMEM,
+    )
+    [fixed] = kron_pallas._i32_specs([spec])
+    assert fixed.block_shape == spec.block_shape
+    out = jax.eval_shape(
+        lambda a, b: jnp.stack(jnp.broadcast_arrays(*fixed.index_map(a, b))),
+        jnp.int32(0), jnp.int32(0),
+    )
+    assert out.dtype == jnp.int32
+    got = fixed.index_map(jnp.int32(2), jnp.int32(5))
+    assert tuple(int(v) for v in got) == (12, 5, 3)
     assert not KronPallas.supported((15, 15), 8, jnp.float64)
     assert not KronPallas.supported(None, 8, jnp.float32)
     assert not KronPallas.supported((15,), 8, jnp.float32)
