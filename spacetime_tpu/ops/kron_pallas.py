@@ -453,6 +453,11 @@ class KronPallas:
         # Stab-fused variants hold ~2 extra live blocks (AD temporary + W),
         # so they get their own, possibly smaller, blocking.
         self.TBs, self.YBs = _pick_blocks(self.T, self.gs, itemsize, extra=2)
+        # Blocked-y stab kernels blow the 110 MB scoped-VMEM limit at the
+        # sizes that force blocking (measured 123.8 MB at 1023²×128 where the
+        # plain pair was already at ~108 MB): production callers keep the
+        # plain kernels + separate stab pass there (solver.apply_S).
+        self.stab_ok = self.YBs >= self.gs[-2]
         bc = lambda v: jnp.broadcast_to(
             jnp.asarray(v, dtype)[:, None, None], (self.T, 1, 128)
         ).copy()

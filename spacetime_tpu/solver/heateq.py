@@ -447,7 +447,7 @@ class HeatSolver:
     def apply_S(self, U, p=None):
         p = self.params if p is None else p
         kp = self._kron_for(U.dtype, p)
-        if kp is not None:
+        if kp is not None and kp.stab_ok:
             # Fused path: stab rides the B/Bᵀ kernels (no separate stencil
             # pass over U, no full-array three-way add).
             V, W = kp.apply_B_stab(U, p["kron"])
