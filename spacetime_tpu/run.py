@@ -57,6 +57,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip L2 error computation")
     p.add_argument("--estimate-condition", action="store_true",
                    help="Lanczos estimate of kappa(K_X S)")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the solve into DIR "
+                        "(view with TensorBoard/XProf; best-effort on "
+                        "experimental backends)")
     p.add_argument("--out", default="results.jsonl",
                    help="JSONL results file ('' to disable)")
     return p
@@ -139,7 +143,32 @@ def main(argv=None) -> int:
                 from .solver.heateq import HeatSolver
 
                 solver = HeatSolver(problem, system, grid, **kwargs)
-        with timer("solve (incl. compile)"):
+        import contextlib
+
+        @contextlib.contextmanager
+        def _maybe_trace():
+            if not args.profile:
+                yield
+                return
+            import jax
+
+            try:  # experimental backends may not support tracing
+                ctx = jax.profiler.trace(args.profile)
+                ctx.__enter__()
+            except Exception as e:
+                print(f"profiler trace unavailable: {e}", file=sys.stderr)
+                yield
+                return
+            try:
+                yield
+            finally:
+                try:
+                    ctx.__exit__(None, None, None)
+                    print(f"profiler trace written to {args.profile}")
+                except Exception as e:
+                    print(f"profiler trace unavailable: {e}", file=sys.stderr)
+
+        with timer("solve (incl. compile)"), _maybe_trace():
             if args.refined:
                 res = solver.solve_refined(
                     tol=args.tol, compute_error=not args.no_error,
