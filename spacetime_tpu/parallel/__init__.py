@@ -9,7 +9,13 @@ GSPMD from sharding annotations on one jitted program (the scaling-book
 recipe), not hand-written point-to-point calls.
 """
 
+from .explicit import ExplicitHeatSolver
 from .mesh import make_spacetime_mesh, make_time_mesh
 from .sharded import ShardedHeatSolver
 
-__all__ = ["make_time_mesh", "make_spacetime_mesh", "ShardedHeatSolver"]
+__all__ = [
+    "make_time_mesh",
+    "make_spacetime_mesh",
+    "ShardedHeatSolver",
+    "ExplicitHeatSolver",
+]

@@ -1,0 +1,452 @@
+"""Explicit-collectives time-sharded solver (shard_map + ppermute/psum).
+
+The GSPMD path (parallel/sharded.py) lets the compiler infer the collectives
+from sharding annotations. This module is the manual counterpart — the
+TPU-native analogue of the reference's hand-written MPI communication layer
+(SURVEY.md §2: `mpi_vector.py` halo exchange, `mpi_wavelets.py` levelwise
+tree comms, Allreduce dots): every transfer is an explicit `lax.ppermute` /
+`lax.psum` / `lax.all_gather` placed exactly where the algorithm needs it,
+and the per-device program is written against local shards. Two reasons to
+have it beyond fidelity to the reference design:
+
+- `pallas_call` does not auto-partition under GSPMD, so the fused Pallas
+  kernels (ops/kron_pallas.py, ops/mg_pallas.py) are single-device-only on
+  the GSPMD path. Under shard_map they apply per shard unchanged — their
+  zero-boundary semantics are exactly the partial-sum form needed here (see
+  "Layout" below), so the multichip path gets the same fused kernels as the
+  single-chip one.
+- The communication schedule is explicit and minimal: per CG iteration, one
+  boundary-row exchange for Bᵀ+stab (B needs none), two wavelet transforms
+  (one single-row ppermute pair per fine level + one small all_gather for
+  the coarse levels), and three psum'd dot products — nearest-neighbor
+  traffic rides ICI; nothing re-shards.
+
+Layout — duplicated halo rows
+-----------------------------
+With P devices and N = P·R timesteps, device d stores trial-space rows
+[dR, dR+R] — R+1 rows, the last duplicating device d+1's first row (the
+TPU analogue of an MPI ghost row that is kept permanently valid). Then:
+
+- `B` (trial→test) is fully local: rows dR..dR+R-1 of the output need
+  exactly U[dR..dR+R], all on-device.
+- `Bᵀ` (test→trial) computed on local test rows yields PARTIAL trial rows:
+  slot 0 is missing the contribution of V[dR-1] (on device d-1) and slot R
+  is missing V[dR+R] (on device d+1). One bidirectional single-row
+  ppermute completes both copies — and both devices add the two
+  contributions in the same (left, right) order, so twin rows stay
+  bitwise identical. The stabilization jump term and the RHS correction
+  have the same structure and ride the same exchange.
+- The existing Pallas Bᵀ kernel treats "row -1" as zero and emits the
+  final row from the last local test row — exactly these partials — so the
+  fused kernels transfer to the sharded path with T=R and no modification.
+- Dot products mask the duplicated slot (counted on the last device only)
+  and psum.
+
+Wavelet transform — levelwise with tree communication
+-----------------------------------------------------
+On the uniform dyadic grid (N = 2^J, P = 2^p), wavelet level j has stride
+s = N >> j. For fine levels (s < R) all created nodes are strictly interior
+to their shard, parents are at worst the shard-boundary rows, and the level
+update is a device-uniform static strided-slice operation plus the same
+single-row boundary-increment exchange as Bᵀ. For coarse levels (s ≥ R)
+every participating row is a shard-boundary row (a multiple of R): the P+1
+boundary rows are all_gather'd once per transform and the coarse levels are
+applied redundantly on every device (O(P) rows of work — the log-depth
+tail the reference also accepts, SURVEY.md §3.3). Graded time grids are
+served by the GSPMD path; this one requires the uniform grid.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..solver.heateq import HeatSolver, _dot
+from ..solver.pcg import PCGResult, pcg
+
+try:  # JAX >= 0.6 exposes shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover - older jax
+    from jax.experimental.shard_map import shard_map
+
+
+class ExplicitHeatSolver(HeatSolver):
+    """HeatSolver over a 1-D ``time`` mesh with hand-placed collectives."""
+
+    def __init__(self, problem, system, grid, mesh: Mesh, **kwargs):
+        if tuple(mesh.axis_names) != ("time",):
+            raise ValueError("explicit path expects a 1-D ('time',) mesh")
+        nP = mesh.shape["time"]
+        N = grid.num_intervals
+        if N % nP or (nP & (nP - 1)):
+            raise ValueError(
+                f"need power-of-two device count dividing N_t (got P={nP}, "
+                f"N={N}); use ShardedHeatSolver (GSPMD) otherwise"
+            )
+        kwargs.setdefault("pallas_kron", False)
+        if kwargs.get("spatial_format") == "ell":
+            raise ValueError("blocked-ELL spatial path: use ShardedHeatSolver")
+        super().__init__(problem, system, grid, **kwargs)
+        if not self.wt.is_uniform:
+            raise ValueError(
+                "explicit path requires the uniform dyadic time grid; "
+                "graded grids are served by ShardedHeatSolver"
+            )
+        self.mesh = mesh
+        self.P = nP
+        self.R = N // nP
+        self.p_log = nP.bit_length() - 1
+        self.J = self.wt.num_levels
+        self._fwd = [(d, d + 1) for d in range(nP - 1)]
+        self._bwd = [(d + 1, d) for d in range(nP - 1)]
+        self._eparams_cache: dict = {}
+
+    # ------------------------------------------------------------- params
+
+    def _dup_rows(self, a: np.ndarray) -> np.ndarray:
+        """(N+1, ...) per-trial-row data -> duplicated layout (P*(R+1), ...)."""
+        idx = (
+            np.arange(self.P)[:, None] * self.R + np.arange(self.R + 1)[None]
+        ).reshape(-1)
+        return np.asarray(a)[idx]
+
+    def eparams_for(self, dtype):
+        """(global param pytree, matching PartitionSpec pytree). Sharded
+        leaves carry their per-device block on axis 0; replicated leaves are
+        whole. Cached per dtype like HeatSolver.params_for."""
+        key = jnp.dtype(dtype).name
+        if key in self._eparams_cache:
+            return self._eparams_cache[key]
+        from ..ops.stencil import row_scale
+
+        cast = lambda x: jnp.asarray(x, dtype)
+        h = self._host["h"]
+        t_spec = P(*(("time",) + (None,) * len(self.gs)))
+        repl = P()
+        ep = {
+            "h_half": row_scale(0.5 * h, self.gs, dtype),
+            "h_stab": row_scale(h / 16.0, self.gs, dtype),
+            "inv_h": row_scale(1.0 / h, self.gs, dtype),
+        }
+        es = {"h_half": t_spec, "h_stab": t_spec, "inv_h": t_spec}
+        if self.spatial_format == "dia":
+            ep["dia_Mv"] = cast(self._dia_host["Mv"])
+            ep["dia_Av"] = cast(self._dia_host["Av"])
+            es["dia_Mv"] = repl
+            es["dia_Av"] = repl
+
+        # Level one-hots for the two boundary slots (their wavelet level is
+        # device-dependent, so level selection there is data-driven; interior
+        # slots use device-uniform static slices).
+        lvl = self.wt.node_level
+        n_lvl = self.J + 1
+        bnd_lvl = np.stack(
+            [lvl[np.arange(self.P) * self.R], lvl[np.arange(self.P) * self.R + self.R]],
+            axis=1,
+        ).reshape(-1)  # (2P,) levels of slots [0, R] per device
+        onehot2 = np.zeros((2 * self.P, n_lvl))
+        onehot2[np.arange(2 * self.P), bnd_lvl] = 1.0
+        ep["onehot2"] = cast(onehot2)
+        es["onehot2"] = P("time", None)
+
+        if self.inner == "dense":
+            ep["Kx_inv"] = cast(self._host["Kx_inv"])
+            ep["Minv"] = cast(self._host["Minv"])
+            ep["sandwich"] = [cast(S) for S in self._host["sandwich"]]
+            es["Kx_inv"] = repl
+            es["Minv"] = repl
+            es["sandwich"] = [repl for _ in ep["sandwich"]]
+        else:
+            ep["mg_cinv_ky"] = cast(self._host["mg_cinv_ky"])
+            ep["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
+            es["mg_cinv_ky"] = repl
+            es["mg_cinv"] = [repl for _ in ep["mg_cinv"]]
+            ep["ms_ky"] = self.msmg.row_params(self._host["omega_ky"], dtype)
+            ep["ms_kx"] = self.msmg.row_params(
+                self._dup_rows(self._host["omega_kx"]), dtype
+            )
+            lvl_spec = lambda d: {k: P(*(("time",) + (None,) * (v.ndim - 1)))
+                                  for k, v in d.items()}
+            es["ms_ky"] = [lvl_spec(d) for d in ep["ms_ky"]]
+            es["ms_kx"] = [lvl_spec(d) for d in ep["ms_kx"]]
+
+        # Wavelet level arrays: fine levels sharded (their node count is a
+        # multiple of P), coarse levels replicated (≤ P/2 nodes).
+        fine, coarse = [], []
+        fine_s, coarse_s = [], []
+        for j, lev in enumerate(self.levels_of_wt(), start=1):
+            d = {
+                "wl": cast(lev.wl[:, None]),
+                "wr": cast(lev.wr[:, None]),
+                "s": cast(lev.s[:, None]),
+            }
+            if j > self.p_log:
+                fine.append(d)
+                fine_s.append({k: P("time", None) for k in d})
+            else:
+                coarse.append(d)
+                coarse_s.append({k: repl for k in d})
+        ep["w_fine"], ep["w_coarse"] = fine, coarse
+        es["w_fine"], es["w_coarse"] = fine_s, coarse_s
+        self._eparams_cache[key] = (ep, es)
+        return ep, es
+
+    def levels_of_wt(self):
+        return self.wt.levels
+
+    # -------------------------------------------------- local collectives
+
+    def _exchange_boundary(self, part):
+        """Complete partial trial-row arrays: global row dR = (device d-1's
+        slot-R partial) + (device d's slot-0 partial), accumulated in that
+        order on both owners so twin rows stay bitwise identical."""
+        from_left = lax.ppermute(part[self.R], "time", self._fwd)
+        from_right = lax.ppermute(part[0], "time", self._bwd)
+        part = part.at[0].set(from_left + part[0])
+        return part.at[self.R].set(part[self.R] + from_right)
+
+    def _dot_local(self, a, b):
+        """Global inner product: local rows 0..R-1 everywhere, the
+        duplicated slot R counted on the last device only, then psum."""
+        s = jnp.vdot(a[: self.R], b[: self.R])
+        last = (lax.axis_index("time") == self.P - 1).astype(a.dtype)
+        return lax.psum(s + last * jnp.vdot(a[self.R], b[self.R]), "time")
+
+    # --------------------------------------------------- wavelet (sharded)
+
+    def _gather_boundary(self, y):
+        """(R+1, m) local -> (P+1, m) gathered shard-boundary rows."""
+        both = lax.all_gather(y[jnp.array([0, self.R])], "time")  # (P, 2, m)
+        return jnp.concatenate([both[:, 0], both[-1:, 1]], axis=0)
+
+    def _scatter_boundary(self, y, G):
+        d = lax.axis_index("time")
+        y = y.at[0].set(lax.dynamic_index_in_dim(G, d, keepdims=False))
+        return y.at[self.R].set(
+            lax.dynamic_index_in_dim(G, d + 1, keepdims=False)
+        )
+
+    def _fine_slices(self, j: int):
+        """Local slot slices of fine level j (device-uniform: dR ≡ 0 mod 2s)."""
+        s = self.N >> j
+        mid = slice(s, self.R, 2 * s)
+        left = slice(0, self.R - 2 * s + 1, 2 * s)
+        right = slice(2 * s, self.R + 1, 2 * s)
+        left_int = slice(2 * s, self.R - 2 * s + 1, 2 * s)
+        right_int = slice(2 * s, self.R, 2 * s)
+        return mid, left, right, left_int, right_int
+
+    def _wavelet_forward_local(self, C, ep):
+        """Synthesis W on the duplicated local layout ((R+1, m) -> same).
+        Mirrors ops/wavelets.forward_jax levelwise; see module docstring for
+        the coarse/fine communication split."""
+        rs0, rs1 = float(self.wt.root_s[0]), float(self.wt.root_s[1])
+        # Coarse phase on the gathered boundary rows (redundant per device).
+        G = self._gather_boundary(C)
+        Gv = jnp.zeros_like(G)
+        Gv = Gv.at[0].set(rs0 * G[0])
+        Gv = Gv.at[-1].set(rs1 * G[-1])
+        for j in range(1, self.p_log + 1):
+            sk = self.P >> j
+            mid = slice(sk, self.P, 2 * sk)
+            left = slice(0, self.P - 2 * sk + 1, 2 * sk)
+            right = slice(2 * sk, self.P + 1, 2 * sk)
+            lw = ep["w_coarse"][j - 1]
+            t = lw["s"] * G[mid]
+            interp = 0.5 * (Gv[left] + Gv[right])
+            Gv = Gv.at[left].add(lw["wl"] * t)
+            Gv = Gv.at[right].add(lw["wr"] * t)
+            Gv = Gv.at[mid].set(t + interp)
+        v = jnp.zeros_like(C)
+        v = self._scatter_boundary(v, Gv)
+        # Fine phase: local strided updates + boundary-increment exchange.
+        for j in range(self.p_log + 1, self.J + 1):
+            mid, left, right, left_int, right_int = self._fine_slices(j)
+            lw = ep["w_fine"][j - self.p_log - 1]
+            t = lw["s"] * C[mid]
+            interp = 0.5 * (v[left] + v[right])
+            incL = lw["wl"] * t
+            incR = lw["wr"] * t
+            v = v.at[left_int].add(incL[1:])
+            v = v.at[right_int].add(incR[:-1])
+            recvL = lax.ppermute(incR[-1], "time", self._fwd)
+            recvR = lax.ppermute(incL[0], "time", self._bwd)
+            v = v.at[0].add(recvL + incL[0])
+            v = v.at[self.R].add(incR[-1] + recvR)
+            v = v.at[mid].set(t + interp)
+        return v
+
+    def _wavelet_adjoint_local(self, X, ep):
+        """Transpose W' on the duplicated local layout ((R+1, m) -> same)."""
+        y = jnp.asarray(X)
+        for j in range(self.J, self.p_log, -1):
+            mid, left, right, left_int, right_int = self._fine_slices(j)
+            lw = ep["w_fine"][j - self.p_log - 1]
+            t = y[mid]
+            a = y[left]
+            b = y[right]
+            ht = 0.5 * t
+            y = y.at[left_int].add(ht[1:])
+            y = y.at[right_int].add(ht[:-1])
+            recvL = lax.ppermute(ht[-1], "time", self._fwd)
+            recvR = lax.ppermute(ht[0], "time", self._bwd)
+            y = y.at[0].add(recvL + ht[0])
+            y = y.at[self.R].add(ht[-1] + recvR)
+            y = y.at[mid].set(lw["s"] * (t + lw["wl"] * a + lw["wr"] * b))
+        G = self._gather_boundary(y)
+        for j in range(self.p_log, 0, -1):
+            sk = self.P >> j
+            mid = slice(sk, self.P, 2 * sk)
+            left = slice(0, self.P - 2 * sk + 1, 2 * sk)
+            right = slice(2 * sk, self.P + 1, 2 * sk)
+            lw = ep["w_coarse"][j - 1]
+            t = G[mid]
+            a = G[left]
+            b = G[right]
+            G = G.at[left].add(0.5 * t)
+            G = G.at[right].add(0.5 * t)
+            G = G.at[mid].set(lw["s"] * (t + lw["wl"] * a + lw["wr"] * b))
+        G = G.at[0].multiply(float(self.wt.root_s[0]))
+        G = G.at[-1].multiply(float(self.wt.root_s[1]))
+        return self._scatter_boundary(y, G)
+
+    # ------------------------------------------------------ operators
+
+    def _apply_S_local(self, U, ep):
+        Vt = self.apply_KY(self.apply_B(U, ep), ep)
+        part = self.apply_BT(Vt, ep) + self.apply_stab(U, ep)
+        out = self._exchange_boundary(part)
+        mask0 = (lax.axis_index("time") == 0).astype(U.dtype)
+        return out.at[0].add(mask0 * self._trace_row(U, ep)[0])
+
+    def _coarse_by_level_local(self, bc, ep):
+        """Multi-shift coarse solve, duplicated layout: interior slots via
+        device-uniform fine-level slices, boundary slots via the level
+        one-hot (cf. HeatSolver._coarse_by_level's global strided slices)."""
+        flat = bc.reshape(self.R + 1, -1)
+        out = flat
+        for j in range(self.p_log + 1, self.J + 1):
+            s = self.N >> j
+            sl = slice(s, self.R, 2 * s)
+            out = out.at[sl].set(_dot(flat[sl], ep["mg_cinv"][j]))
+        rows2 = flat[jnp.array([0, self.R])]
+        acc = jnp.zeros_like(rows2)
+        for j in range(self.J + 1):
+            acc = acc + ep["onehot2"][:, j : j + 1] * _dot(rows2, ep["mg_cinv"][j])
+        out = out.at[jnp.array([0, self.R])].set(acc)
+        return out.reshape(bc.shape)
+
+    def _sandwich_local(self, C, ep):
+        """Dense-inner K_X middle block, duplicated layout (cf.
+        HeatSolver.apply_KX's uniform-grid strided slices)."""
+        out = C
+        for j in range(self.p_log + 1, self.J + 1):
+            s = self.N >> j
+            sl = slice(s, self.R, 2 * s)
+            out = out.at[sl].set(_dot(C[sl], ep["sandwich"][j]))
+        rows2 = C[jnp.array([0, self.R])]
+        acc = jnp.zeros_like(rows2)
+        for j in range(self.J + 1):
+            acc = acc + ep["onehot2"][:, j : j + 1] * _dot(rows2, ep["sandwich"][j])
+        return out.at[jnp.array([0, self.R])].set(acc)
+
+    def _apply_KX_local(self, Rr, ep):
+        C = self._wavelet_adjoint_local(Rr.reshape(self.R + 1, self.m), ep)
+        if self.inner == "mg":
+            X = C.reshape((self.R + 1,) + self.gs)
+            msolve = lambda Z: self.msmg.solve(
+                Z, ep["ms_kx"], lambda bc: self._coarse_by_level_local(bc, ep),
+                self.mg_cycles_kx,
+            )
+            X = msolve(X)
+            X = self._spmv_A(X, ep)
+            X = msolve(X)
+            C = X.reshape(self.R + 1, self.m)
+        else:
+            C = self._sandwich_local(C, ep)
+        return self._wavelet_forward_local(C, ep).reshape(Rr.shape)
+
+    def _rhs_local(self, gL, gR, u0_vec, ep):
+        part = self.apply_BT(self.apply_KY(gL + gR, ep), ep)
+        corr = 0.25 * (gL - gR)
+        z = self._zrow(gL.dtype)
+        part = part - jnp.concatenate([z, corr]) + jnp.concatenate([corr, z])
+        f = self._exchange_boundary(part)
+        u0g = u0_vec.reshape((1,) + self.gs)
+        f0 = self._spmv_M(self._apply_Minv(u0g, ep), ep)
+        mask0 = (lax.axis_index("time") == 0).astype(f.dtype)
+        return f.at[0].add(mask0 * f0[0])
+
+    # ---------------------------------------------------------- solve
+
+    def _loop_mode(self) -> str:
+        if self.loop not in ("auto", "while"):
+            raise ValueError("explicit path supports the while-loop driver only")
+        return "while"
+
+    def _build_solve(self, tol: float, maxiter: int, warm: bool = False):
+        ep, es = self.eparams_for(self.dtype)
+        gspec = P(*(("time",) + (None,) * len(self.gs)))
+
+        def local_run(gL, gR, u0_vec, p, x0):
+            f = self._rhs_local(gL, gR, u0_vec, p)
+            out = pcg(
+                lambda U: self._apply_S_local(U, p),
+                lambda Rr: self._apply_KX_local(Rr, p),
+                f,
+                tol,
+                maxiter,
+                x0=x0 if warm else None,
+                dot=self._dot_local,
+            )
+            # Scalar/history outputs are returned tiled (leading device axis)
+            # so no replication annotation is needed; host takes row 0.
+            tile = lambda x: x[None]
+            return (
+                out.U,
+                tile(out.iterations),
+                tile(out.residuals),
+                tile(out.precond_residuals),
+                tile(out.converged),
+            )
+
+        mapped = shard_map(
+            local_run,
+            mesh=self.mesh,
+            in_specs=(gspec, gspec, P(), es, gspec),
+            out_specs=(gspec, P("time"), P("time", None), P("time", None),
+                       P("time")),
+        )
+        jitted = jax.jit(mapped)
+
+        def run(gL, gR, u0_vec, p, x0):
+            U, it, res, pres, done = jitted(gL, gR, u0_vec, p, x0)
+            return PCGResult(
+                U=U, iterations=it[0], residuals=res[0],
+                precond_residuals=pres[0], converged=done[0],
+            )
+
+        return run
+
+    def _solve_params(self):
+        return self.eparams_for(self.dtype)[0]
+
+    def _prepare_x0(self, x0):
+        if x0 is None:
+            full = np.zeros((self.N + 1, self.m), self.dtype)
+        else:
+            full = np.asarray(x0, self.dtype).reshape(self.N + 1, self.m)
+        return jnp.asarray(
+            self._dup_rows(full).reshape((self.P * (self.R + 1),) + self.gs)
+        )
+
+    def _postprocess_U(self, U_dev) -> np.ndarray:
+        U = np.asarray(U_dev).reshape(self.P, self.R + 1, self.m)
+        return np.concatenate(
+            [U[:, : self.R].reshape(-1, self.m), U[-1, self.R :]], axis=0
+        )

@@ -407,7 +407,9 @@ class HeatSolver:
     def apply_KY(self, V, p=None):
         p = self.params if p is None else p
         if self.inner == "dense":
-            flat = V.reshape(self.N, self.m)
+            # -1, not self.N: the explicit shard_map path (parallel/explicit)
+            # applies this to per-device row blocks.
+            flat = V.reshape(-1, self.m)
             sol = _dot(flat, p["Kx_inv"]).reshape(V.shape)
         else:
             def coarse(bc):
@@ -605,6 +607,24 @@ class HeatSolver:
             precond_residuals=state.pres, converged=state.done,
         )
 
+    # Layout hooks — overridden by the explicit shard_map path
+    # (parallel/explicit), whose device iterate uses a duplicated-halo-row
+    # layout rather than the plain (N+1, *gs) array.
+
+    def _solve_params(self):
+        """Params pytree handed to the jitted solve."""
+        return self.params
+
+    def _prepare_x0(self, x0):
+        """Initial iterate in device layout."""
+        if x0 is None:
+            return jnp.zeros((self.N + 1,) + self.gs, self.dtype)
+        return jnp.asarray(x0, self.dtype).reshape((self.N + 1,) + self.gs)
+
+    def _postprocess_U(self, U_dev) -> np.ndarray:
+        """Device iterate -> host (N+1, m) array."""
+        return np.asarray(U_dev).reshape(self.N + 1, self.m)
+
     def solve(
         self,
         tol: float = 1e-6,
@@ -621,13 +641,11 @@ class HeatSolver:
             build = self._build_solve if mode == "while" else self._build_chunked
             self._solve_jit_cache[key] = build(tol, maxiter, x0 is not None)
         gL, gR, u0_vec = self.assemble_rhs_host()
-        if x0 is None:
-            x0_dev = jnp.zeros((self.N + 1,) + self.gs, self.dtype)
-        else:
-            x0_dev = jnp.asarray(x0, self.dtype).reshape((self.N + 1,) + self.gs)
+        x0_dev = self._prepare_x0(x0)
+        params = self._solve_params()
         t0 = _time.perf_counter()
         if mode == "while":
-            out = self._solve_jit_cache[key](gL, gR, u0_vec, self.params, x0_dev)
+            out = self._solve_jit_cache[key](gL, gR, u0_vec, params, x0_dev)
         else:
             out = self._run_chunked(
                 self._solve_jit_cache[key], gL, gR, u0_vec, x0_dev, maxiter
@@ -641,7 +659,7 @@ class HeatSolver:
         converged = bool(out.converged)
         solve_seconds = _time.perf_counter() - t0
         t0 = _time.perf_counter()
-        U_flat = np.asarray(out.U).reshape(self.N + 1, self.m)
+        U_flat = self._postprocess_U(out.U)
         transfer_seconds = _time.perf_counter() - t0
         out = PCGResult(U_flat, it, residuals, pres, converged)
         if checkpoint_path is not None:

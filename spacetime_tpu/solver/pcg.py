@@ -31,23 +31,35 @@ def pcg(
     tol: float,
     maxiter: int,
     x0: jax.Array | None = None,
+    dot: Callable | None = None,
 ) -> PCGResult:
     """Solve S u = f with preconditioner K_X; stops at ||r|| <= tol*||f||.
 
     Trace-compatible: ``maxiter`` bounds the history buffer; the while_loop
     exits early on convergence. ``x0`` warm-starts the iteration (restart
     semantics — used by checkpoint/resume for long runs).
+
+    ``dot``: inner-product override for manually-partitioned (shard_map)
+    callers — must return the GLOBAL <a, b> (e.g. masked local vdot +
+    lax.psum); norms are then derived as sqrt(dot(x, x)). The default keeps
+    jnp.vdot / jnp.linalg.norm so single-device residual histories stay
+    bitwise stable against the recorded oracle baselines.
     """
     dtype = f.dtype
     nan = jnp.array(jnp.nan, dtype)
+    if dot is None:
+        dot = jnp.vdot
+        norm = jnp.linalg.norm
+    else:
+        norm = lambda x: jnp.sqrt(dot(x, x))
 
     U0 = jnp.zeros_like(f) if x0 is None else x0
     R0 = f - apply_S(U0)
     Z0 = apply_KX(R0)
     P0 = Z0
-    rz0 = jnp.vdot(R0, Z0)
-    fnorm = jnp.linalg.norm(f)
-    res0 = jnp.full((maxiter + 1,), nan).at[0].set(jnp.linalg.norm(R0))
+    rz0 = dot(R0, Z0)
+    fnorm = norm(f)
+    res0 = jnp.full((maxiter + 1,), nan).at[0].set(norm(R0))
     pres0 = jnp.full((maxiter + 1,), nan).at[0].set(
         jnp.sqrt(jnp.maximum(rz0, 0.0))
     )
@@ -59,13 +71,13 @@ def pcg(
     def body(state):
         it, U, R, P, rz, res, pres, done = state
         SP = apply_S(P)
-        alpha = rz / jnp.vdot(P, SP)
+        alpha = rz / dot(P, SP)
         U = U + alpha * P
         R = R - alpha * SP
-        rnorm = jnp.linalg.norm(R)
+        rnorm = norm(R)
         res = res.at[it + 1].set(rnorm)
         Z = apply_KX(R)
-        rz_new = jnp.vdot(R, Z)
+        rz_new = dot(R, Z)
         pres = pres.at[it + 1].set(jnp.sqrt(jnp.maximum(rz_new, 0.0)))
         done = rnorm <= tol * fnorm
         P = Z + (rz_new / rz) * P

@@ -1,0 +1,128 @@
+"""Explicit-collectives (shard_map) path: parity vs the serial solver.
+
+The manual counterpart of tests/test_sharded.py (SURVEY.md §4 serial-vs-MPI
+equality): the duplicated-halo-row layout, hand-placed ppermute halo
+exchanges, psum dots, and the levelwise sharded wavelet transform must
+reproduce the serial residual histories to reduction-order rounding.
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from spacetime_tpu.fem import P1System, unit_cube_mesh, unit_square_mesh
+from spacetime_tpu.fem.timegrid import graded_time_grid, uniform_time_grid
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+from spacetime_tpu.solver.heateq import HeatSolver
+
+requires_multidevice = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _pair(problem_name, system, levels, ndev, tol=1e-6, **kw):
+    problem = get_problem(problem_name)
+    grid = uniform_time_grid(levels)
+    r1 = HeatSolver(problem, system, grid, **kw).solve(
+        tol=tol, compute_error=False
+    )
+    ex = ExplicitHeatSolver(problem, system, grid, make_time_mesh(ndev), **kw)
+    r2 = ex.solve(tol=tol, compute_error=False)
+    return r1, r2
+
+
+@requires_multidevice
+class TestExplicit:
+    def test_dense_inner_parity(self):
+        system = P1System.from_mesh(unit_square_mesh(8))
+        r1, r2 = _pair("smooth2d", system, 4, 8)
+        assert r2.converged
+        assert r2.iterations == r1.iterations
+        np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-9)
+        np.testing.assert_allclose(r2.U, r1.U, atol=1e-10)
+
+    def test_one_row_per_device(self):
+        # R=1: every trial row is a shard boundary; the wavelet transform is
+        # entirely in its gathered coarse phase.
+        system = P1System.from_mesh(unit_square_mesh(8))
+        r1, r2 = _pair("smooth2d", system, 3, 8)
+        assert r2.iterations == r1.iterations
+        np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-9)
+
+    def test_smaller_device_count(self):
+        system = P1System.from_mesh(unit_square_mesh(8))
+        r1, r2 = _pair("smooth2d", system, 4, 4)
+        assert r2.iterations == r1.iterations
+        np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-9)
+
+    def test_mg_inner_parity(self):
+        system = P1System.from_mesh(unit_square_mesh(16))
+        r1, r2 = _pair("smooth2d", system, 5, 8, inner="mg", space_n=16)
+        assert r2.iterations == r1.iterations
+        np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-9)
+
+    def test_3d_parity(self):
+        system = P1System.from_mesh(unit_cube_mesh(8))
+        r1, r2 = _pair("smooth3d", system, 4, 8)
+        assert r2.iterations == r1.iterations
+        np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-9)
+
+    def test_wavelet_roundtrip_and_adjoint(self):
+        # Sharded W and W' against the serial NumPy transform directly.
+        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
+        try:
+            shard_map = jax.shard_map
+        except AttributeError:
+            from jax.experimental.shard_map import shard_map
+
+        system = P1System.from_mesh(unit_square_mesh(4))
+        grid = uniform_time_grid(5)  # N=32, R=4
+        mesh = make_time_mesh(8)
+        ex = ExplicitHeatSolver(get_problem("smooth2d"), system, grid, mesh)
+        ep, es = ex.eparams_for(ex.dtype)
+        rng = np.random.default_rng(0)
+        C = rng.standard_normal((ex.N + 1, ex.m))
+
+        fwd = shard_map(
+            lambda c, p: ex._wavelet_forward_local(c, p),
+            mesh=mesh, in_specs=(P("time", None), es), out_specs=P("time", None),
+        )
+        adj = shard_map(
+            lambda x, p: ex._wavelet_adjoint_local(x, p),
+            mesh=mesh, in_specs=(P("time", None), es), out_specs=P("time", None),
+        )
+        Cdup = jnp.asarray(ex._dup_rows(C))
+        Vdup = fwd(Cdup, ep)
+        V = ex._postprocess_U(Vdup)
+        np.testing.assert_allclose(V, ex.wt.forward_np(C), rtol=1e-12, atol=1e-12)
+        Ydup = adj(Cdup, ep)
+        Y = ex._postprocess_U(Ydup)
+        np.testing.assert_allclose(Y, ex.wt.adjoint_np(C), rtol=1e-12, atol=1e-12)
+        # Twin rows must agree (bitwise-targeted, asserted to fp slack).
+        Vd = np.asarray(Vdup).reshape(ex.P, ex.R + 1, ex.m)
+        np.testing.assert_array_equal(Vd[:-1, ex.R], Vd[1:, 0])
+
+    def test_rejects_graded_grid(self):
+        system = P1System.from_mesh(unit_square_mesh(8))
+        with pytest.raises(ValueError):
+            ExplicitHeatSolver(
+                get_problem("singular2d"), system, graded_time_grid(3, 3),
+                make_time_mesh(8),
+            )
+
+    def test_rejects_nondivisible(self):
+        system = P1System.from_mesh(unit_square_mesh(8))
+        with pytest.raises(ValueError):
+            ExplicitHeatSolver(
+                get_problem("smooth2d"), system, uniform_time_grid(2),
+                make_time_mesh(8),
+            )
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
