@@ -76,9 +76,16 @@ except AttributeError:  # pragma: no cover - older jax
 
 
 class ExplicitHeatSolver(HeatSolver):
-    """HeatSolver over a 1-D ``time`` mesh with hand-placed collectives."""
+    """HeatSolver over a 1-D ``time`` mesh with hand-placed collectives.
 
-    def __init__(self, problem, system, grid, mesh: Mesh, **kwargs):
+    ``pallas``: use the fused Pallas kernels per shard ('auto' mirrors the
+    single-device size gate). Because shard_map hands each device its local
+    block, the kernels run with T = R unchanged — their zero-boundary
+    semantics produce exactly the partial rows the exchange completes.
+    """
+
+    def __init__(self, problem, system, grid, mesh: Mesh,
+                 pallas: bool | str = "auto", **kwargs):
         if tuple(mesh.axis_names) != ("time",):
             raise ValueError("explicit path expects a 1-D ('time',) mesh")
         nP = mesh.shape["time"]
@@ -88,7 +95,7 @@ class ExplicitHeatSolver(HeatSolver):
                 f"need power-of-two device count dividing N_t (got P={nP}, "
                 f"N={N}); use ShardedHeatSolver (GSPMD) otherwise"
             )
-        kwargs.setdefault("pallas_kron", False)
+        kwargs["pallas_kron"] = False  # base-class (global-T) kernels unused
         if kwargs.get("spatial_format") == "ell":
             raise ValueError("blocked-ELL spatial path: use ShardedHeatSolver")
         super().__init__(problem, system, grid, **kwargs)
@@ -105,6 +112,19 @@ class ExplicitHeatSolver(HeatSolver):
         self._fwd = [(d, d + 1) for d in range(nP - 1)]
         self._bwd = [(d + 1, d) for d in range(nP - 1)]
         self._eparams_cache: dict = {}
+        if pallas == "auto":
+            big = (
+                self.spatial_format == "stencil"
+                and int(np.prod(self.gs)) >= 100_000
+            )
+            pallas = big and jax.default_backend() not in ("cpu",)
+        self.epallas = bool(pallas) and self.spatial_format == "stencil"
+        # Same size gate as HeatSolver.params_for for the fused mg levels;
+        # overridable (tests lower it to exercise the kernels in interpret
+        # mode on tiny grids).
+        self.mg_pallas_min_points = 40_000
+        self._ekron: dict = {}
+        self._e_pl: dict = {}
 
     # ------------------------------------------------------------- params
 
@@ -174,6 +194,54 @@ class ExplicitHeatSolver(HeatSolver):
                                   for k, v in d.items()}
             es["ms_ky"] = [lvl_spec(d) for d in ep["ms_ky"]]
             es["ms_kx"] = [lvl_spec(d) for d in ep["ms_kx"]]
+
+        # Per-shard Pallas kernels: instances are built for the LOCAL row
+        # counts (T=R for the kron/K_Y test rows, R+1 for the duplicated
+        # trial rows); their per-row coefficient columns are global arrays
+        # sharded over 'time' like every other per-row quantity.
+        if self.epallas and jnp.dtype(dtype) != jnp.dtype(jnp.float64):
+            from ..ops.kron_pallas import KronPallas
+
+            if KronPallas.supported(self.gs, self.R, dtype):
+                M_st, A_st = self._st_ops
+                kp = KronPallas(
+                    M_st, A_st, h[: self.R], dtype,
+                    interpret=self._pl_interpret,
+                )
+                self._ekron[key] = kp
+                bc = lambda v: jnp.broadcast_to(
+                    jnp.asarray(v, dtype)[:, None, None], (self.N, 1, 128)
+                ).copy()
+                h_spec = P("time", None, None)
+                ep["kron"] = {"h128": bc(0.5 * h), "hs128": bc(h / 16.0)}
+                es["kron"] = {"h128": h_spec, "hs128": h_spec}
+            if self.inner == "mg":
+                from ..ops.mg_pallas import MSPallasLevel
+
+                mk = lambda rows: [
+                    MSPallasLevel(lev.A_st, lev.M_st, rows, dtype, self.mg_nu,
+                                  interpret=self._pl_interpret)
+                    if (lev.n - 1) ** self._mg_dim >= self.mg_pallas_min_points
+                    else None
+                    for lev in self.msmg.levels
+                ]
+                pls = {"kx": mk(self.R + 1), "ky": mk(self.R)}
+                self._e_pl[key] = pls
+                col_spec = {k: P("time", None, None)
+                            for k in ("omega", "invD", "invT", "invDel")}
+                for name, omr, which in (
+                    ("ms_ky", self._host["omega_ky"], "ky"),
+                    ("ms_kx", self._dup_rows(self._host["omega_kx"]), "kx"),
+                ):
+                    for lp, ls, pj, lev in zip(
+                        ep[name], es[name], pls[which], self.msmg.levels
+                    ):
+                        if pj is not None:
+                            lp["cols"] = MSPallasLevel.columns(lev, omr, dtype)
+                            ls["cols"] = col_spec
+                            if pj.fused_ok:
+                                lp["tx"] = pj.transfers(dtype)
+                                ls["tx"] = {k: repl for k in lp["tx"]}
 
         # Wavelet level arrays: fine levels sharded (their node count is a
         # multiple of P), coarse levels replicated (≤ P/2 nodes).
@@ -317,9 +385,41 @@ class ExplicitHeatSolver(HeatSolver):
 
     # ------------------------------------------------------ operators
 
+    def _ekron_for(self, dtype, p):
+        if "kron" not in p:
+            return None
+        return self._ekron.get(jnp.dtype(dtype).name)
+
+    def _e_pl_for(self, dtype, which):
+        pls = self._e_pl.get(jnp.dtype(dtype).name)
+        return pls[which] if pls is not None else None
+
+    def apply_KY(self, V, p=None):
+        p = self.params if p is None else p
+        if self.inner != "mg":
+            return super().apply_KY(V, p)
+
+        def coarse(bc):
+            lead = bc.shape[0]
+            return _dot(bc.reshape(lead, -1), p["mg_cinv_ky"]).reshape(bc.shape)
+
+        sol = self.msmg.solve(
+            V, p["ms_ky"], coarse, self.mg_cycles,
+            pallas=self._e_pl_for(V.dtype, "ky"),
+        )
+        return sol * p["inv_h"]
+
     def _apply_S_local(self, U, ep):
-        Vt = self.apply_KY(self.apply_B(U, ep), ep)
-        part = self.apply_BT(Vt, ep) + self.apply_stab(U, ep)
+        kp = self._ekron_for(U.dtype, ep)
+        if kp is not None and kp.stab_ok:
+            V, W = kp.apply_B_stab(U, ep["kron"])
+            part = kp.apply_BT_stab(self.apply_KY(V, ep), W, ep["kron"])
+        elif kp is not None:
+            Vt = self.apply_KY(kp.apply_B(U, ep["kron"]), ep)
+            part = kp.apply_BT(Vt, ep["kron"]) + self.apply_stab(U, ep)
+        else:
+            Vt = self.apply_KY(self.apply_B(U, ep), ep)
+            part = self.apply_BT(Vt, ep) + self.apply_stab(U, ep)
         out = self._exchange_boundary(part)
         mask0 = (lax.axis_index("time") == 0).astype(U.dtype)
         return out.at[0].add(mask0 * self._trace_row(U, ep)[0])
@@ -359,12 +459,16 @@ class ExplicitHeatSolver(HeatSolver):
         C = self._wavelet_adjoint_local(Rr.reshape(self.R + 1, self.m), ep)
         if self.inner == "mg":
             X = C.reshape((self.R + 1,) + self.gs)
+            pls = self._e_pl_for(X.dtype, "kx")
             msolve = lambda Z: self.msmg.solve(
                 Z, ep["ms_kx"], lambda bc: self._coarse_by_level_local(bc, ep),
-                self.mg_cycles_kx,
+                self.mg_cycles_kx, pallas=pls,
             )
             X = msolve(X)
-            X = self._spmv_A(X, ep)
+            if pls is not None and pls[0] is not None:
+                X = pls[0].apply_A(X)
+            else:
+                X = self._spmv_A(X, ep)
             X = msolve(X)
             C = X.reshape(self.R + 1, self.m)
         else:
@@ -372,7 +476,9 @@ class ExplicitHeatSolver(HeatSolver):
         return self._wavelet_forward_local(C, ep).reshape(Rr.shape)
 
     def _rhs_local(self, gL, gR, u0_vec, ep):
-        part = self.apply_BT(self.apply_KY(gL + gR, ep), ep)
+        kp = self._ekron_for(gL.dtype, ep)
+        KYg = self.apply_KY(gL + gR, ep)
+        part = kp.apply_BT(KYg, ep["kron"]) if kp is not None else self.apply_BT(KYg, ep)
         corr = 0.25 * (gL - gR)
         z = self._zrow(gL.dtype)
         part = part - jnp.concatenate([z, corr]) + jnp.concatenate([corr, z])
@@ -415,12 +521,16 @@ class ExplicitHeatSolver(HeatSolver):
                 tile(out.converged),
             )
 
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation; every output here is explicitly tiled over 'time', so
+        # the replication checker has nothing to prove anyway.
         mapped = shard_map(
             local_run,
             mesh=self.mesh,
             in_specs=(gspec, gspec, P(), es, gspec),
             out_specs=(gspec, P("time"), P("time", None), P("time", None),
                        P("time")),
+            check_vma=False,
         )
         jitted = jax.jit(mapped)
 

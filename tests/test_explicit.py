@@ -105,6 +105,55 @@ class TestExplicit:
         Vd = np.asarray(Vdup).reshape(ex.P, ex.R + 1, ex.m)
         np.testing.assert_array_equal(Vd[:-1, ex.R], Vd[1:, 0])
 
+    def test_pallas_kron_per_shard(self):
+        # Fused B/Bᵀ(+stab) kernels applied per shard (interpret mode on
+        # CPU): same solve as the XLA-stencil explicit path.
+        import jax.numpy as jnp
+
+        system = P1System.from_mesh(unit_square_mesh(16))
+        grid = uniform_time_grid(5)
+        mesh = make_time_mesh(8)
+        problem = get_problem("smooth2d")
+        r0 = ExplicitHeatSolver(
+            problem, system, grid, mesh, pallas=False, dtype=jnp.float32
+        ).solve(tol=1e-5, compute_error=False)
+        ex = ExplicitHeatSolver(
+            problem, system, grid, mesh, pallas=True, dtype=jnp.float32
+        )
+        r1 = ex.solve(tol=1e-5, compute_error=False)
+        assert ex._ekron, "kron kernels not built"
+        assert r1.iterations == r0.iterations
+        k = r0.iterations + 1
+        np.testing.assert_allclose(
+            r1.residuals[:k], r0.residuals[:k], rtol=1e-3
+        )
+
+    def test_pallas_mg_per_shard(self):
+        # Fused multigrid smoother kernels per shard, gate lowered so the
+        # tiny CI grid exercises them.
+        import jax.numpy as jnp
+
+        system = P1System.from_mesh(unit_square_mesh(16))
+        grid = uniform_time_grid(5)
+        mesh = make_time_mesh(8)
+        problem = get_problem("smooth2d")
+        ex = ExplicitHeatSolver(
+            problem, system, grid, mesh, pallas=True, dtype=jnp.float32,
+            inner="mg", space_n=16,
+        )
+        ex.mg_pallas_min_points = 1
+        r1 = ex.solve(tol=1e-5, compute_error=False)
+        assert any(p is not None for p in ex._e_pl_for(jnp.float32, "kx"))
+        r0 = ExplicitHeatSolver(
+            problem, system, grid, mesh, pallas=False, dtype=jnp.float32,
+            inner="mg", space_n=16,
+        ).solve(tol=1e-5, compute_error=False)
+        assert r1.iterations == r0.iterations
+        k = r0.iterations + 1
+        np.testing.assert_allclose(
+            r1.residuals[:k], r0.residuals[:k], rtol=1e-3
+        )
+
     def test_rejects_graded_grid(self):
         system = P1System.from_mesh(unit_square_mesh(8))
         with pytest.raises(ValueError):
