@@ -67,7 +67,7 @@ from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..solver.heateq import HeatSolver, _dot
-from ..solver.pcg import PCGResult, pcg
+from ..solver.pcg import PCGResult, pcg, pcg_fused
 
 try:  # JAX >= 0.6 exposes shard_map at top level
     shard_map = jax.shard_map
@@ -285,6 +285,19 @@ class ExplicitHeatSolver(HeatSolver):
         last = (lax.axis_index("time") == self.P - 1).astype(a.dtype)
         return lax.psum(s + last * jnp.vdot(a[self.R], b[self.R]), "time")
 
+    def _dot3_local(self, r, z, t):
+        """The pcg_fused reduction: ((r·z), (z·t), (r·r)) as ONE 3-vector
+        psum over the time axis (vs three separate psums for the standard
+        driver's dots) — the Allreduce-latency half of the single-reduction
+        CG variant; the algebraic half lives in solver/pcg.pcg_fused."""
+        last = (lax.axis_index("time") == self.P - 1).astype(r.dtype)
+        loc = lambda a, b: (
+            jnp.vdot(a[: self.R], b[: self.R])
+            + last * jnp.vdot(a[self.R], b[self.R])
+        )
+        v = lax.psum(jnp.stack([loc(r, z), loc(z, t), loc(r, r)]), "time")
+        return v[0], v[1], v[2]
+
     # --------------------------------------------------- wavelet (sharded)
 
     def _gather_boundary(self, y):
@@ -501,15 +514,26 @@ class ExplicitHeatSolver(HeatSolver):
 
         def local_run(gL, gR, u0_vec, p, x0):
             f = self._rhs_local(gL, gR, u0_vec, p)
-            out = pcg(
-                lambda U: self._apply_S_local(U, p),
-                lambda Rr: self._apply_KX_local(Rr, p),
-                f,
-                tol,
-                maxiter,
-                x0=x0 if warm else None,
-                dot=self._dot_local,
-            )
+            if self.pcg_variant == "fused":
+                out = pcg_fused(
+                    lambda U: self._apply_S_local(U, p),
+                    lambda Rr: self._apply_KX_local(Rr, p),
+                    f,
+                    tol,
+                    maxiter,
+                    x0=x0 if warm else None,
+                    dot3=self._dot3_local,
+                )
+            else:
+                out = pcg(
+                    lambda U: self._apply_S_local(U, p),
+                    lambda Rr: self._apply_KX_local(Rr, p),
+                    f,
+                    tol,
+                    maxiter,
+                    x0=x0 if warm else None,
+                    dot=self._dot_local,
+                )
             # Scalar/history outputs are returned tiled (leading device axis)
             # so no replication annotation is needed; host takes row 0.
             tile = lambda x: x[None]

@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solver.heateq import HeatSolver
-from ..solver.pcg import pcg
+from ..solver.pcg import pcg, pcg_fused
 
 
 class ShardedHeatSolver(HeatSolver):
@@ -57,10 +57,15 @@ class ShardedHeatSolver(HeatSolver):
         time_rows, repl = self._shardings()
         params_sh = jax.tree.map(lambda _: repl, self.params)
 
+        # 'fused' merges the three per-iteration dot reductions into one;
+        # under GSPMD the local partial-sums are inferred, and the three
+        # scalars reduce in a single all-reduce.
+        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+
         def run(gL, gR, u0_vec, p, x0):
             f = self.rhs_device(gL, gR, u0_vec, p)
             f = jax.lax.with_sharding_constraint(f, time_rows)
-            return pcg(
+            return drv(
                 lambda U: self.apply_S(U, p),
                 lambda R: self.apply_KX(R, p),
                 f,

@@ -38,8 +38,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="extra bisections toward t=0 (graded grid)")
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--maxiter", type=int, default=200)
-    p.add_argument("--backend", choices=["oracle", "jax", "sharded"],
-                   default="jax")
+    p.add_argument("--backend",
+                   choices=["oracle", "jax", "sharded", "explicit"],
+                   default="jax",
+                   help="oracle = NumPy parity reference; jax = jitted "
+                        "single-device; sharded = GSPMD time mesh; explicit "
+                        "= shard_map with hand-placed collectives")
     p.add_argument("--device", choices=["default", "cpu", "cpu8", "tpu"],
                    default="default",
                    help="platform selection (cpu8 = 8 virtual CPU devices)")
@@ -49,6 +53,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")
     p.add_argument("--mg-cycles", type=int, default=3)
+    p.add_argument("--pcg", choices=["standard", "fused"], default="standard",
+                   help="fused = single-reduction (Chronopoulos-Gear) PCG: "
+                        "one global reduction per iteration instead of three")
     p.add_argument("--refined", action="store_true",
                    help="mixed-precision iterative refinement (f32 inner PCG "
                         "+ f64 residuals; backend=jax, pairs with --dtype f32 "
@@ -131,12 +138,18 @@ def main(argv=None) -> int:
 
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
         kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
-                      spatial_format=args.spatial)
+                      spatial_format=args.spatial, pcg_variant=args.pcg)
         with timer("setup"):
             if args.backend == "sharded":
                 from .parallel import ShardedHeatSolver, make_time_mesh
 
                 solver = ShardedHeatSolver(
+                    problem, system, grid, make_time_mesh(), **kwargs
+                )
+            elif args.backend == "explicit":
+                from .parallel import ExplicitHeatSolver, make_time_mesh
+
+                solver = ExplicitHeatSolver(
                     problem, system, grid, make_time_mesh(), **kwargs
                 )
             else:
@@ -196,6 +209,7 @@ def main(argv=None) -> int:
         "extra_levels": args.extra_levels,
         "dof": n_dof,
         "dtype": args.dtype if args.backend != "oracle" else "f64",
+        "pcg": args.pcg if args.backend != "oracle" else "standard",
         "tol": args.tol,
         "iterations": int(res.iterations),
         "converged": bool(res.converged),

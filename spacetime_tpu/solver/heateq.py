@@ -53,7 +53,7 @@ from ..ops.multigrid import (
 from ..ops.sparse import DiaMatrix, dia_matvec
 from ..ops.stencil import StencilOperator, row_scale
 from ..ops.wavelets import build_wavelet_transform
-from .pcg import PCGResult, pcg, pcg_chunk, pcg_init
+from .pcg import PCGResult, pcg, pcg_chunk, pcg_fused, pcg_init
 
 
 def _dot(a, b):
@@ -98,6 +98,7 @@ class HeatSolver:
         loop: str = "auto",
         chunk: int = 10,
         pallas_kron: bool | str = "auto",
+        pcg_variant: str = "standard",
     ):
         """``inner``: inner spatial solver — 'dense' (exact precomputed
         inverses, parity phase, m ≤ a few thousand) or 'mg' (geometric
@@ -261,6 +262,14 @@ class HeatSolver:
         counts = np.asarray(self.wt.level_counts)
         self.level_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
 
+        if pcg_variant not in ("standard", "fused"):
+            raise ValueError(f"unknown pcg_variant {pcg_variant!r}")
+        if pcg_variant == "fused" and loop == "chunked":
+            raise ValueError("pcg_variant='fused' supports the while-loop driver only")
+        # 'fused' = single-reduction (Chronopoulos–Gear) PCG: one global
+        # reduction per iteration instead of three — see solver/pcg.py.
+        # 'standard' keeps the oracle's arithmetic (bitwise parity path).
+        self.pcg_variant = pcg_variant
         self.loop = loop
         self.chunk = chunk
         self._solve_jit_cache = {}
@@ -572,9 +581,11 @@ class HeatSolver:
     # -------------------------------------------------------------- solve
 
     def _build_solve(self, tol: float, maxiter: int, warm: bool):
+        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+
         def run(gL, gR, u0_vec, p, x0):
             f = self.rhs_device(gL, gR, u0_vec, p)
-            return pcg(
+            return drv(
                 lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
                 f, tol, maxiter, x0=x0 if warm else None,
             )
@@ -723,9 +734,10 @@ class HeatSolver:
         if "_ir_jits" not in self.__dict__:
             rhs64 = jax.jit(lambda a, b, c, p: self.rhs_device(a, b, c, p))
             resid64 = jax.jit(lambda f, u, p: f - self.apply_S(u, p))
+            drv = pcg_fused if self.pcg_variant == "fused" else pcg
             if mode == "while":
                 inner = jax.jit(
-                    lambda r32, p: pcg(
+                    lambda r32, p: drv(
                         lambda U: self.apply_S(U, p),
                         lambda R: self.apply_KX(R, p),
                         r32,

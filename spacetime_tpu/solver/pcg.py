@@ -91,6 +91,102 @@ def pcg(
     )
 
 
+# ------------------------------------------------- single-reduction PCG
+#
+# Chronopoulos–Gear recombined PCG: per iteration the three inner products
+# (r·z), (z·Sz), (r·r) are evaluated on the SAME vectors and merged into ONE
+# global reduction, with alpha obtained from the recurrence
+#   (p·Sp) = (z·Sz) − beta·(r·z)/alpha_prev
+# instead of a second reduction after p is updated. Standard PCG costs 3
+# global syncs per iteration (alpha-dot, residual norm, beta-dot); this
+# variant costs 1 — the classical Allreduce-latency optimization for
+# distributed CG (the reference's MPI scaling is bounded by exactly these
+# Allreduces, SURVEY.md §3.1 "2 dot products → MPI_Allreduce [global sync
+# point ×2/iter]"). On the explicit shard_map path the three partial dots
+# ride a single 3-vector lax.psum over the time axis.
+#
+# In exact arithmetic the iterates are identical to pcg(); in floating point
+# the alpha recurrence drifts by O(eps·kappa) per iteration — harmless at
+# this problem's kappa ≈ 5 (tested: identical iteration counts, residual
+# histories matching to ~1e-12 relative in f64).
+
+
+def pcg_fused(
+    apply_S: Callable,
+    apply_KX: Callable,
+    f: jax.Array,
+    tol: float,
+    maxiter: int,
+    x0: jax.Array | None = None,
+    dot3: Callable | None = None,
+) -> PCGResult:
+    """Single-reduction PCG: solve S u = f with preconditioner K_X.
+
+    ``dot3(r, z, t)`` must return the GLOBAL ``((r·z), (z·t), (r·r))``
+    triple — shard_map callers fuse the three masked local dots into one
+    3-vector psum. The default evaluates three jnp.vdots (a single device
+    dispatch fuses them anyway).
+    """
+    dtype = f.dtype
+    nan = jnp.array(jnp.nan, dtype)
+    if dot3 is None:
+        def dot3(r, z, t):
+            return jnp.vdot(r, z), jnp.vdot(z, t), jnp.vdot(r, r)
+
+    U0 = jnp.zeros_like(f) if x0 is None else x0
+    R0 = f - apply_S(U0)
+    fnorm = jnp.sqrt(dot3(f, f, f)[2])
+    res0 = jnp.full((maxiter + 1,), nan)
+    pres0 = jnp.full((maxiter + 1,), nan)
+    zero = jnp.zeros((), dtype)
+    one = jnp.ones((), dtype)
+
+    # state: r_it is live but not yet recorded at trip entry; P/Q carry the
+    # direction and S·direction recurrences (zero before the first trip).
+    def cond(state):
+        it, U, R, P, Q, g_prev, a_prev, res, pres, done = state
+        return jnp.logical_and(it < maxiter, jnp.logical_not(done))
+
+    def body(state):
+        it, U, R, P, Q, g_prev, a_prev, res, pres, done = state
+        Z = apply_KX(R)
+        T = apply_S(Z)
+        gamma, delta, rho = dot3(R, Z, T)
+        rnorm = jnp.sqrt(rho)
+        res = res.at[it].set(rnorm)
+        pres = pres.at[it].set(jnp.sqrt(jnp.maximum(gamma, 0.0)))
+        conv = rnorm <= tol * fnorm
+        first = it == 0
+        beta = jnp.where(first, zero, gamma / g_prev)
+        pSp = jnp.where(first, delta, delta - beta * gamma / a_prev)
+        alpha = gamma / pSp
+        step = jnp.where(conv, zero, alpha)
+        P = Z + beta * P
+        Q = T + beta * Q
+        U = U + step * P
+        R = R - step * Q
+        it = it + jnp.int32(jnp.logical_not(conv))
+        return (it, U, R, P, Q, gamma, alpha, res, pres, conv)
+
+    state = (
+        jnp.int32(0), U0, R0, jnp.zeros_like(f), jnp.zeros_like(f),
+        one, one, res0, pres0, jnp.bool_(False),
+    )
+    it, U, R, P, Q, g_prev, a_prev, res, pres, done = jax.lax.while_loop(
+        cond, body, state
+    )
+    # Entry `it` holds the final residual: on convergence the closing trip
+    # recorded it and froze R (step = 0); on maxiter exhaustion the last
+    # update was never measured — one more reduced norm covers both (the
+    # recomputation is the identical (r·r) contraction, so the converged
+    # case just rewrites its own value).
+    res = res.at[it].set(jnp.sqrt(dot3(R, R, R)[2]))
+    return PCGResult(
+        U=U, iterations=it, residuals=res, precond_residuals=pres,
+        converged=done,
+    )
+
+
 # --------------------------------------------------------------- chunked PCG
 #
 # Alternative driver: fixed-trip fori_loop chunks (masked updates after
