@@ -13,7 +13,13 @@ from .mesh import (
     refine_uniform,
     domain_mesh,
 )
-from .assembly import assemble_p1, load_vector, spacetime_loads, P1System
+from .assembly import (
+    assemble_p1,
+    device_spacetime_loads,
+    load_vector,
+    spacetime_loads,
+    P1System,
+)
 from .timegrid import (
     TimeGrid,
     uniform_time_grid,
@@ -31,6 +37,7 @@ __all__ = [
     "assemble_p1",
     "load_vector",
     "spacetime_loads",
+    "device_spacetime_loads",
     "P1System",
     "TimeGrid",
     "uniform_time_grid",

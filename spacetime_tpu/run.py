@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")
     p.add_argument("--mg-cycles", type=int, default=3)
+    p.add_argument("--rhs", choices=["auto", "host", "device"], default="auto",
+                   help="load quadrature: host = NumPy (oracle parity), "
+                        "device = jitted on-device (fast at scale); auto = "
+                        "device for f32 manufactured problems")
     p.add_argument("--pcg", choices=["standard", "fused"], default="standard",
                    help="fused = single-reduction (Chronopoulos-Gear) PCG: "
                         "one global reduction per iteration instead of three")
@@ -138,7 +142,8 @@ def main(argv=None) -> int:
 
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
         kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
-                      spatial_format=args.spatial, pcg_variant=args.pcg)
+                      spatial_format=args.spatial, pcg_variant=args.pcg,
+                      rhs=args.rhs)
         with timer("setup"):
             if args.backend == "sharded":
                 from .parallel import ShardedHeatSolver, make_time_mesh

@@ -99,6 +99,7 @@ class HeatSolver:
         chunk: int = 10,
         pallas_kron: bool | str = "auto",
         pcg_variant: str = "standard",
+        rhs: str = "auto",
     ):
         """``inner``: inner spatial solver — 'dense' (exact precomputed
         inverses, parity phase, m ≤ a few thousand) or 'mg' (geometric
@@ -270,6 +271,25 @@ class HeatSolver:
         # reduction per iteration instead of three — see solver/pcg.py.
         # 'standard' keeps the oracle's arithmetic (bitwise parity path).
         self.pcg_variant = pcg_variant
+        if rhs not in ("auto", "host", "device"):
+            raise ValueError(f"unknown rhs mode {rhs!r}")
+        # Load quadrature: 'host' = the NumPy path shared with the oracle
+        # (bitwise parity); 'device' = jitted on-device quadrature
+        # (fem/assembly.device_spacetime_loads — at 513²×128ts the host path
+        # costs 437 s vs ~1 s of solve). 'auto' keeps host for the f64
+        # parity dtype and goes on-device for f32 manufactured problems.
+        if rhs == "auto":
+            rhs = (
+                "device"
+                if (
+                    problem.exact is not None
+                    and jnp.dtype(dtype) != jnp.dtype(jnp.float64)
+                )
+                else "host"
+            )
+        if rhs == "device" and problem.exact is None:
+            raise ValueError("rhs='device' needs a manufactured problem")
+        self.rhs_mode = rhs
         self.loop = loop
         self.chunk = chunk
         self._solve_jit_cache = {}
@@ -556,16 +576,34 @@ class HeatSolver:
         return self._rhs_host
 
     def assemble_rhs_host(self, dtype=None):
-        """Device-resident (gL, gR, u0_vec), cached per dtype."""
+        """Device-resident (gL, gR, u0_vec), cached per dtype. Despite the
+        name (the historical host-quadrature entry point), rhs='device'
+        computes the loads on-device and nothing ever crosses the host."""
         dtype = self.dtype if dtype is None else dtype
         key = jnp.dtype(dtype).name
         if key not in self._rhs_dev:
-            gL, gR, u0_vec = self._rhs_host_arrays()
-            self._rhs_dev[key] = (
-                jnp.asarray(gL, dtype).reshape((self.N,) + self.gs),
-                jnp.asarray(gR, dtype).reshape((self.N,) + self.gs),
-                jnp.asarray(u0_vec, dtype),
-            )
+            if self.rhs_mode == "device" and jnp.dtype(dtype) != jnp.dtype(
+                jnp.float64
+            ):
+                from ..fem import device_spacetime_loads
+
+                t0 = _time.perf_counter()
+                gL, gR, u0_vec = device_spacetime_loads(
+                    self.problem, self.system.mesh, self.grid, dtype
+                )
+                self._rhs_dev[key] = (
+                    gL.reshape((self.N,) + self.gs),
+                    gR.reshape((self.N,) + self.gs),
+                    u0_vec,
+                )
+                self.rhs_seconds = _time.perf_counter() - t0
+            else:
+                gL, gR, u0_vec = self._rhs_host_arrays()
+                self._rhs_dev[key] = (
+                    jnp.asarray(gL, dtype).reshape((self.N,) + self.gs),
+                    jnp.asarray(gR, dtype).reshape((self.N,) + self.gs),
+                    jnp.asarray(u0_vec, dtype),
+                )
         return self._rhs_dev[key]
 
     def rhs_device(self, gL, gR, u0_vec, p=None):
