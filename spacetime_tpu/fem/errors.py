@@ -39,3 +39,83 @@ def l2_error_spacetime(problem, mesh: Mesh, grid: TimeGrid, U: np.ndarray) -> fl
             ue = problem.exact_np(tq, flat).reshape(uh.shape)
             total += 0.5 * h[j] * np.einsum("eq,q,e->", (uh - ue) ** 2, w, measure)
     return float(np.sqrt(total))
+
+
+def device_l2_error_spacetime(
+    problem, mesh: Mesh, grid: TimeGrid, U, dtype=None, chunk: int = 16
+) -> float:
+    """L2(I×Ω) error evaluated as jitted device code (the scale path).
+
+    Same quadrature as ``l2_error_spacetime`` (which stays the host parity
+    reference): 2-point Gauss per time interval, with the interpolation
+    weights constant in time (λ = ½ ∓ g for every interval). ``U`` may be a
+    device array (preferred — at large configs shipping the iterate through
+    the host costs more than the whole error computation) or a host array,
+    shape (N_t+1, m). ``chunk`` = time intervals per dispatch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if problem.exact is None:
+        raise ValueError("device error needs a manufactured problem (exact)")
+    bary, w = _quad_rule(mesh.dim)
+    measure = _tri_geometry(mesh)[0] if mesh.dim == 2 else _tet_geometry(mesh)[0]
+    N = grid.num_intervals
+    t, h = grid.t, grid.h
+    gq = 0.5 / np.sqrt(3.0)
+    U = jnp.asarray(U)
+    dtype = U.dtype if dtype is None else dtype
+    hp = jax.lax.Precision.HIGHEST
+
+    verts = jnp.asarray(mesh.vertices, dtype)
+    elems = jnp.asarray(mesh.elements, jnp.int32)
+    bary_d = jnp.asarray(bary, dtype)
+    wm = jnp.asarray(w, dtype)
+    meas_d = jnp.asarray(measure, dtype)
+    interior = jnp.asarray(mesh.interior, jnp.int32)
+    Ufull = (
+        jnp.zeros((N + 1, mesh.num_vertices), dtype)
+        .at[:, interior]
+        .set(U.astype(dtype))
+    )
+    exact_pts = jax.vmap(problem.exact, in_axes=(None, 0))
+
+    C = int(min(chunk, N))
+    mid = 0.5 * (t[:-1] + t[1:])
+    tq = np.stack([mid - gq * h, mid + gq * h], axis=1)  # (N, 2)
+    lam = (0.5 - gq, 0.5 + gq)
+
+    @jax.jit
+    def chunk_err(Uc, tqc, hc):
+        """Uc (C+1, nv) coefficient rows, tqc (C, 2), hc (C,) -> partial sum."""
+        pts = jnp.einsum("qi,eid->eqd", bary_d, verts[elems], precision=hp)
+        flat = pts.reshape(-1, mesh.dim)
+        nodal = Uc[:, elems]  # (C+1, ne, nloc)
+        uq = jnp.einsum("tei,qi->teq", nodal, bary_d, precision=hp)
+        total = jnp.zeros((), dtype)
+        for g in range(2):
+            uh = (1 - lam[g]) * uq[:-1] + lam[g] * uq[1:]
+            ue = jax.vmap(lambda tt: exact_pts(tt, flat))(tqc[:, g])
+            d2 = (uh - ue.reshape(uh.shape)) ** 2
+            total = total + jnp.einsum(
+                "teq,q,e,t->", d2, wm, meas_d, 0.5 * hc, precision=hp
+            )
+        return total
+
+    total = 0.0
+    for lo in range(0, N, C):
+        hi = min(lo + C, N)
+        k = hi - lo
+        Uc = Ufull[lo : lo + C + 1]
+        tqc = tq[lo:hi]
+        hc = h[lo:hi]
+        if k < C:  # pad the tail chunk; h=0 rows contribute nothing
+            Uc = jnp.concatenate(
+                [Uc, jnp.zeros((C + 1 - Uc.shape[0], Ufull.shape[1]), dtype)]
+            )
+            tqc = np.concatenate([tqc, np.zeros((C - k, 2))])
+            hc = np.concatenate([hc, np.zeros(C - k)])
+        total += float(
+            chunk_err(Uc, jnp.asarray(tqc, dtype), jnp.asarray(hc, dtype))
+        )
+    return float(np.sqrt(total))

@@ -584,3 +584,11 @@ class ExplicitHeatSolver(HeatSolver):
         return np.concatenate(
             [U[:, : self.R].reshape(-1, self.m), U[-1, self.R :]], axis=0
         )
+
+    def _device_iterate_flat(self, U_dev):
+        """Drop the duplicated halo slots on-device: (P·(R+1), gs) ->
+        (N+1, m)."""
+        U = U_dev.reshape(self.P, self.R + 1, self.m)
+        return jnp.concatenate(
+            [U[:, : self.R].reshape(-1, self.m), U[-1, self.R :]], axis=0
+        )

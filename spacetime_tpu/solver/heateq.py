@@ -42,7 +42,7 @@ from ..fem import (
     spacetime_loads,
     time_matrices,
 )
-from ..fem.errors import l2_error_spacetime
+from ..fem.errors import device_l2_error_spacetime, l2_error_spacetime
 from ..fem.timegrid import graded_time_grid, uniform_time_grid
 from ..models import Problem, get_problem
 from ..ops.multigrid import (
@@ -674,6 +674,31 @@ class HeatSolver:
         """Device iterate -> host (N+1, m) array."""
         return np.asarray(U_dev).reshape(self.N + 1, self.m)
 
+    def _device_iterate_flat(self, U_dev):
+        """Device iterate -> device (N+1, m) view for on-device analysis
+        (None where the layout needs host postprocessing first)."""
+        return U_dev.reshape(self.N + 1, self.m)
+
+    def _l2_error(self, U_dev, U_host) -> float:
+        """L2(I×Ω) error; on the device-RHS scale path the quadrature runs
+        on-device from the device iterate (the host loop costs minutes at
+        the big configs and would ship the iterate back through the
+        tunnel)."""
+        if self.rhs_mode == "device":
+            Ud = self._device_iterate_flat(U_dev) if U_dev is not None else None
+            # f32 quadrature dtype even for f64 iterates (solve_refined):
+            # emulated-f64 transcendentals are not worth it for a ~1e-4
+            # diagnostic, and f32 keeps ~1e-7 relative (measured).
+            return device_l2_error_spacetime(
+                self.problem, self.system.mesh, self.grid,
+                Ud if Ud is not None else jnp.asarray(U_host),
+                dtype=jnp.float32,
+            )
+        return l2_error_spacetime(
+            self.problem, self.system.mesh, self.grid,
+            np.asarray(U_host, np.float64),
+        )
+
     def solve(
         self,
         tol: float = 1e-6,
@@ -707,6 +732,7 @@ class HeatSolver:
         it = int(out.iterations)
         converged = bool(out.converged)
         solve_seconds = _time.perf_counter() - t0
+        U_dev = out.U
         t0 = _time.perf_counter()
         U_flat = self._postprocess_U(out.U)
         transfer_seconds = _time.perf_counter() - t0
@@ -720,10 +746,7 @@ class HeatSolver:
             )
         err = None
         if compute_error and self.problem.exact is not None:
-            err = l2_error_spacetime(
-                self.problem, self.system.mesh, self.grid,
-                np.asarray(U_flat, np.float64),
-            )
+            err = self._l2_error(U_dev, U_flat)
         return SolveResult(
             U=U_flat,
             iterations=it,
@@ -831,7 +854,7 @@ class HeatSolver:
         U_flat = np.asarray(u).reshape(self.N + 1, self.m)
         err = None
         if compute_error and self.problem.exact is not None:
-            err = l2_error_spacetime(self.problem, self.system.mesh, self.grid, U_flat)
+            err = self._l2_error(u.reshape(self.N + 1, self.m), U_flat)
         hist = np.asarray(hist)
         return SolveResult(
             U=U_flat,

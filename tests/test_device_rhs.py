@@ -115,6 +115,33 @@ class TestSolverRhsMode:
             r_dev.l2_error, r_host.l2_error, rtol=1e-3
         )
 
+    def test_device_error_matches_host_error(self):
+        from spacetime_tpu.fem.errors import (
+            device_l2_error_spacetime,
+            l2_error_spacetime,
+        )
+
+        p = get_problem("smooth2d")
+        mesh = unit_square_mesh(16)
+        grid = uniform_time_grid(4)
+        rng = np.random.default_rng(5)
+        U = rng.standard_normal((grid.num_intervals + 1, mesh.num_interior))
+        a = l2_error_spacetime(p, mesh, grid, U)
+        b = device_l2_error_spacetime(p, mesh, grid, U)
+        np.testing.assert_allclose(b, a, rtol=1e-12)
+        # chunk-size invariance (padded tail)
+        c = device_l2_error_spacetime(p, mesh, grid, U, chunk=5)
+        np.testing.assert_allclose(c, a, rtol=1e-12)
+
+    def test_solve_reports_device_error(self):
+        r_dev = self._solver(dtype=jnp.float32, rhs="device").solve(
+            tol=1e-5, compute_error=True
+        )
+        r_host = self._solver(dtype=jnp.float64).solve(
+            tol=1e-5, compute_error=True
+        )
+        np.testing.assert_allclose(r_dev.l2_error, r_host.l2_error, rtol=1e-3)
+
     def test_f64_device_mode_falls_back_to_host(self):
         # explicit rhs='device' + f64 dtype: assemble_rhs_host keeps the
         # host parity loads for the f64 arrays (solve_refined contract).
