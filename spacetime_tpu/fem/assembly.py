@@ -274,7 +274,12 @@ def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
         out = jnp.zeros((k, m + 1), dtype)
         return out.at[:, ids_d].add(contrib.reshape(k, -1))[:, :m]
 
-    C = int(min(chunk, 4 * N))
+    # Chunk bound: the vmapped hessian-of-exact evaluation materializes a
+    # handful of (C, ne*nq) intermediates; cap C·points at ~1.5e8 so the
+    # largest configs stay ~2-3 GB of HBM temp (128 times at 1025² builds
+    # 22 GB and OOMs a 16 GB chip — measured).
+    npts = mesh.elements.shape[0] * nq
+    C = int(min(chunk, 4 * N, max(1, int(1.5e8 // max(npts, 1)))))
 
     @jax.jit
     def loads_chunk(ts):

@@ -471,7 +471,17 @@ class KronPallas:
             return False
         if T < 1 or min(grid_shape) < 3:
             return False
-        return True
+        # Shapes at the VMEM edge are out: at 1023²×128 the chooser lands on
+        # unblocked TB=1 (the 32 MB estimate fits by 32 bytes) but Mosaic's
+        # actual Bᵀ live set is 123.8 MB — over the 110 MB scoped-VMEM limit,
+        # compile fails (and TB=1 means a 128-program grid, pathological to
+        # compile anyway). Require an unblocked TB ≥ 2 — every recorded
+        # working config (≤ 511² and 3D) satisfies it; larger grids fall
+        # back to the XLA stencil pair while the fused multigrid kernels
+        # (the bulk of the win) are unaffected. The blocked kernels remain
+        # for explicit/interpret use.
+        TB, YB = _pick_blocks(T, tuple(grid_shape), jnp.dtype(dtype).itemsize)
+        return YB >= grid_shape[-2] and TB >= 2
 
     def apply_B(self, U, p=None, scale: float = 1.0):
         """``scale``: static output scaling fused into the kernel (free);

@@ -512,28 +512,21 @@ class ExplicitHeatSolver(HeatSolver):
         ep, es = self.eparams_for(self.dtype)
         gspec = P(*(("time",) + (None,) * len(self.gs)))
 
+        fused = self.pcg_variant == "fused"
+        drv = pcg_fused if fused else pcg
+        dot_kw = {"dot3": self._dot3_local} if fused else {"dot": self._dot_local}
+
         def local_run(gL, gR, u0_vec, p, x0):
             f = self._rhs_local(gL, gR, u0_vec, p)
-            if self.pcg_variant == "fused":
-                out = pcg_fused(
-                    lambda U: self._apply_S_local(U, p),
-                    lambda Rr: self._apply_KX_local(Rr, p),
-                    f,
-                    tol,
-                    maxiter,
-                    x0=x0 if warm else None,
-                    dot3=self._dot3_local,
-                )
-            else:
-                out = pcg(
-                    lambda U: self._apply_S_local(U, p),
-                    lambda Rr: self._apply_KX_local(Rr, p),
-                    f,
-                    tol,
-                    maxiter,
-                    x0=x0 if warm else None,
-                    dot=self._dot_local,
-                )
+            out = drv(
+                lambda U: self._apply_S_local(U, p),
+                lambda Rr: self._apply_KX_local(Rr, p),
+                f,
+                tol,
+                maxiter,
+                x0=x0 if warm else None,
+                **dot_kw,
+            )
             # Scalar/history outputs are returned tiled (leading device axis)
             # so no replication annotation is needed; host takes row 0.
             tile = lambda x: x[None]
@@ -579,15 +572,10 @@ class ExplicitHeatSolver(HeatSolver):
             self._dup_rows(full).reshape((self.P * (self.R + 1),) + self.gs)
         )
 
-    def _postprocess_U(self, U_dev) -> np.ndarray:
-        U = np.asarray(U_dev).reshape(self.P, self.R + 1, self.m)
-        return np.concatenate(
-            [U[:, : self.R].reshape(-1, self.m), U[-1, self.R :]], axis=0
-        )
-
     def _device_iterate_flat(self, U_dev):
-        """Drop the duplicated halo slots on-device: (P·(R+1), gs) ->
-        (N+1, m)."""
+        """Drop the duplicated halo slots: (P·(R+1), gs) -> (N+1, m).
+        Shared by host postprocessing (via the base _postprocess_U) and
+        on-device analysis."""
         U = U_dev.reshape(self.P, self.R + 1, self.m)
         return jnp.concatenate(
             [U[:, : self.R].reshape(-1, self.m), U[-1, self.R :]], axis=0

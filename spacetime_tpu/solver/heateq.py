@@ -591,10 +591,12 @@ class HeatSolver:
                 gL, gR, u0_vec = device_spacetime_loads(
                     self.problem, self.system.mesh, self.grid, dtype
                 )
-                self._rhs_dev[key] = (
-                    gL.reshape((self.N,) + self.gs),
-                    gR.reshape((self.N,) + self.gs),
-                    u0_vec,
+                self._rhs_dev[key] = jax.block_until_ready(
+                    (
+                        gL.reshape((self.N,) + self.gs),
+                        gR.reshape((self.N,) + self.gs),
+                        u0_vec,
+                    )
                 )
                 self.rhs_seconds = _time.perf_counter() - t0
             else:
@@ -672,7 +674,7 @@ class HeatSolver:
 
     def _postprocess_U(self, U_dev) -> np.ndarray:
         """Device iterate -> host (N+1, m) array."""
-        return np.asarray(U_dev).reshape(self.N + 1, self.m)
+        return np.asarray(self._device_iterate_flat(U_dev))
 
     def _device_iterate_flat(self, U_dev):
         """Device iterate -> device (N+1, m) view for on-device analysis
@@ -684,11 +686,16 @@ class HeatSolver:
         on-device from the device iterate (the host loop costs minutes at
         the big configs and would ship the iterate back through the
         tunnel)."""
-        if self.rhs_mode == "device":
+        # Device path only for non-f64 solvers: an explicit rhs='device' +
+        # f64 dtype solve fell back to host parity loads, and its reported
+        # error must be parity-grade too. (solve_refined's f64 iterate on an
+        # f32 solver still takes the device path: f32 quadrature is a 1e-7
+        # perturbation on a ~1e-4 diagnostic, vs emulated-f64
+        # transcendentals.)
+        if self.rhs_mode == "device" and jnp.dtype(self.dtype) != jnp.dtype(
+            jnp.float64
+        ):
             Ud = self._device_iterate_flat(U_dev) if U_dev is not None else None
-            # f32 quadrature dtype even for f64 iterates (solve_refined):
-            # emulated-f64 transcendentals are not worth it for a ~1e-4
-            # diagnostic, and f32 keeps ~1e-7 relative (measured).
             return device_l2_error_spacetime(
                 self.problem, self.system.mesh, self.grid,
                 Ud if Ud is not None else jnp.asarray(U_host),

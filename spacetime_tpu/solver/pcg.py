@@ -181,6 +181,15 @@ def pcg_fused(
     # recomputation is the identical (r·r) contraction, so the converged
     # case just rewrites its own value).
     res = res.at[it].set(jnp.sqrt(dot3(R, R, R)[2]))
+    # Same for the preconditioned history: the exhaustion exit needs one
+    # more K_X application to measure the final sqrt(r·z); the cond skips
+    # it on the (usual) converged exit where the closing trip recorded it.
+    def _final_pres(pres):
+        Z = apply_KX(R)
+        g = dot3(R, Z, Z)[0]
+        return pres.at[it].set(jnp.sqrt(jnp.maximum(g, 0.0)))
+
+    pres = jax.lax.cond(done, lambda p: p, _final_pres, pres)
     return PCGResult(
         U=U, iterations=it, residuals=res, precond_residuals=pres,
         converged=done,

@@ -76,6 +76,9 @@ class TestFusedSerial:
         res = np.asarray(out.residuals)
         assert np.isfinite(res[:5]).all()  # entries 0..4 recorded
         assert np.isnan(res[5:]).all()
+        pres = np.asarray(out.precond_residuals)
+        assert np.isfinite(pres[:5]).all()  # incl. the exhaustion-exit entry
+        assert np.isnan(pres[5:]).all()
         # entry 4 is the residual of the returned iterate
         r = np.asarray(b - A @ out.U)
         np.testing.assert_allclose(res[4], np.linalg.norm(r), rtol=1e-10)
@@ -150,6 +153,7 @@ class TestFusedExplicit:
         n_fus = allreduce_count(hlo_of("fused"))
         # Standard: 3 in the loop body (alpha-dot, residual norm, beta-dot)
         # + 3 at init = 6. Fused: ONE 3-vector reduction in the body + init
-        # fnorm + final-residual norm = 3.
+        # fnorm + final-residual norm + the maxiter-exhaustion pres branch
+        # (a cond, not executed on converged runs) = 4.
         assert n_std == 6
-        assert n_fus == 3
+        assert n_fus == 4
