@@ -1,0 +1,133 @@
+"""Time-parallel scaling structure study (virtual device mesh).
+
+The reference paper's headline experiment is MPI strong/weak scaling of the
+wavelet-PCG solve over timestep blocks. Real multi-chip hardware is not
+available in this environment (SURVEY.md §4), so this script validates the
+two properties that scaling rests on, on a virtual CPU mesh:
+
+1. **Algorithmic invariance** — iteration counts and residual histories are
+   identical (to reduction-order rounding) on 1, 2, 4, 8 devices, for both
+   the GSPMD and the explicit shard_map backend, standard and fused PCG.
+2. **Communication structure** — a census of collectives in the lowered
+   HLO: per-iteration all-reduces (3 standard / 1 fused), nearest-neighbor
+   collective-permutes (halos + fine wavelet levels), and the single
+   all-gather of the coarse wavelet phase. These counts are what determine
+   ICI traffic on real hardware; they are device-count-independent per
+   program, which is the scalability argument.
+
+Usage:  python scripts/scaling_study.py [--space-n 16] [--levels 5]
+Appends one JSON record per (backend, P, variant) to scaling_study.jsonl.
+"""
+
+import argparse
+import hashlib
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+
+from spacetime_tpu.fem import P1System, unit_square_mesh  # noqa: E402
+from spacetime_tpu.fem.timegrid import uniform_time_grid  # noqa: E402
+from spacetime_tpu.models import get_problem  # noqa: E402
+from spacetime_tpu.parallel import (  # noqa: E402
+    ExplicitHeatSolver,
+    ShardedHeatSolver,
+    make_time_mesh,
+)
+from spacetime_tpu.solver.heateq import HeatSolver  # noqa: E402
+
+
+def collective_census(solver) -> dict:
+    """Count collectives in the lowered solve program (explicit path)."""
+    fn = solver._build_solve(1e-6, 40, warm=False)
+    gL, gR, u0 = solver.assemble_rhs_host()
+    x0 = solver._prepare_x0(None)
+    jitted = fn.__closure__[0].cell_contents
+    hlo = jitted.lower(gL, gR, u0, solver._solve_params(), x0).as_text()
+    return {
+        "all_reduce": hlo.count("stablehlo.all_reduce"),
+        "collective_permute": hlo.count("stablehlo.collective_permute"),
+        "all_gather": hlo.count("stablehlo.all_gather"),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--space-n", type=int, default=16)
+    ap.add_argument("--levels", type=int, default=5)
+    ap.add_argument("--tol", type=float, default=1e-8)
+    ap.add_argument("--out", default="scaling_study.jsonl")
+    args = ap.parse_args()
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(args.space_n))
+    grid = uniform_time_grid(args.levels)
+    records = []
+
+    ref = {}
+    for variant in ("standard", "fused"):
+        r = HeatSolver(problem, system, grid, pcg_variant=variant).solve(
+            tol=args.tol, compute_error=False
+        )
+        ref[variant] = r
+        print(f"serial/{variant}: {r.iterations} iters")
+
+    for backend, cls in (("sharded", ShardedHeatSolver), ("explicit", ExplicitHeatSolver)):
+        for P in (2, 4, 8):
+            for variant in ("standard", "fused"):
+                solver = cls(
+                    problem, system, grid, make_time_mesh(P),
+                    pcg_variant=variant,
+                )
+                t0 = time.perf_counter()
+                r = solver.solve(tol=args.tol, compute_error=False)
+                dt = time.perf_counter() - t0
+                match = (
+                    r.iterations == ref[variant].iterations
+                    and np.allclose(
+                        r.residuals, ref[variant].residuals, rtol=1e-9
+                    )
+                )
+                rec = {
+                    "backend": backend,
+                    "devices": P,
+                    "pcg": variant,
+                    "iterations": int(r.iterations),
+                    "matches_serial": bool(match),
+                    "res_sha": hashlib.sha256(
+                        np.asarray(r.residuals).tobytes()
+                    ).hexdigest()[:12],
+                    "wall_s": round(dt, 3),
+                }
+                if backend == "explicit":
+                    rec["collectives"] = collective_census(solver)
+                records.append(rec)
+                tag = "OK " if match else "MISMATCH"
+                extra = (
+                    f" collectives={rec.get('collectives')}"
+                    if "collectives" in rec
+                    else ""
+                )
+                print(
+                    f"{tag} {backend} P={P} {variant}: {r.iterations} iters"
+                    f"{extra}"
+                )
+
+    assert all(r["matches_serial"] for r in records), "scaling parity broken"
+    with open(args.out, "a") as f:
+        for rec in records:
+            f.write(json.dumps(rec) + "\n")
+    print(f"{len(records)} records appended to {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -54,7 +54,9 @@ def main():
         )
         # Executables are keyed on (tol, maxiter) — warm with the production
         # defaults so the cached binary is the one real solves will load.
-        r = solver.solve(tol=args.tol, compute_error=False)
+        # compute_error=True also seeds the device RHS-quadrature and
+        # error-norm graphs the f32 path now uses.
+        r = solver.solve(tol=args.tol, compute_error=True)
         print(
             f"n={n} dim={args.dim} levels={levels}: compiled+cached in "
             f"{time.perf_counter() - t0:.0f}s ({r.iterations} iters, "
