@@ -84,6 +84,8 @@ class ExplicitHeatSolver(HeatSolver):
     semantics produce exactly the partial rows the exchange completes.
     """
 
+    supports_chunked = False  # single fused shard_map program only
+
     def __init__(self, problem, system, grid, mesh: Mesh,
                  pallas: bool | str = "auto", **kwargs):
         if tuple(mesh.axis_names) != ("time",):

@@ -68,6 +68,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip L2 error computation")
     p.add_argument("--estimate-condition", action="store_true",
                    help="Lanczos estimate of kappa(K_X S)")
+    p.add_argument("--checkpoint", default=None, metavar="PATH",
+                   help="save the final iterate to PATH.npz; resumable via "
+                        "--resume-from")
+    p.add_argument("--checkpoint-every", type=int, default=None, metavar="K",
+                   help="also save the in-progress iterate every ~K "
+                        "iterations (chunked driver; backend=jax/sharded, "
+                        "standard PCG)")
+    p.add_argument("--resume-from", default=None, metavar="PATH",
+                   help="warm-start PCG from a checkpointed iterate")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the solve into DIR "
                         "(view with TensorBoard/XProf; best-effort on "
@@ -186,6 +195,14 @@ def main(argv=None) -> int:
                 except Exception as e:
                     print(f"profiler trace unavailable: {e}", file=sys.stderr)
 
+        x0 = None
+        if args.resume_from:
+            from .utils.checkpoint import load_solution
+
+            x0, ck_meta = load_solution(args.resume_from)
+            print(f"resuming from {args.resume_from} "
+                  f"(saved at iteration {int(ck_meta.get('iterations', 0))})")
+
         with timer("solve (incl. compile)"), _maybe_trace():
             if args.refined:
                 res = solver.solve_refined(
@@ -194,7 +211,9 @@ def main(argv=None) -> int:
             else:
                 res = solver.solve(
                     tol=args.tol, maxiter=args.maxiter,
-                    compute_error=not args.no_error,
+                    compute_error=not args.no_error, x0=x0,
+                    checkpoint_path=args.checkpoint,
+                    checkpoint_every=args.checkpoint_every,
                 )
 
     rel = res.residuals / res.residuals[0]

@@ -82,6 +82,8 @@ class HeatSolver:
     structure) runs once on the host; ``solve`` dispatches one fused device
     computation."""
 
+    supports_chunked = True  # the explicit shard_map subclass opts out
+
     def __init__(
         self,
         problem: Problem,
@@ -640,19 +642,27 @@ class HeatSolver:
                 f, maxiter, x0=x0 if warm else None,
             )
 
-        def step(state, p):
+        def step(state, p, k):
             return pcg_chunk(
                 lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
-                state, tol, self.chunk,
+                state, tol, k,
             )
 
-        return jax.jit(prep), jax.jit(step)
+        # k static: the final chunk shrinks to hit maxiter exactly (one
+        # extra compile at most).
+        return jax.jit(prep), jax.jit(step, static_argnums=2)
 
-    def _run_chunked(self, fns, gL, gR, u0_vec, x0_dev, maxiter: int):
+    def _run_chunked(self, fns, gL, gR, u0_vec, x0_dev, maxiter: int,
+                     on_chunk=None):
+        """``on_chunk(state)`` runs on the host between chunks — the hook
+        periodic checkpointing (and any adaptive policy) attaches to."""
         prep, step = fns
         state = prep(gL, gR, u0_vec, self.params, x0_dev)
         while int(state.it) < maxiter and not bool(state.done):
-            state = step(state, self.params)
+            k = min(self.chunk, maxiter - int(state.it))
+            state = step(state, self.params, k)
+            if on_chunk is not None:
+                on_chunk(state)
         return PCGResult(
             U=state.U, iterations=state.it, residuals=state.res,
             precond_residuals=state.pres, converged=state.done,
@@ -713,10 +723,24 @@ class HeatSolver:
         compute_error: bool = True,
         x0=None,
         checkpoint_path: str | None = None,
+        checkpoint_every: int | None = None,
     ) -> SolveResult:
         """``x0`` warm-starts PCG (e.g. a checkpointed iterate);
-        ``checkpoint_path`` saves the final iterate via utils.checkpoint."""
+        ``checkpoint_path`` saves the final iterate via utils.checkpoint.
+        ``checkpoint_every`` additionally saves the in-progress iterate to
+        the same path every ~that many iterations (failure tolerance for
+        long runs, SURVEY.md §5) — this forces the chunked loop driver,
+        paying one host sync per chunk."""
         mode = self._loop_mode()
+        if checkpoint_every is not None:
+            if checkpoint_path is None:
+                raise ValueError("checkpoint_every needs checkpoint_path")
+            if self.pcg_variant == "fused" or not self.supports_chunked:
+                raise ValueError(
+                    "periodic checkpointing uses the chunked driver "
+                    "(standard PCG, single-program solvers only)"
+                )
+            mode = "chunked"  # mid-solve host control
         key = (mode, tol, maxiter, x0 is not None)
         if key not in self._solve_jit_cache:
             build = self._build_solve if mode == "while" else self._build_chunked
@@ -728,8 +752,26 @@ class HeatSolver:
         if mode == "while":
             out = self._solve_jit_cache[key](gL, gR, u0_vec, params, x0_dev)
         else:
+            cb = None
+            if checkpoint_every:
+                from ..utils.checkpoint import save_solution
+
+                last = [0]
+
+                def cb(state):
+                    it = int(state.it)
+                    if it - last[0] >= checkpoint_every and not bool(state.done):
+                        save_solution(
+                            checkpoint_path,
+                            self._postprocess_U(state.U),
+                            {"iterations": it, "tol": tol, "m": self.m,
+                             "N": self.N, "in_progress": True},
+                        )
+                        last[0] = it
+
             out = self._run_chunked(
-                self._solve_jit_cache[key], gL, gR, u0_vec, x0_dev, maxiter
+                self._solve_jit_cache[key], gL, gR, u0_vec, x0_dev, maxiter,
+                on_chunk=cb,
             )
         # Sync on the small arrays first: through the axon tunnel, shipping
         # the full iterate costs ~60 ms/MB, so time-to-solution and

@@ -137,3 +137,51 @@ class TestCheckpoint:
         assert r2.converged
         assert r2.iterations < cold.iterations
         np.testing.assert_allclose(r2.U, cold.U, atol=1e-8)
+
+    def test_periodic_checkpoint(self, tmp_path):
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+        from spacetime_tpu.utils.checkpoint import load_solution
+
+        s = HeatSolver(get_problem("smooth2d"),
+                       P1System.from_mesh(unit_square_mesh(8)),
+                       uniform_time_grid(3), chunk=3)
+        ckpt = str(tmp_path / "periodic.npz")
+        # Converge with periodic saves every ~4 iterations; the final write
+        # is the end-of-solve save, earlier ones are in-progress states.
+        r = s.solve(tol=1e-10, maxiter=50, compute_error=False,
+                    checkpoint_path=ckpt, checkpoint_every=4)
+        assert r.converged
+        U, meta = load_solution(ckpt)
+        assert int(meta["iterations"]) == r.iterations
+        assert "in_progress" not in meta  # final save overwrote the periodic
+        np.testing.assert_allclose(U, r.U, atol=0)
+        # An in-progress save actually happened mid-solve: resume from a
+        # truncated run with periodic-only state (kill before completion is
+        # simulated by maxiter exhaustion between checkpoints).
+        r1 = s.solve(tol=1e-14, maxiter=9, compute_error=False,
+                     checkpoint_path=ckpt, checkpoint_every=4)
+        U1, meta1 = load_solution(ckpt)
+        assert int(meta1["iterations"]) == 9  # end-of-run save
+        r2 = s.solve(tol=1e-10, maxiter=50, compute_error=False, x0=U1)
+        assert r2.converged and r2.iterations < r.iterations
+
+    def test_periodic_checkpoint_guards(self, tmp_path):
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+
+        s = HeatSolver(get_problem("smooth2d"),
+                       P1System.from_mesh(unit_square_mesh(8)),
+                       uniform_time_grid(3))
+        with pytest.raises(ValueError):
+            s.solve(checkpoint_every=4)  # no path
+        s_fused = HeatSolver(get_problem("smooth2d"),
+                             P1System.from_mesh(unit_square_mesh(8)),
+                             uniform_time_grid(3), pcg_variant="fused")
+        with pytest.raises(ValueError):
+            s_fused.solve(checkpoint_path=str(tmp_path / "x.npz"),
+                          checkpoint_every=4)
