@@ -240,6 +240,14 @@ def main(argv=None) -> int:
         "final_rel_residual": float(rel[-1]),
         "l2_error": res.l2_error,
         "timings_s": timer.summary(),
+        # Separated phase costs (SolveResult): device solve time vs one-time
+        # RHS quadrature vs result transfer — the driver metric
+        # ("time-to-tol residual", BASELINE.md) is solve_seconds on a warm
+        # process.
+        "solve_seconds": getattr(res, "solve_seconds", None),
+        "rhs_seconds": getattr(res, "rhs_seconds", None),
+        "transfer_seconds": getattr(res, "transfer_seconds", None),
+        "setup_seconds": getattr(res, "setup_seconds", None),
         "timestamp": time.time(),
     }
 
