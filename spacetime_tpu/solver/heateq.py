@@ -206,7 +206,12 @@ class HeatSolver:
             self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
             self.mg_nu = mg_nu
             self._mg_dim = dim
+            # Seed the level cache with the caller's finest system — the MG
+            # hierarchy's top level is exactly it (nested unit-domain P1
+            # spaces), so re-assembling it is pure waste (seconds at 513²+).
             cache: dict = {}
+            if tuple(gs) == (space_n - 1,) * dim:
+                cache[space_n] = system
             # A larger coarse level means fewer V-cycle levels (each level
             # adds ~10 device ops whose launch overhead dominates at small
             # sizes on this backend; measured 1.55 -> 1.03 ms/iter on cfg2
