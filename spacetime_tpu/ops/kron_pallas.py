@@ -206,6 +206,18 @@ def _gather_window(urefs, yi, YB, ny, blocked):
     return _assemble_y(up[...], mid[...], dn[...], yi, YB, ny)
 
 
+def _i32_map(map_fn):
+    """Wrap an index map so literal components derive from the (i32) program
+    index — see _i32_specs for the Mosaic legalization failure this avoids.
+    Shared by the kron, multigrid, and blocked-ELL kernels."""
+
+    def fixed(*ids):
+        z = ids[0] * 0
+        return tuple(z + v if isinstance(v, int) else v for v in map_fn(*ids))
+
+    return fixed
+
+
 def _i32_specs(specs):
     """Multi-output pallas_call + x64 workaround (measured on the axon
     backend): index maps whose non-leading components are Python literals
@@ -215,17 +227,10 @@ def _i32_specs(specs):
     (i32, i64, i64)). Deriving every literal from the (i32) program index
     keeps the whole return i32. No-op for traced components."""
 
-    def fix(map_fn):
-        def fixed(*ids):
-            z = ids[0] * 0
-            return tuple(
-                z + v if isinstance(v, int) else v for v in map_fn(*ids)
-            )
-
-        return fixed
-
     return [
-        pl.BlockSpec(s.block_shape, fix(s.index_map), memory_space=pltpu.VMEM)
+        pl.BlockSpec(
+            s.block_shape, _i32_map(s.index_map), memory_space=pltpu.VMEM
+        )
         for s in specs
     ]
 

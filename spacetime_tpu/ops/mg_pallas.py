@@ -38,7 +38,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from . import kron_pallas as _kp
 from .kron_pallas import (
-    _HALO, _i32_specs, _live_factor, _stencil, _weight_groups,
+    _HALO, _hcol, _i32_specs, _live_factor, _stencil, _weight_groups,
 )
 
 _SIGMA = 5.0 / 3.0  # theta/delta for the lmin = lmax/4 smoothing range
@@ -50,9 +50,7 @@ def _col_spec(TB):
     )
 
 
-def _col(ref, dim):
-    h = ref[:, 0, 0:1]
-    return h.reshape((h.shape[0],) + (1,) * dim)
+_col = _hcol  # same (TT, 1, 128) -> (TT, 1, …, 1) column convention
 
 
 def _y_specs(TB, YB, gs, blocked):

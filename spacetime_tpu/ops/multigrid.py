@@ -30,69 +30,6 @@ from .sparse import DiaMatrix
 from .stencil import StencilOperator, row_scale
 
 
-def _transfer_kernel(dim: int):
-    """The P1 interpolation stencil as a conv kernel: weight 1 at the coarse
-    node, 1/2 at each of the 2·(2^dim − 1)/... fine midpoints' parent
-    directions — exactly the mesh's edge structure (axis edges, the SW–NE
-    face diagonals, and in 3D the Kuhn cube diagonal). Symmetric under
-    negation, so correlation == convolution and the restriction (exact
-    transpose) uses the same kernel."""
-    K = np.zeros((3,) * dim)
-    center = (1,) * dim
-    K[center] = 1.0
-    for a in range(dim):
-        for s in (-1, 1):
-            d = list(center)
-            d[a] += s
-            K[tuple(d)] = 0.5
-    if dim == 2:
-        K[2, 2] = K[0, 0] = 0.5
-    else:
-        for pair in ((0, 1), (1, 2), (0, 2)):
-            d = [1, 1, 1]
-            for a in pair:
-                d[a] = 2
-            K[tuple(d)] = 0.5
-            d = [1, 1, 1]
-            for a in pair:
-                d[a] = 0
-            K[tuple(d)] = 0.5
-        K[2, 2, 2] = K[0, 0, 0] = 0.5
-    return K
-
-
-def _conv_dims(dim: int):
-    # (T·batch, 1, *spatial) layout; feature dims are singletons.
-    sp = "".join("DHW"[3 - dim :])
-    return (f"NC{sp}", f"OI{sp}", f"NC{sp}")
-
-
-def _transfer_conv(X, dim: int, *, restrict: bool):
-    """Shared conv implementation of restriction (stride-2 VALID correlation)
-    and prolongation (its exact transpose: 2-dilated input, pad 2, stride 1).
-    Replaces the strided .at[].set scatter chains, which cost ~37 memory
-    passes per transfer pair on the axon backend (measured 12.2 ms vs ~1 ms
-    at 511²×128)."""
-    import jax
-    import jax.numpy as jnp
-
-    batch = X.shape[:-dim]
-    sp = X.shape[-dim:]
-    K = jnp.asarray(_transfer_kernel(dim), X.dtype)[(None, None) + (slice(None),) * dim]
-    lhs = X.reshape((-1, 1) + sp)
-    if restrict:
-        out = jax.lax.conv_general_dilated(
-            lhs, K, window_strides=(2,) * dim, padding="VALID",
-            dimension_numbers=_conv_dims(dim),
-        )
-    else:
-        out = jax.lax.conv_general_dilated(
-            lhs, K, window_strides=(1,) * dim, padding=[(2, 2)] * dim,
-            lhs_dilation=(2,) * dim, dimension_numbers=_conv_dims(dim),
-        )
-    return out.reshape(batch + out.shape[2:])
-
-
 def _repeat2_pad(X, axis: int):
     """G with G[f] = X[floor(f/2)] along ``axis`` (size n -> 2n+1, the last
     row reading the zero Dirichlet ghost): repeat + zero-pad, no gathers."""

@@ -45,18 +45,10 @@ def _make_kernel(nslots: int):
     return kernel
 
 
-def _fix(map_fn):
-    """Derive literal index-map components from the i32 program index —
-    Mosaic rejects maps whose components lower as i64 constants under
-    jax_enable_x64 (see ops/kron_pallas._i32_specs)."""
-
-    def fixed(rb, cidx):
-        z = rb * 0
-        return tuple(
-            z + v if isinstance(v, int) else v for v in map_fn(rb, cidx)
-        )
-
-    return fixed
+# Literal index-map components must derive from the i32 program index
+# (Mosaic i64 legalization failure under jax_enable_x64) — one shared
+# implementation in kron_pallas.
+from .kron_pallas import _i32_map as _fix
 
 
 @functools.partial(jax.jit, static_argnames=("nrb", "nslots", "br", "bc", "interpret"))
@@ -134,7 +126,7 @@ class EllOperator:
         return Y[:, :m] if Y.shape[1] != m else Y
 
     def apply_padded(self, Xp, p=None):
-        """Kernel-only apply on the padded layout (T, mp) -> (T, mp)."""
+        """Kernel-only apply on the padded layout: (T, mp) -> (T, nrb*br)\n        (equal to mp for the default square blocks; row- and\n        column-padded widths differ when br != bc)."""
         p = self.params if p is None else p
         return _spmm_call(
             p["colidx"], p["blocks"], Xp,

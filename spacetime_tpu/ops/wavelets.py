@@ -317,7 +317,6 @@ def build_wavelet_transform(grid: TimeGrid) -> WaveletTransform:
     t = grid.t
     nlev = grid.max_level
     N1 = grid.num_nodes
-    node_scale = np.zeros(N1)
     node_omega = np.zeros(N1)
 
     # Level 0: the two hats on the coarsest grid {0, T}.
@@ -326,7 +325,6 @@ def build_wavelet_transform(grid: TimeGrid) -> WaveletTransform:
     T = t[-1] - t[0]
     l2_root = T / 3.0
     root_s = np.full(2, 1.0 / np.sqrt(l2_root))
-    node_scale[root_idx] = root_s
     node_omega[root_idx] = root_s * np.sqrt(1.0 / T)
 
     levels = []
@@ -357,7 +355,6 @@ def build_wavelet_transform(grid: TimeGrid) -> WaveletTransform:
             v_loc[p_r - lo] = wr[a]
             l2, h1 = _pw_linear_norms(t_loc, v_loc)
             s[a] = 1.0 / np.sqrt(l2)
-            node_scale[k] = s[a]
             node_omega[k] = np.sqrt(h1 / l2)
         levels.append(_Level(idx, pl, pr, wl, wr, s))
 

@@ -201,6 +201,9 @@ class OracleSolver:
             R -= alpha * SP
             rnorm = float(np.linalg.norm(R))
             res_hist.append(rnorm)
+            # K_X is applied before the convergence test on purpose: the
+            # trailing sqrt(r·z) entry is part of the recorded parity
+            # histories, and the jitted drivers mirror this order exactly.
             Z = self.apply_KX(R)
             rz_new = float(np.vdot(R, Z))
             pres_hist.append(np.sqrt(max(rz_new, 0.0)))
