@@ -20,12 +20,40 @@ TPU-first:
 - ``solver``   — preconditioners (K_Y, wavelet K_X), PCG as one fused XLA
                  ``lax.while_loop``, Lanczos condition-number estimation.
 - ``parallel`` — ``jax.sharding`` mesh layouts: timesteps sharded over a
-                 ``time`` axis, halos via XLA collectives, wavelet transform
-                 via all_to_all re-sharding.
-- ``utils``    — profiling counters, JSONL result records.
+                 ``time`` axis (GSPMD-inferred or hand-placed collectives:
+                 ppermute halos, psum dots, all_gather'd coarse wavelet
+                 levels).
+- ``utils``    — profiling counters, JSONL result records, checkpointing.
 
 The reference mount is empty (see SURVEY.md §0); parity targets are defined by
 the in-repo NumPy oracle implementing the published algorithm.
 """
 
 __version__ = "0.1.0"
+
+# Lazy top-level conveniences (keep package import light; the CLI and tests
+# import submodules directly).
+_EXPORTS = {
+    "HeatSolver": "spacetime_tpu.solver.heateq",
+    "solve_heat_equation_tpu": "spacetime_tpu.solver.heateq",
+    "ShardedHeatSolver": "spacetime_tpu.parallel",
+    "ExplicitHeatSolver": "spacetime_tpu.parallel",
+    "make_time_mesh": "spacetime_tpu.parallel",
+    "make_spacetime_mesh": "spacetime_tpu.parallel",
+    "OracleSolver": "spacetime_tpu.oracle.solver",
+    "P1System": "spacetime_tpu.fem",
+    "get_problem": "spacetime_tpu.models",
+}
+
+
+def __getattr__(name):
+    target = _EXPORTS.get(name)
+    if target is None:
+        raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+    import importlib
+
+    return getattr(importlib.import_module(target), name)
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_EXPORTS))
