@@ -171,35 +171,40 @@ def spacetime_loads(problem, mesh: Mesh, grid) -> tuple[np.ndarray, np.ndarray, 
     v = mesh.vertices[mesh.elements]
     pts = np.einsum("qi,eid->eqd", bary, v).reshape(-1, mesh.dim)
     nq = bary.shape[0]
-    # One sparse scatter matrix (ne*nloc, m_interior) replaces per-time
-    # np.add.at passes: batched scatter becomes a single dense@sparse
-    # product over all quadrature times (measured ~10x on 129x129x64ts).
-    flat = mesh.elements.ravel()
     nloc = mesh.elements.shape[1]
+    ne = mesh.elements.shape[0]
     inv = -np.ones(mesh.num_vertices, dtype=np.int64)
     inv[idx] = np.arange(idx.size)
-    keep = inv[flat] >= 0
-    # Element measures fold into the scatter values (one fewer full pass
-    # over the (t, ne, nloc) contributions).
-    scatter_mat = sp.csr_matrix(
-        (
-            np.repeat(measure, nloc)[keep],
-            (np.nonzero(keep)[0], inv[flat[keep]]),
-        ),
-        shape=(flat.size, idx.size),
+    # ONE sparse matrix (m_interior, ne·nq) folds quadrature weights, basis
+    # values, AND element measures: loads = S2 · g(points). The earlier
+    # two-stage form (tensordot with WB, then a scatter product) built a
+    # (t, ne, nloc)-sized intermediate — on a first-touch-slow host that
+    # allocation dominated everything (measured 231 s per 4.8 GB chunk at
+    # 513²; this form never materializes it).
+    row_q = (np.arange(ne)[:, None] * nq + np.arange(nq)[None, :])  # (ne, nq)
+    WB = w[:, None] * bary  # (nq, nloc)
+    rows, cols, data = [], [], []
+    for l in range(nloc):
+        c = inv[mesh.elements[:, l]]  # (ne,)
+        keep = c >= 0
+        rows.append(np.repeat(c[keep], nq))
+        cols.append(row_q[keep].ravel())
+        data.append((measure[keep, None] * WB[None, :, l]).ravel())
+    S2 = sp.csr_matrix(
+        (np.concatenate(data), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(idx.size, ne * nq),
     )
-    WB = w[:, None] * bary  # (nq, nloc): quadrature weights × basis values
 
     def half_loads(times_flat: np.ndarray) -> np.ndarray:
         """(k,) times -> (k, m) interior loads, one fused g evaluation per
-        chunk (the per-time python loop dominated assembly at scale)."""
+        chunk (the per-time python loop dominated assembly at scale);
+        chunk size bounds the g-values buffer to ~1 GB."""
         out = np.empty((times_flat.size, idx.size))
-        chunk = max(1, int(2e8 // max(pts.shape[0], 1)))
+        chunk = max(1, int(1.2e8 // max(pts.shape[0], 1)))
         for lo in range(0, times_flat.size, chunk):
             ts = times_flat[lo : lo + chunk]
-            fvals = problem.g_many(ts, pts).reshape(ts.size, -1, nq)
-            contrib = np.tensordot(fvals, WB, axes=([2], [0]))  # (t, ne, nloc)
-            out[lo : lo + ts.size] = contrib.reshape(ts.size, -1) @ scatter_mat
+            fvals = problem.g_many(ts, pts)  # (k, ne*nq)
+            out[lo : lo + ts.size] = S2.dot(fvals.T).T
         return out
 
     loads = half_loads(tq.reshape(-1)).reshape(N, 2, 2, idx.size)
