@@ -287,10 +287,18 @@ def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
     C = int(min(chunk, 4 * N, max(1, int(1.5e8 // max(npts, 1)))))
 
     @jax.jit
-    def loads_chunk(ts):
+    def loads_all(ts_chunks):
+        """(nc, C) times -> (nc, C, m); lax.map over chunks bounds the
+        autodiff working set to one chunk while keeping the whole
+        quadrature a SINGLE dispatch (each host->device round trip costs
+        ~170 ms through the tunnel; 1025² needs ~23 chunks)."""
         pts = _pts()
-        fv = jax.vmap(lambda tt: gfn(tt, pts))(ts)
-        return _scatter(fv, C)
+
+        def one(ts):
+            fv = jax.vmap(lambda tt: gfn(tt, pts))(ts)
+            return _scatter(fv, C)
+
+        return jax.lax.map(one, ts_chunks)
 
     @jax.jit
     def u0_load():
@@ -302,11 +310,9 @@ def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
     times = tq.reshape(-1)
     pad = (-times.size) % C
     tpad = np.concatenate([times, np.full(pad, t[0])]) if pad else times
-    outs = [
-        loads_chunk(jnp.asarray(tpad[i : i + C], dtype))
-        for i in range(0, tpad.size, C)
-    ]
-    loads = jnp.concatenate(outs)[: times.size].reshape(N, 2, 2, m)
+    chunks = jnp.asarray(tpad.reshape(-1, C), dtype)
+    loads = loads_all(chunks).reshape(-1, m)[: times.size]
+    loads = loads.reshape(N, 2, 2, m)
     wts = jnp.asarray(0.5 * hh, dtype)[:, None]
     gL = wts * loads[:, 0].sum(axis=1)
     gR = wts * loads[:, 1].sum(axis=1)

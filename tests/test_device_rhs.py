@@ -74,8 +74,12 @@ class TestDeviceLoads:
         grid = uniform_time_grid(4)  # 64 quadrature times
         a = device_spacetime_loads(p, mesh, grid, jnp.float64, chunk=64)
         b = device_spacetime_loads(p, mesh, grid, jnp.float64, chunk=24)
-        np.testing.assert_array_equal(np.asarray(a[0]), np.asarray(b[0]))
-        np.testing.assert_array_equal(np.asarray(a[1]), np.asarray(b[1]))
+        # reduction order inside the XLA scatter varies with the batch
+        # shape, so equality holds to rounding, not bitwise
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=0, atol=1e-15)
+        np.testing.assert_allclose(np.asarray(a[1]), np.asarray(b[1]),
+                                   rtol=0, atol=1e-15)
 
     def test_requires_manufactured_problem(self):
         p = get_problem("smooth2d")
