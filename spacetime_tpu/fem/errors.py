@@ -24,20 +24,26 @@ def l2_error_spacetime(problem, mesh: Mesh, grid: TimeGrid, U: np.ndarray) -> fl
     N = grid.num_intervals
     Ufull = np.zeros((N + 1, mesh.num_vertices))
     Ufull[:, mesh.interior] = U
-    nodal = Ufull[:, mesh.elements]  # (N+1, ne, nloc)
-    uq = np.einsum("tei,qi->teq", nodal, bary)
+
+    def uq_row(j):
+        # one row at a time: materializing (N+1, ne, nq) for all rows costs
+        # gigabytes at the large configs on a first-touch-slow host
+        return np.einsum("ei,qi->eq", Ufull[j][mesh.elements], bary)
 
     t = grid.t
     h = grid.h
     gq = 0.5 / np.sqrt(3.0)
     total = 0.0
+    uq_j = uq_row(0)
     for j in range(N):
+        uq_j1 = uq_row(j + 1)
         mid = 0.5 * (t[j] + t[j + 1])
         for tq in (mid - gq * h[j], mid + gq * h[j]):
             lam = (tq - t[j]) / h[j]
-            uh = (1 - lam) * uq[j] + lam * uq[j + 1]
+            uh = (1 - lam) * uq_j + lam * uq_j1
             ue = problem.exact_np(tq, flat).reshape(uh.shape)
             total += 0.5 * h[j] * np.einsum("eq,q,e->", (uh - ue) ** 2, w, measure)
+        uq_j = uq_j1
     return float(np.sqrt(total))
 
 
