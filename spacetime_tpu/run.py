@@ -29,7 +29,9 @@ def build_parser() -> argparse.ArgumentParser:
         description="Parallel-in-time minimal-residual heat-equation solver",
     )
     p.add_argument("--problem", default="smooth2d",
-                   help="problem name (see spacetime_tpu.models.PROBLEMS)")
+                   help="problem name (see --list-problems)")
+    p.add_argument("--list-problems", action="store_true",
+                   help="print the benchmark problem registry and exit")
     p.add_argument("--space-n", type=int, default=64,
                    help="cells per side of the structured spatial mesh")
     p.add_argument("--time-levels", type=int, default=6,
@@ -88,6 +90,20 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.list_problems:
+        from .models import PROBLEMS
+
+        for name, prob in sorted(PROBLEMS.items()):
+            kind = "manufactured" if prob.exact is not None else "data-driven"
+            extras = []
+            if prob.graded_time:
+                extras.append("graded time grid")
+            if prob.domain != "unit":
+                extras.append(f"domain={prob.domain}")
+            extra = f" ({', '.join(extras)})" if extras else ""
+            print(f"{name:16s} {prob.dim}D {kind}{extra}")
+        return 0
 
     from .utils import use_cpu, use_tpu
     from .utils.profiling import PhaseTimer, write_jsonl
