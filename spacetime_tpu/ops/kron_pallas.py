@@ -463,10 +463,20 @@ class KronPallas:
         # plain pair was already at ~108 MB): production callers keep the
         # plain kernels + separate stab pass there (solver.apply_S).
         self.stab_ok = self.YBs >= self.gs[-2]
+        self.params = self.params_for_h(h, dtype)
+
+    @staticmethod
+    def params_for_h(h, dtype):
+        """The kernels' per-interval coefficient columns for a given h
+        vector — h/2 for the B/Bᵀ pairing, h/16 for the fused stab term —
+        broadcast to (len(h), 1, 128) (see _hcol for the layout). The ONE
+        place this layout and the constants are defined: the explicit
+        shard_map path builds its globally-sharded copy through here too."""
+        h = np.asarray(h)
         bc = lambda v: jnp.broadcast_to(
-            jnp.asarray(v, dtype)[:, None, None], (self.T, 1, 128)
+            jnp.asarray(v, dtype)[:, None, None], (h.shape[0], 1, 128)
         ).copy()
-        self.params = {"h128": bc(0.5 * h), "hs128": bc(h / 16.0)}
+        return {"h128": bc(0.5 * h), "hs128": bc(h / 16.0)}
 
     @classmethod
     def supported(cls, grid_shape, T, dtype) -> bool:

@@ -448,6 +448,11 @@ class MultiShiftMultigrid:
         lev = self.levels[lvl]
         lp = lps[lvl]
         pj = pallas[lvl] if pallas is not None else None
+        if pj is not None and "cols" not in lp:
+            # Params built without kernel columns (e.g. a global-layout
+            # params pytree handed to a sharded solver's eager operators for
+            # Lanczos diagnostics) — fall back to the XLA smoother.
+            pj = None
         if pj is not None and pj.fused_ok and "tx" in lp:
             # Fully fused fine-level stages (ops/mg_pallas.py): one pass for
             # smooth+residual+restrict, one for prolong+correct+smooth.
@@ -471,6 +476,8 @@ class MultiShiftMultigrid:
         x = self.vcycle(b, lps, coarse_solve, pallas=pallas)
         for _ in range(cycles - 1):
             pj = pallas[0] if pallas is not None else None
+            if pj is not None and "cols" not in lps[0]:
+                pj = None
             if pj is not None:
                 r = pj.residual(x, b, lps[0]["cols"])
             else:

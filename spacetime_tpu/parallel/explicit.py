@@ -121,10 +121,6 @@ class ExplicitHeatSolver(HeatSolver):
             )
             pallas = big and jax.default_backend() not in ("cpu",)
         self.epallas = bool(pallas) and self.spatial_format == "stencil"
-        # Same size gate as HeatSolver.params_for for the fused mg levels;
-        # overridable (tests lower it to exercise the kernels in interpret
-        # mode on tiny grids).
-        self.mg_pallas_min_points = 40_000
         self._ekron: dict = {}
         self._e_pl: dict = {}
 
@@ -211,12 +207,12 @@ class ExplicitHeatSolver(HeatSolver):
                     interpret=self._pl_interpret,
                 )
                 self._ekron[key] = kp
-                bc = lambda v: jnp.broadcast_to(
-                    jnp.asarray(v, dtype)[:, None, None], (self.N, 1, 128)
-                ).copy()
                 h_spec = P("time", None, None)
-                ep["kron"] = {"h128": bc(0.5 * h), "hs128": bc(h / 16.0)}
-                es["kron"] = {"h128": h_spec, "hs128": h_spec}
+                # global (N, 1, 128) coefficient columns, sharded over time
+                # like every per-row quantity; same constants/layout as the
+                # kernel instance's own params.
+                ep["kron"] = KronPallas.params_for_h(h, dtype)
+                es["kron"] = {k: h_spec for k in ep["kron"]}
             if self.inner == "mg":
                 from ..ops.mg_pallas import MSPallasLevel
 
@@ -439,36 +435,30 @@ class ExplicitHeatSolver(HeatSolver):
         mask0 = (lax.axis_index("time") == 0).astype(U.dtype)
         return out.at[0].add(mask0 * self._trace_row(U, ep)[0])
 
-    def _coarse_by_level_local(self, bc, ep):
-        """Multi-shift coarse solve, duplicated layout: interior slots via
-        device-uniform fine-level slices, boundary slots via the level
-        one-hot (cf. HeatSolver._coarse_by_level's global strided slices)."""
-        flat = bc.reshape(self.R + 1, -1)
+    def _levelwise_local(self, flat, mats, ep):
+        """Apply per-wavelet-level matrices on the duplicated (R+1, k) local
+        layout: interior slots are device-uniform static strided slices
+        (cf. HeatSolver's global ones); the two boundary slots have
+        device-dependent levels and blend via the precomputed one-hot."""
         out = flat
         for j in range(self.p_log + 1, self.J + 1):
             s = self.N >> j
             sl = slice(s, self.R, 2 * s)
-            out = out.at[sl].set(_dot(flat[sl], ep["mg_cinv"][j]))
+            out = out.at[sl].set(_dot(flat[sl], mats[j]))
         rows2 = flat[jnp.array([0, self.R])]
         acc = jnp.zeros_like(rows2)
         for j in range(self.J + 1):
-            acc = acc + ep["onehot2"][:, j : j + 1] * _dot(rows2, ep["mg_cinv"][j])
-        out = out.at[jnp.array([0, self.R])].set(acc)
-        return out.reshape(bc.shape)
+            acc = acc + ep["onehot2"][:, j : j + 1] * _dot(rows2, mats[j])
+        return out.at[jnp.array([0, self.R])].set(acc)
+
+    def _coarse_by_level_local(self, bc, ep):
+        """Multi-shift coarse solve, duplicated layout."""
+        flat = bc.reshape(self.R + 1, -1)
+        return self._levelwise_local(flat, ep["mg_cinv"], ep).reshape(bc.shape)
 
     def _sandwich_local(self, C, ep):
-        """Dense-inner K_X middle block, duplicated layout (cf.
-        HeatSolver.apply_KX's uniform-grid strided slices)."""
-        out = C
-        for j in range(self.p_log + 1, self.J + 1):
-            s = self.N >> j
-            sl = slice(s, self.R, 2 * s)
-            out = out.at[sl].set(_dot(C[sl], ep["sandwich"][j]))
-        rows2 = C[jnp.array([0, self.R])]
-        acc = jnp.zeros_like(rows2)
-        for j in range(self.J + 1):
-            acc = acc + ep["onehot2"][:, j : j + 1] * _dot(rows2, ep["sandwich"][j])
-        return out.at[jnp.array([0, self.R])].set(acc)
+        """Dense-inner K_X middle block, duplicated layout."""
+        return self._levelwise_local(C, ep["sandwich"], ep)
 
     def _apply_KX_local(self, Rr, ep):
         C = self._wavelet_adjoint_local(Rr.reshape(self.R + 1, self.m), ep)
@@ -567,9 +557,12 @@ class ExplicitHeatSolver(HeatSolver):
 
     def _prepare_x0(self, x0):
         if x0 is None:
-            full = np.zeros((self.N + 1, self.m), self.dtype)
-        else:
-            full = np.asarray(x0, self.dtype).reshape(self.N + 1, self.m)
+            # zeros are already in duplicated layout — building and
+            # duplicating a host array only to discard it (warm=False
+            # traces ignore x0) costs GB-scale host allocation + transfer
+            # at the large configs
+            return jnp.zeros((self.P * (self.R + 1),) + self.gs, self.dtype)
+        full = np.asarray(x0, self.dtype).reshape(self.N + 1, self.m)
         return jnp.asarray(
             self._dup_rows(full).reshape((self.P * (self.R + 1),) + self.gs)
         )

@@ -92,6 +92,44 @@ class ShardedHeatSolver(HeatSolver):
             out_shardings=None,
         )
 
+    def _build_chunked(self, tol: float, maxiter: int, warm: bool = False):
+        """Chunked driver with mesh shardings (periodic checkpointing).
+
+        Only ``prep`` needs explicit input shardings + a constraint on the
+        iteration state; ``step`` inherits placement from its committed
+        inputs (prep's outputs), so GSPMD keeps every chunk time-sharded.
+        """
+        from ..solver.pcg import pcg_chunk, pcg_init
+
+        time_rows, repl = self._shardings()
+        params_sh = jax.tree.map(lambda _: repl, self.params)
+
+        def prep(gL, gR, u0_vec, p, x0):
+            f = self.rhs_device(gL, gR, u0_vec, p)
+            f = jax.lax.with_sharding_constraint(f, time_rows)
+            return pcg_init(
+                lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
+                f, maxiter, x0=x0 if warm else None,
+            )
+
+        def step(state, p, k):
+            return pcg_chunk(
+                lambda U: self.apply_S(U, p), lambda R: self.apply_KX(R, p),
+                state, tol, k,
+            )
+
+        P_t = self.mesh.shape["time"]
+        P_s = self.mesh.shape.get("space", 1)
+        even_space = not self.has_space_axis or (
+            len(self.gs) >= 2 and self.gs[0] % P_s == 0
+        )
+        g_sh = time_rows if (self.N % P_t == 0 and even_space) else repl
+        x_sh = time_rows if ((self.N + 1) % P_t == 0 and even_space) else repl
+        return (
+            jax.jit(prep, in_shardings=(g_sh, g_sh, repl, params_sh, x_sh)),
+            jax.jit(step, static_argnums=2),
+        )
+
 
 def replicate_result_check(res_a, res_b, rtol=1e-10) -> bool:
     """Utility: are two SolveResults numerically the same solve?"""

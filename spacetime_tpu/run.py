@@ -267,25 +267,14 @@ def main(argv=None) -> int:
         "timestamp": time.time(),
     }
 
-    if args.estimate_condition and args.backend != "oracle":
+    if args.estimate_condition:
         from .solver.lanczos import lanczos_condition
 
+        shape = (grid.num_intervals + 1,) + getattr(
+            solver, "gs", (system.m,)
+        )
         with timer("lanczos"):
-            est = lanczos_condition(
-                solver.apply_S, solver.apply_KX,
-                (grid.num_intervals + 1,) + solver.gs,
-            )
-        print(
-            f"Lanczos: lambda in [{est.lam_min:.3g}, {est.lam_max:.3g}], "
-            f"kappa(K_X S) ~= {est.condition:.2f}"
-        )
-        record["kappa_estimate"] = est.condition
-    elif args.estimate_condition:
-        from .solver.lanczos import lanczos_condition
-
-        est = lanczos_condition(
-            solver.apply_S, solver.apply_KX, (grid.num_intervals + 1, system.m)
-        )
+            est = lanczos_condition(solver.apply_S, solver.apply_KX, shape)
         print(
             f"Lanczos: lambda in [{est.lam_min:.3g}, {est.lam_max:.3g}], "
             f"kappa(K_X S) ~= {est.condition:.2f}"

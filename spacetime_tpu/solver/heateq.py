@@ -109,6 +109,11 @@ class HeatSolver:
         ``space_n``: cells per side of the structured mesh (required for
         'mg'; inferred from grid_shape when square/cubic)."""
         t0 = _time.perf_counter()
+        # Fused mg-Pallas kernels engage at levels with >= this many grid
+        # points ('the XLA form wins at small sizes', measured); a single
+        # overridable knob shared with the explicit subclass (tests lower it
+        # to exercise the kernels in interpret mode on tiny grids).
+        self.mg_pallas_min_points = 40_000
         self.problem = problem
         self.system = system
         self.grid = grid
@@ -235,10 +240,6 @@ class HeatSolver:
             self._host["mg_cinv"] = [
                 np.linalg.inv(A_c + omega * M_c) for omega in omegas
             ]
-            self._mc = A_c.shape[0]
-            self._coarse_gs = tuple(
-                (self.msmg.n_coarse - 1,) for _ in range(dim)
-            )
             lmin, lmax = mass_spectral_bounds(dim)
             M_st = StencilOperator.from_dia(M_dia, self.gs)
             center = dict(zip(M_st.disps, M_st.weights))[(0,) * dim]
@@ -336,7 +337,6 @@ class HeatSolver:
                 self._kron[key] = kp
                 p["kron"] = kp.params
         if self.spatial_format in ("dia", "ell"):
-            dia_dtype = dtype
             if self.spatial_format == "ell" and jnp.dtype(dtype) != jnp.dtype(
                 jnp.float64
             ):
@@ -374,7 +374,7 @@ class HeatSolver:
                 self._ms_pl[key] = [
                     MSPallasLevel(lev.A_st, lev.M_st, self.N + 1, dtype,
                                   self.mg_nu, interpret=self._pl_interpret)
-                    if (lev.n - 1) ** self._mg_dim >= 40_000
+                    if (lev.n - 1) ** self._mg_dim >= self.mg_pallas_min_points
                     else None
                     for lev in self.msmg.levels
                 ]
@@ -846,6 +846,13 @@ class HeatSolver:
         gL64, gR64, u064 = self.assemble_rhs_host(jnp.float64)
 
         mode = self._loop_mode()
+        # Keyed like solve()'s jit cache: inner_tol/inner_maxiter are baked
+        # into the inner executable as closure constants, so a second call
+        # with different values must not reuse the first call's binaries.
+        ir_key = (mode, inner_tol, inner_maxiter)
+        if self.__dict__.get("_ir_key") != ir_key:
+            self.__dict__.pop("_ir_jits", None)
+            self._ir_key = ir_key
         if "_ir_jits" not in self.__dict__:
             rhs64 = jax.jit(lambda a, b, c, p: self.rhs_device(a, b, c, p))
             resid64 = jax.jit(lambda f, u, p: f - self.apply_S(u, p))

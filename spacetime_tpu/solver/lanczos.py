@@ -49,7 +49,6 @@ def lanczos_condition(
 
     alphas, betas = [], []
     v_prev = None
-    zv_prev = None
     beta = 0.0
     for _ in range(num_iters):
         w = apply_S(zv)  # S K_X applied to v (in r-coordinates)
@@ -64,7 +63,7 @@ def lanczos_condition(
             break
         beta = beta2**0.5
         betas.append(beta)
-        v_prev, zv_prev = v, zv
+        v_prev = v
         v = w / beta
         zv = zw / beta
 

@@ -18,7 +18,15 @@ def save_solution(path: str, U: np.ndarray, meta: dict | None = None) -> None:
 
 
 def load_solution(path: str) -> tuple[np.ndarray, dict]:
-    """Load an iterate saved by ``save_solution``; returns (U, metadata)."""
+    """Load an iterate saved by ``save_solution``; returns (U, metadata).
+
+    Accepts the same path that was passed to ``save_solution`` —
+    ``np.savez`` appends ``.npz``, so the extension is added here too when
+    the bare path does not exist."""
+    import os
+
+    if not os.path.exists(path) and os.path.exists(path + ".npz"):
+        path = path + ".npz"
     with np.load(path) as z:
         U = z["U"]
         meta = {k: z[k] for k in z.files if k != "U"}

@@ -185,3 +185,92 @@ class TestCheckpoint:
         with pytest.raises(ValueError):
             s_fused.solve(checkpoint_path=str(tmp_path / "x.npz"),
                           checkpoint_every=4)
+
+
+class TestReviewRegressions:
+    """Fixes from the round-1 review passes."""
+
+    def test_checkpoint_roundtrip_without_extension(self, tmp_path):
+        from spacetime_tpu.utils.checkpoint import load_solution, save_solution
+
+        path = str(tmp_path / "state")  # same string for save and load
+        save_solution(path, np.ones((3, 2)), {"iterations": 5})
+        U, meta = load_solution(path)
+        assert U.shape == (3, 2) and int(meta["iterations"]) == 5
+
+    def test_explicit_eager_operators_after_solve(self):
+        # apply_S/apply_KX with the GLOBAL params (Lanczos diagnostics) must
+        # not try to use the per-shard Pallas kernels built for the local
+        # layout (was: KeyError 'cols').
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        import jax.numpy as jnp
+
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+        from spacetime_tpu.solver.lanczos import lanczos_condition
+
+        s = ExplicitHeatSolver(
+            get_problem("smooth2d"),
+            P1System.from_mesh(unit_square_mesh(16)),
+            uniform_time_grid(4), make_time_mesh(4),
+            dtype=jnp.float32, inner="mg", pallas=True,
+        )
+        s.mg_pallas_min_points = 0  # force kernels (interpret mode on CPU)
+        r = s.solve(tol=1e-4, compute_error=False)
+        assert r.converged
+        est = lanczos_condition(
+            s.apply_S, s.apply_KX, (s.N + 1,) + s.gs, num_iters=8
+        )
+        assert est.condition < 20
+
+    def test_sharded_chunked_checkpoint(self, tmp_path):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.parallel import ShardedHeatSolver, make_time_mesh
+        from spacetime_tpu.solver.heateq import HeatSolver
+
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(4)
+        ref = HeatSolver(problem, system, grid).solve(
+            tol=1e-8, compute_error=False
+        )
+        s = ShardedHeatSolver(problem, system, grid, make_time_mesh(4),
+                              chunk=4)
+        ckpt = str(tmp_path / "sharded")
+        r = s.solve(tol=1e-8, compute_error=False,
+                    checkpoint_path=ckpt, checkpoint_every=4)
+        assert r.converged
+        assert r.iterations == ref.iterations
+        np.testing.assert_allclose(r.residuals, ref.residuals, rtol=1e-9)
+
+    def test_refined_honors_changed_inner_params(self):
+        import jax.numpy as jnp
+
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+
+        s = HeatSolver(get_problem("smooth2d"),
+                       P1System.from_mesh(unit_square_mesh(8)),
+                       uniform_time_grid(3), dtype=jnp.float32)
+        # starve the inner solver: 1 iteration per round cannot reach 1e-8
+        r1 = s.solve_refined(tol=1e-8, inner_maxiter=1, max_rounds=2,
+                             compute_error=False)
+        assert not r1.converged
+        # same solver object, proper inner budget — must NOT reuse the
+        # starved executables (was: closure constants silently cached)
+        r2 = s.solve_refined(tol=1e-8, inner_maxiter=60, max_rounds=4,
+                             compute_error=False)
+        assert r2.converged
