@@ -171,5 +171,40 @@ def main():
     )
 
 
+def _watchdog():
+    """Run the benchmark in a child process with a timeout and retries.
+
+    Backend init hangs indefinitely when the TPU tunnel is down (observed:
+    multi-hour axon outage mid-round); a hung benchmark is worse than a
+    failed one for the driver. The child inherits stdout (the JSON line
+    passes through); on timeout the child is killed and retried.
+    """
+    import os
+    import subprocess
+
+    tries, timeout_s, backoff_s = 3, 1200, 120
+    for attempt in range(1, tries + 1):
+        try:
+            rc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--run"],
+                timeout=timeout_s,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            log(f"bench attempt {attempt}/{tries} timed out after {timeout_s}s "
+                "(TPU backend unreachable?)")
+            rc = -1
+        if rc == 0:
+            return 0
+        if attempt < tries:
+            log(f"bench attempt {attempt}/{tries} failed (rc={rc}); "
+                f"retrying in {backoff_s}s")
+            time.sleep(backoff_s)
+    log("bench: all attempts failed")
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if "--run" in sys.argv:
+        main()
+    else:
+        sys.exit(_watchdog())
