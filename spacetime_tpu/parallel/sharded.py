@@ -92,6 +92,48 @@ class ShardedHeatSolver(HeatSolver):
             out_shardings=None,
         )
 
+    def _build_refined_jits(self, mode: str, inner_tol: float,
+                            inner_maxiter: int):
+        """Mixed-precision refinement with mesh shardings: the f64
+        residual loop's arrays and the f32 inner PCG state stay
+        time-sharded (inputs committed by in_shardings; everything
+        downstream propagates)."""
+        from ..solver.pcg import pcg, pcg_fused
+
+        time_rows, repl = self._shardings()
+        # prefix sharding: one entry replicates the whole params subtree
+        # (its pytree structure differs between the f64 and f32 calls)
+        params_sh = repl
+        P_t = self.mesh.shape["time"]
+        P_s = self.mesh.shape.get("space", 1)
+        even_space = not self.has_space_axis or (
+            len(self.gs) >= 2 and self.gs[0] % P_s == 0
+        )
+        g_sh = time_rows if (self.N % P_t == 0 and even_space) else repl
+        x_sh = time_rows if ((self.N + 1) % P_t == 0 and even_space) else repl
+
+        def rhs(a, b, c, p):
+            f = self.rhs_device(a, b, c, p)
+            return jax.lax.with_sharding_constraint(f, time_rows)
+
+        rhs64 = jax.jit(rhs, in_shardings=(g_sh, g_sh, repl, params_sh))
+        resid64 = jax.jit(
+            lambda f, u, p: f - self.apply_S(u, p),
+            in_shardings=(x_sh, x_sh, params_sh),
+        )
+        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+        inner = jax.jit(
+            lambda r32, p: drv(
+                lambda U: self.apply_S(U, p),
+                lambda R: self.apply_KX(R, p),
+                r32,
+                inner_tol,
+                inner_maxiter,
+            ),
+            in_shardings=(x_sh, params_sh),
+        )
+        return rhs64, resid64, inner
+
     def _build_chunked(self, tol: float, maxiter: int, warm: bool = False):
         """Chunked driver with mesh shardings (periodic checkpointing).
 

@@ -817,6 +817,47 @@ class HeatSolver:
 
     # ------------------------------------------------- mixed precision
 
+    def _build_refined_jits(self, mode: str, inner_tol: float,
+                            inner_maxiter: int):
+        """(rhs64, resid64, inner) executables of the refinement loop —
+        overridden by the GSPMD subclass to attach mesh shardings."""
+        rhs64 = jax.jit(lambda a, b, c, p: self.rhs_device(a, b, c, p))
+        resid64 = jax.jit(lambda f, u, p: f - self.apply_S(u, p))
+        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+        if mode == "while":
+            inner = jax.jit(
+                lambda r32, p: drv(
+                    lambda U: self.apply_S(U, p),
+                    lambda R: self.apply_KX(R, p),
+                    r32,
+                    inner_tol,
+                    inner_maxiter,
+                )
+            )
+        else:
+            prep32 = jax.jit(
+                lambda r32, p: pcg_init(
+                    lambda U: self.apply_S(U, p),
+                    lambda R: self.apply_KX(R, p),
+                    r32, inner_maxiter,
+                )
+            )
+            step32 = jax.jit(
+                lambda st, p: pcg_chunk(
+                    lambda U: self.apply_S(U, p),
+                    lambda R: self.apply_KX(R, p),
+                    st, inner_tol, self.chunk,
+                )
+            )
+
+            def inner(r32, p):
+                st = prep32(r32, p)
+                while int(st.it) < inner_maxiter and not bool(st.done):
+                    st = step32(st, p)
+                return PCGResult(st.U, st.it, st.res, st.pres, st.done)
+
+        return rhs64, resid64, inner
+
     def solve_refined(
         self,
         tol: float = 1e-8,
@@ -854,42 +895,9 @@ class HeatSolver:
             self.__dict__.pop("_ir_jits", None)
             self._ir_key = ir_key
         if "_ir_jits" not in self.__dict__:
-            rhs64 = jax.jit(lambda a, b, c, p: self.rhs_device(a, b, c, p))
-            resid64 = jax.jit(lambda f, u, p: f - self.apply_S(u, p))
-            drv = pcg_fused if self.pcg_variant == "fused" else pcg
-            if mode == "while":
-                inner = jax.jit(
-                    lambda r32, p: drv(
-                        lambda U: self.apply_S(U, p),
-                        lambda R: self.apply_KX(R, p),
-                        r32,
-                        inner_tol,
-                        inner_maxiter,
-                    )
-                )
-            else:
-                prep32 = jax.jit(
-                    lambda r32, p: pcg_init(
-                        lambda U: self.apply_S(U, p),
-                        lambda R: self.apply_KX(R, p),
-                        r32, inner_maxiter,
-                    )
-                )
-                step32 = jax.jit(
-                    lambda st, p: pcg_chunk(
-                        lambda U: self.apply_S(U, p),
-                        lambda R: self.apply_KX(R, p),
-                        st, inner_tol, self.chunk,
-                    )
-                )
-
-                def inner(r32, p):
-                    st = prep32(r32, p)
-                    while int(st.it) < inner_maxiter and not bool(st.done):
-                        st = step32(st, p)
-                    return PCGResult(st.U, st.it, st.res, st.pres, st.done)
-
-            self._ir_jits = (rhs64, resid64, inner)
+            self._ir_jits = self._build_refined_jits(
+                mode, inner_tol, inner_maxiter
+            )
         rhs64, resid64, inner = self._ir_jits
 
         t0 = _time.perf_counter()

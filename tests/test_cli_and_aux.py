@@ -274,3 +274,30 @@ class TestReviewRegressions:
         r2 = s.solve_refined(tol=1e-8, inner_maxiter=60, max_rounds=4,
                              compute_error=False)
         assert r2.converged
+
+    def test_sharded_refined_matches_serial(self):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        import jax.numpy as jnp
+
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.parallel import ShardedHeatSolver, make_time_mesh
+        from spacetime_tpu.solver.heateq import HeatSolver
+
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(4)
+        r1 = HeatSolver(problem, system, grid, dtype=jnp.float32).solve_refined(
+            tol=1e-8, compute_error=False
+        )
+        r2 = ShardedHeatSolver(
+            problem, system, grid, make_time_mesh(4), dtype=jnp.float32
+        ).solve_refined(tol=1e-8, compute_error=False)
+        assert r1.converged and r2.converged
+        assert len(r2.residuals) == len(r1.residuals)
+        np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-6)
+        np.testing.assert_allclose(r2.U, r1.U, rtol=0, atol=1e-9)
