@@ -301,3 +301,48 @@ class TestReviewRegressions:
         assert len(r2.residuals) == len(r1.residuals)
         np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-6)
         np.testing.assert_allclose(r2.U, r1.U, rtol=0, atol=1e-9)
+
+
+class TestDeterminism:
+    """SURVEY.md §5: same inputs -> bitwise-identical residual histories
+    across runs (JAX purity is the rebuild's replacement for the
+    reference's by-construction MPI determinism)."""
+
+    def test_repeat_solves_identical(self):
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(3)
+        a = HeatSolver(problem, system, grid).solve(
+            tol=1e-8, compute_error=False
+        )
+        b = HeatSolver(problem, system, grid).solve(
+            tol=1e-8, compute_error=False
+        )
+        assert a.iterations == b.iterations
+        np.testing.assert_array_equal(a.residuals, b.residuals)
+        np.testing.assert_array_equal(a.U, b.U)
+
+    def test_repeat_sharded_solves_identical(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(4)
+        mk = lambda: ExplicitHeatSolver(
+            problem, system, grid, make_time_mesh(8)
+        ).solve(tol=1e-8, compute_error=False)
+        a, b = mk(), mk()
+        np.testing.assert_array_equal(a.residuals, b.residuals)
+        np.testing.assert_array_equal(a.U, b.U)
