@@ -9,7 +9,7 @@ the singular and moving-peak ones — is a three-line closed-form formula.
 Benchmark families (BASELINE.md config ladder):
   smooth2d / smooth3d — smooth separable solutions; iteration counts must be
     flat under refinement.
-  singular2d — u ~ t^alpha near t=0 (incompatible data): optimal rates only
+  singular2d/3d — u ~ t^alpha near t=0 (incompatible data): optimal rates only
     on a time grid graded toward t=0.
   moving_peak2d — a Gaussian peak travelling across the domain.
 """
@@ -150,7 +150,7 @@ def _smooth(dim):
     return Problem(name=f"smooth{dim}d", dim=dim, exact=u)
 
 
-def _singular2d(alpha=0.75):
+def _singular(dim, alpha=0.75):
     def u(t, x):
         import jax.numpy as jnp
 
@@ -158,7 +158,7 @@ def _singular2d(alpha=0.75):
         # uniform time grids lose the optimal rate; graded grids restore it.
         return t**alpha * jnp.prod(jnp.sin(jnp.pi * x))
 
-    return Problem(name="singular2d", dim=2, exact=u, graded_time=True)
+    return Problem(name=f"singular{dim}d", dim=dim, exact=u, graded_time=True)
 
 
 def _moving_peak2d():
@@ -190,7 +190,8 @@ PROBLEMS = {
     for p in [
         _smooth(2),
         _smooth(3),
-        _singular2d(),
+        _singular(2),
+        _singular(3),
         _moving_peak2d(),
         _lshape2d(),
     ]

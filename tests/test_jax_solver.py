@@ -101,3 +101,26 @@ def test_dia_fallback_matches_stencil():
     )
     assert r_dia.iterations == r_st.iterations
     np.testing.assert_allclose(r_dia.residuals, r_st.residuals, rtol=1e-9)
+
+
+def test_singular3d_graded_parity():
+    # 3D + graded time grid together (new problem family): jitted path
+    # matches the oracle; the graded grid handles the t->0 singularity at
+    # flat iteration counts.
+    import jax.numpy as jnp
+
+    from spacetime_tpu.fem import P1System, unit_cube_mesh
+    from spacetime_tpu.fem.timegrid import graded_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.oracle.solver import OracleSolver
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    problem = get_problem("singular3d")
+    system = P1System.from_mesh(unit_cube_mesh(6))
+    grid = graded_time_grid(2, 3)
+    ro = OracleSolver(problem, system, grid).solve(tol=1e-6)
+    rj = HeatSolver(problem, system, grid).solve(tol=1e-6)
+    assert ro.converged and rj.converged
+    assert rj.iterations == ro.iterations <= 20
+    np.testing.assert_allclose(rj.residuals, ro.residuals, rtol=1e-9)
+    np.testing.assert_allclose(rj.l2_error, ro.l2_error, rtol=1e-10)
