@@ -31,6 +31,7 @@ CONFIGS = [
     ("2d-ladder-32x32x32", "smooth2d", 32, 5, 0, 1e-6),
     ("cfg3-3d-17x17x17x16", "smooth3d", 16, 4, 0, 1e-6),
     ("cfg4-singular-graded-32-J4+4", "singular2d", 32, 4, 4, 1e-6),
+    ("singular3d-graded-8-J2+3", "singular3d", 8, 2, 3, 1e-6),
     ("moving-peak-32x32x32", "moving_peak2d", 32, 5, 0, 1e-6),
     ("lshape-32-J5", "lshape2d", 32, 5, 0, 1e-6),
 ]
