@@ -515,6 +515,90 @@ def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,
     return solve
 
 
+def generic_spectral_bounds(Op, safety: float = 0.9) -> tuple[float, float]:
+    """(lmin, lmax) of D⁻¹·Op for an arbitrary SPD sparse matrix — the
+    calibration step of the generic Chebyshev inner solver (unstructured
+    meshes, where no nested grid hierarchy exists for multigrid).
+
+    lmax: Gershgorin row-sum bound (safe upper, cheap). lmin: smallest
+    eigenvalue of the Jacobi-normalized operator via a one-time sparse
+    eigensolve at setup (shift-invert Lanczos; LOBPCG fallback), shrunk by
+    ``safety`` so the Chebyshev interval certainly covers the spectrum.
+    """
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+
+    d = np.asarray(Op.diagonal())
+    s = 1.0 / np.sqrt(d)
+    B = sp.csr_matrix(Op).multiply(s[:, None]).multiply(s[None, :]).tocsc()
+    gersh = float(np.abs(B).sum(axis=1).max())
+    try:
+        lmin = float(spla.eigsh(B, k=1, sigma=0.0, which="LM",
+                                return_eigenvectors=False)[0])
+    except Exception:
+        rng = np.random.default_rng(0)
+        X = rng.standard_normal((B.shape[0], 1))
+        w, _ = spla.lobpcg(B.tocsr(), X, largest=False, maxiter=200, tol=1e-4)
+        lmin = float(w[0])
+    return safety * lmin, gersh
+
+
+def chebyshev_generic(spmv, inv_diag, lmin: float, lmax: float, degree: int):
+    """fn(b) ≈ Op⁻¹ b by Chebyshev–Jacobi iteration for a generic SPD
+    operator: ``spmv(x)`` applies Op on (..., m) arrays, ``inv_diag`` is the
+    (m,) Jacobi vector (broadcasts over leading axes). Same recurrence as
+    ``chebyshev_inverse``; this is a fixed POLYNOMIAL in Op — a linear,
+    symmetric approximation of Op⁻¹, which is what keeps the outer normal
+    equations SPD (an inner Krylov solve would not be linear)."""
+
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+
+    def solve(b):
+        r = inv_diag * b
+        d = r / theta
+        x = d
+        rho = 1.0 / sigma
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = r - inv_diag * spmv(d)
+            d = rho_new * rho * d + (2.0 * rho_new / delta) * r
+            x = x + d
+            rho = rho_new
+        return x
+
+    return solve
+
+
+def chebyshev_coefficients(lmin: float, lmax: float, degree: int) -> np.ndarray:
+    """Precompute the data-independent scalar sequence of the Chebyshev
+    recurrence: row k = (α_k, β_k) with d ← α_k·d + β_k·r. Shape
+    (degree-1, 2). Large-degree polynomials (generic meshes, κ ~ h⁻²) must
+    run as a ``lax.scan`` over these rows — unrolling the recurrence in
+    Python inflates the HLO by the degree and compiles for minutes."""
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rho = 1.0 / sigma
+    out = np.empty((max(degree - 1, 0), 2))
+    for k in range(degree - 1):
+        rho_new = 1.0 / (2.0 * sigma - rho)
+        out[k, 0] = rho_new * rho
+        out[k, 1] = 2.0 * rho_new / delta
+        rho = rho_new
+    return out
+
+
+def chebyshev_degree(lmin: float, lmax: float, eps: float) -> int:
+    """Smallest degree with error factor 2·((√κ−1)/(√κ+1))^d ≤ eps."""
+    kappa = lmax / lmin
+    q = (np.sqrt(kappa) - 1.0) / (np.sqrt(kappa) + 1.0)
+    if q <= 0:
+        return 1
+    return max(1, int(np.ceil(np.log(eps / 2.0) / np.log(q))))
+
+
 def mass_spectral_bounds(dim: int) -> tuple[float, float]:
     """(lmin, lmax) of D⁻¹M for the structured P1 mass matrix family —
     h-independent, computed exactly on a small instance with safety margin."""

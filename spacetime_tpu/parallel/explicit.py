@@ -101,6 +101,10 @@ class ExplicitHeatSolver(HeatSolver):
         if kwargs.get("spatial_format") == "ell":
             raise ValueError("blocked-ELL spatial path: use ShardedHeatSolver")
         super().__init__(problem, system, grid, **kwargs)
+        if self.inner == "cheb":  # incl. 'auto' resolving to cheb
+            raise ValueError(
+                "inner='cheb' (generic-mesh path): use ShardedHeatSolver"
+            )
         if not self.wt.is_uniform:
             raise ValueError(
                 "explicit path requires the uniform dyadic time grid; "

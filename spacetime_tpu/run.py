@@ -50,7 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
                    default="default",
                    help="platform selection (cpu8 = 8 virtual CPU devices)")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f64")
-    p.add_argument("--inner", choices=["auto", "dense", "mg"], default="auto")
+    p.add_argument("--inner", choices=["auto", "dense", "mg", "cheb"],
+                   default="auto",
+                   help="inner spatial solver: dense inverses (parity, "
+                        "m<=4k), geometric multigrid (structured grids), or "
+                        "Chebyshev polynomial inverses (large unstructured "
+                        "meshes)")
     p.add_argument("--spatial", choices=["auto", "stencil", "dia", "ell"],
                    default="auto",
                    help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")

@@ -178,7 +178,17 @@ class HeatSolver:
 
         # --- inner spatial solver ------------------------------------------
         if inner == "auto":
-            inner = "dense" if self.m <= 4096 else "mg"
+            if self.m <= 4096:
+                inner = "dense"
+            elif (
+                spatial_format == "stencil"
+                or (spatial_format == "auto" and use_stencil)
+            ):
+                inner = "mg"
+            else:
+                # large unstructured meshes: no nested hierarchy for mg and
+                # dense inverses are O(m²) — Chebyshev polynomial inverses
+                inner = "cheb"
         self.inner = inner
         self._host = {"h": time_matrices(grid)["h"]}
         omegas = [float(self.wt.level_shift[j]) for j in range(self.wt.num_levels + 1)]
@@ -244,6 +254,65 @@ class HeatSolver:
             M_st = StencilOperator.from_dia(M_dia, self.gs)
             center = dict(zip(M_st.disps, M_st.weights))[(0,) * dim]
             self._cheb_Minv = chebyshev_inverse(M_st, 1.0 / center, lmin, lmax, 30)
+        elif inner == "cheb":
+            # Generic-mesh scale path: fixed Chebyshev polynomials in the
+            # (Jacobi-normalized) spatial operators — linear and symmetric,
+            # so the outer normal equations stay SPD (an inner Krylov solve
+            # would be nonlinear in the RHS and is not admissible). Spectral
+            # bounds are measured once per matrix at setup; shifted-operator
+            # bounds derive from the A/M bounds by the row-wise mediant
+            # inequality (no per-level eigensolves). Degrees follow the
+            # Chebyshev error bound: K_Y/K_H sit inside S (solution-bearing,
+            # eps 1e-3); the wavelet sandwich is preconditioner-only
+            # (eps 3e-2). kappa(D⁻¹A) grows like h⁻², so degrees grow like
+            # h⁻¹ — this trades the reference's splu factorizations for
+            # batched bandwidth-bound SpMV chains (the TPU-friendly shape).
+            from ..ops.multigrid import (
+                chebyshev_coefficients,
+                chebyshev_degree,
+                generic_spectral_bounds,
+            )
+
+            dA = np.asarray(system.A.diagonal())
+            dM = np.asarray(system.M.diagonal())
+            rsA = np.asarray(np.abs(system.A).sum(axis=1)).ravel()
+            rsM = np.asarray(np.abs(system.M).sum(axis=1)).ravel()
+            laA, gaA = generic_spectral_bounds(system.A)
+            laM, gaM = generic_spectral_bounds(system.M)
+            self._cheb_spec = {
+                "A": (laA, float((rsA / dA).max()),
+                      chebyshev_degree(laA, (rsA / dA).max(), 1e-3)),
+                "M": (laM, float((rsM / dM).max()),
+                      chebyshev_degree(laM, (rsM / dM).max(), 1e-3)),
+            }
+            shifts = []
+            for omega in omegas:
+                d_w = dA + omega * dM
+                lmin_w = float(((laA * dA + omega * laM * dM) / d_w).min())
+                lmax_w = float(((rsA + omega * rsM) / d_w).max())
+                shifts.append(
+                    (omega, lmin_w, lmax_w,
+                     chebyshev_degree(lmin_w, lmax_w, 3e-2))
+                )
+            self._cheb_spec["shift"] = shifts
+            self._host["cheb_invA"] = 1.0 / dA
+            self._host["cheb_invM"] = 1.0 / dM
+            self._host["cheb_invS"] = [
+                1.0 / (dA + omega * dM) for omega in omegas
+            ]
+            # Recurrence scalar sequences, scanned on device: degrees grow
+            # like h⁻¹, so the polynomial MUST be a lax.scan over these rows,
+            # never an unrolled Python loop (HLO size ∝ degree otherwise).
+            self._host["cheb_coefA"] = chebyshev_coefficients(
+                *self._cheb_spec["A"]
+            )
+            self._host["cheb_coefM"] = chebyshev_coefficients(
+                *self._cheb_spec["M"]
+            )
+            self._host["cheb_coefS"] = [
+                chebyshev_coefficients(lmin_w, lmax_w, deg)
+                for (_, lmin_w, lmax_w, deg) in shifts
+            ]
         else:
             raise ValueError(f"unknown inner solver {inner!r}")
         # Fused Pallas B/Bᵀ kernels (ops/kron_pallas.py): single-device TPU
@@ -357,6 +426,16 @@ class HeatSolver:
             p["Kx_inv"] = cast(self._host["Kx_inv"])
             p["Minv"] = cast(self._host["Minv"])
             p["sandwich"] = [cast(S) for S in self._host["sandwich"]]
+        elif self.inner == "cheb":
+            # Jacobi vectors in the spmv layout (grid shape on the stencil
+            # path, flat (m,) otherwise) so they broadcast over time rows.
+            gsh = lambda v: cast(v).reshape(self.gs)
+            p["cheb_invA"] = gsh(self._host["cheb_invA"])
+            p["cheb_invM"] = gsh(self._host["cheb_invM"])
+            p["cheb_invS"] = [gsh(v) for v in self._host["cheb_invS"]]
+            p["cheb_coefA"] = cast(self._host["cheb_coefA"])
+            p["cheb_coefM"] = cast(self._host["cheb_coefM"])
+            p["cheb_coefS"] = [cast(c) for c in self._host["cheb_coefS"]]
         else:
             p["mg_cinv_ky"] = cast(self._host["mg_cinv_ky"])
             p["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
@@ -440,6 +519,34 @@ class HeatSolver:
         z = self._zrow(V.dtype)
         return jnp.concatenate([-VM + VA, z]) + jnp.concatenate([z, VM + VA])
 
+    def _cheb_run(self, b, invd, spmv, theta, coef):
+        """Chebyshev–Jacobi polynomial application on (...,) spmv-layout
+        arrays (the jnp twin of ops.multigrid.chebyshev_generic). The
+        recurrence runs as a lax.scan over the precomputed (α_k, β_k)
+        coefficient rows (``coef``, threaded through params) — degrees reach
+        the hundreds on fine meshes, so unrolling is not an option."""
+        r = invd * b
+        d = r / theta
+        x = d
+
+        def step(carry, ab):
+            x, r, d = carry
+            r = r - invd * spmv(d)
+            d = ab[0] * d + ab[1] * r
+            x = x + d
+            return (x, r, d), None
+
+        (x, _, _), _ = jax.lax.scan(step, (x, r, d), coef)
+        return x
+
+    def _cheb_shift_solve(self, b, j, p):
+        """≈ (A + ω_j M)⁻¹ b."""
+        omega, lmin, lmax, _ = self._cheb_spec["shift"][j]
+        spmv = lambda x: self._spmv_A(x, p) + omega * self._spmv_M(x, p)
+        return self._cheb_run(
+            b, p["cheb_invS"][j], spmv, 0.5 * (lmax + lmin), p["cheb_coefS"][j]
+        )
+
     def apply_KY(self, V, p=None):
         p = self.params if p is None else p
         if self.inner == "dense":
@@ -447,6 +554,12 @@ class HeatSolver:
             # applies this to per-device row blocks.
             flat = V.reshape(-1, self.m)
             sol = _dot(flat, p["Kx_inv"]).reshape(V.shape)
+        elif self.inner == "cheb":
+            lmin, lmax, _ = self._cheb_spec["A"]
+            sol = self._cheb_run(
+                V, p["cheb_invA"], lambda x: self._spmv_A(x, p),
+                0.5 * (lmax + lmin), p["cheb_coefA"],
+            )
         else:
             def coarse(bc):
                 lead = bc.shape[0]
@@ -471,6 +584,12 @@ class HeatSolver:
             lead = X.shape[:-len(self.gs)]
             flat = X.reshape((-1, self.m))
             return _dot(flat, p["Minv"]).reshape(lead + self.gs)
+        if self.inner == "cheb":
+            lmin, lmax, _ = self._cheb_spec["M"]
+            return self._cheb_run(
+                X, p["cheb_invM"], lambda x: self._spmv_M(x, p),
+                0.5 * (lmax + lmin), p["cheb_coefM"],
+            )
         return self._cheb_Minv(X)
 
     def _trace_row(self, U, p):
@@ -497,7 +616,15 @@ class HeatSolver:
         return out.at[0].add(self._trace_row(U, p)[0])
 
     def _sandwich_rows(self, rows_flat, j, p):
-        """Dense path: K_j = (A+ω_j M)⁻¹ A (A+ω_j M)⁻¹ on (k, m)-flat rows."""
+        """K_j = (A+ω_j M)⁻¹ A (A+ω_j M)⁻¹ on (k, m)-flat rows: precomputed
+        dense product (parity phase) or two Chebyshev shifted solves around
+        a stiffness matvec (generic scale phase)."""
+        if self.inner == "cheb":
+            lead = rows_flat.shape[0]
+            X = rows_flat.reshape((lead,) + self.gs)  # spmv layout
+            Y = self._cheb_shift_solve(X, j, p)
+            Y = self._cheb_shift_solve(self._spmv_A(Y, p), j, p)
+            return Y.reshape(lead, self.m)
         return _dot(rows_flat, p["sandwich"][j])
 
     def _coarse_by_level(self, bc, p):
