@@ -92,6 +92,40 @@ class TestChebSolve:
         assert r.converged
         assert r.iterations <= 25
 
+    def test_graded_grid(self):
+        from spacetime_tpu.fem.timegrid import graded_time_grid
+
+        problem = get_problem("lshape2d")
+        system = P1System.from_mesh(l_shape_mesh(16))
+        r = HeatSolver(
+            problem, system, graded_time_grid(3, 3), inner="cheb"
+        ).solve(tol=1e-6, compute_error=True)
+        assert r.converged and r.iterations <= 15
+        np.testing.assert_allclose(r.l2_error, 1.2909e-02, rtol=2e-2)
+
+    def test_mixed_precision_refinement(self):
+        problem = get_problem("lshape2d")
+        system = P1System.from_mesh(l_shape_mesh(16))
+        grid = uniform_time_grid(3)
+        r = HeatSolver(problem, system, grid, inner="cheb").solve_refined(
+            tol=1e-8
+        )
+        assert r.converged
+        assert r.residuals[-1] < 1e-8
+
+    def test_blocked_ell_f32(self):
+        # the TPU scale combo: blocked-ELL Pallas SpMV (interpret mode on
+        # CPU) + Chebyshev polynomial inner solves, f32
+        problem = get_problem("lshape2d")
+        system = P1System.from_mesh(l_shape_mesh(16))
+        grid = uniform_time_grid(3)
+        r = HeatSolver(
+            problem, system, grid, inner="cheb", spatial_format="ell",
+            dtype=jnp.float32,
+        ).solve(tol=1e-5, compute_error=True)
+        assert r.converged and r.iterations <= 12
+        np.testing.assert_allclose(r.l2_error, 1.2885e-02, rtol=2e-2)
+
     def test_sharded_matches_serial(self):
         import jax
 
