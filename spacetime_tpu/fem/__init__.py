@@ -20,6 +20,7 @@ from .assembly import (
     spacetime_loads,
     P1System,
 )
+from .meshio import load_mesh, save_mesh
 from .timegrid import (
     TimeGrid,
     uniform_time_grid,
@@ -34,6 +35,8 @@ __all__ = [
     "l_shape_mesh",
     "refine_uniform",
     "domain_mesh",
+    "load_mesh",
+    "save_mesh",
     "assemble_p1",
     "load_vector",
     "spacetime_loads",

@@ -34,6 +34,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="print the benchmark problem registry and exit")
     p.add_argument("--space-n", type=int, default=64,
                    help="cells per side of the structured spatial mesh")
+    p.add_argument("--mesh-file", default=None, metavar="PATH",
+                   help="load the spatial mesh from PATH instead of "
+                        "generating one (Gmsh 2.2 ASCII .msh, or Triangle/"
+                        "TetGen .node/.ele); the mesh runs the generic "
+                        "(non-stencil) spatial path")
     p.add_argument("--time-levels", type=int, default=6,
                    help="dyadic time levels (2^J uniform timesteps)")
     p.add_argument("--extra-levels", type=int, default=0,
@@ -142,7 +147,19 @@ def main(argv=None) -> int:
     timer = PhaseTimer()
     problem = get_problem(args.problem)
     with timer("assembly"):
-        mesh = domain_mesh(problem.domain, problem.dim, args.space_n)
+        if args.mesh_file:
+            from .fem import load_mesh
+
+            mesh = load_mesh(args.mesh_file)
+            if mesh.dim != problem.dim:
+                print(
+                    f"mesh {args.mesh_file} is {mesh.dim}D but problem "
+                    f"{args.problem} is {problem.dim}D",
+                    file=sys.stderr,
+                )
+                return 2
+        else:
+            mesh = domain_mesh(problem.domain, problem.dim, args.space_n)
         system = P1System.from_mesh(mesh)
         if args.extra_levels > 0:
             grid = graded_time_grid(args.time_levels, args.extra_levels, T=problem.T)
@@ -150,8 +167,9 @@ def main(argv=None) -> int:
             grid = uniform_time_grid(args.time_levels, T=problem.T)
 
     n_dof = (grid.num_intervals + 1) * system.m
+    mesh_desc = args.mesh_file or f"{args.space_n}^{problem.dim}"
     print(
-        f"problem={args.problem} mesh={args.space_n}^{problem.dim} "
+        f"problem={args.problem} mesh={mesh_desc} "
         f"(m={system.m}) timesteps={grid.num_intervals} "
         f"-> {n_dof:,} space-time DoF; backend={args.backend}"
     )
@@ -250,6 +268,7 @@ def main(argv=None) -> int:
         "problem": args.problem,
         "backend": args.backend,
         "space_n": args.space_n,
+        "mesh_file": args.mesh_file,
         "time_levels": args.time_levels,
         "extra_levels": args.extra_levels,
         "dof": n_dof,
