@@ -444,8 +444,12 @@ class KronPallas:
     constants are pathological on this backend; see ops/stencil.py).
     """
 
-    def __init__(self, M_st, A_st, h: np.ndarray, dtype, interpret=False):
-        """``h``: raw time-interval lengths (T,); the kernels consume h/2."""
+    def __init__(self, M_st, A_st, h: np.ndarray, dtype, interpret=False,
+                 blocks: tuple[int, int] | None = None):
+        """``h``: raw time-interval lengths (T,); the kernels consume h/2.
+        ``blocks``: explicit (TB, YB) override of the measured block chooser
+        (benchmarking/experiments only — YB must be a multiple of 8 when
+        blocked; no VMEM feasibility check is applied)."""
         if M_st.grid_shape != A_st.grid_shape:
             raise ValueError("M/A grid mismatch")
         self.gs = tuple(M_st.grid_shape)
@@ -454,7 +458,10 @@ class KronPallas:
         self.T = int(h.shape[0])
         self.interpret = interpret
         itemsize = jnp.dtype(dtype).itemsize
-        self.TB, self.YB = _pick_blocks(self.T, self.gs, itemsize)
+        if blocks is not None:
+            self.TB, self.YB = blocks
+        else:
+            self.TB, self.YB = _pick_blocks(self.T, self.gs, itemsize)
         # Stab-fused variants hold ~2 extra live blocks (AD temporary + W),
         # so they get their own, possibly smaller, blocking.
         self.TBs, self.YBs = _pick_blocks(self.T, self.gs, itemsize, extra=2)
