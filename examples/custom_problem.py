@@ -1,0 +1,79 @@
+"""User extension walkthrough: your own problem on your own mesh.
+
+The reference let users pose new problems by writing NGSolve forms over any
+mesh; here the equivalents are :class:`spacetime_tpu.Problem` (a manufactured
+problem is just an exact-solution formula in jax.numpy — the source
+g = ∂t u − Δu comes from autodiff) and ``load_mesh`` (Gmsh 2.2 / Triangle
+files). This example
+
+1. registers a custom manufactured problem,
+2. writes + reloads a mesh file (standing in for externally generated
+   geometry; any Gmsh 2.2 `.msh` works the same),
+3. solves it with the jitted solver through the generic (non-stencil)
+   spatial path, and
+4. checks the observed L2(I×Ω) convergence rate.
+
+Run from the repo root:  python examples/custom_problem.py
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from spacetime_tpu.utils import use_cpu
+
+use_cpu()
+
+from spacetime_tpu import (  # noqa: E402
+    HeatSolver,
+    P1System,
+    Problem,
+    load_mesh,
+    register_problem,
+    save_mesh,
+)
+from spacetime_tpu.fem import l_shape_mesh, uniform_time_grid  # noqa: E402
+
+
+def exact(t, x):
+    """Any jax.numpy formula vanishing on the domain boundary works; the
+    solver derives g = ∂t u − Δu and u0 = u(0, ·) by autodiff."""
+    import jax.numpy as jnp
+
+    return jnp.cos(3.0 * t) * jnp.prod(jnp.sin(2.0 * jnp.pi * x))
+
+
+def main():
+    problem = register_problem(
+        Problem(name="my_problem", dim=2, exact=exact, domain="lshape"),
+        overwrite=True,  # idempotent re-runs
+    )
+
+    print(f"{'mesh':>8} {'iters':>6} {'L2 error':>12} {'rate':>6}")
+    errors = []
+    for n, J in [(8, 3), (16, 4), (32, 5)]:
+        # Write the mesh to a file and load it back — the file path is how
+        # externally meshed geometry enters (gmsh -2 -format msh2 mydomain.geo).
+        with tempfile.TemporaryDirectory() as d:
+            path = os.path.join(d, "domain.msh")
+            save_mesh(l_shape_mesh(n), path)
+            mesh = load_mesh(path)
+
+        solver = HeatSolver(problem, P1System.from_mesh(mesh),
+                            uniform_time_grid(J))
+        res = solver.solve(tol=1e-6)
+        rate = f"{errors[-1] / res.l2_error:.2f}" if errors else "  --"
+        print(f"{n:>6}^2 {res.iterations:>6} {res.l2_error:>12.4e} {rate:>6}")
+        errors.append(res.l2_error)
+        assert res.converged
+
+    assert 3.0 < errors[-2] / errors[-1] < 5.0, "expected ~2nd-order rate"
+    print("second-order rates (~4x per refinement) and flat iterations "
+          "reproduce the framework's headline properties on a custom "
+          "problem + file mesh.")
+
+
+if __name__ == "__main__":
+    main()

@@ -42,7 +42,11 @@ _EXPORTS = {
     "make_spacetime_mesh": "spacetime_tpu.parallel",
     "OracleSolver": "spacetime_tpu.oracle.solver",
     "P1System": "spacetime_tpu.fem",
+    "load_mesh": "spacetime_tpu.fem",
+    "save_mesh": "spacetime_tpu.fem",
     "get_problem": "spacetime_tpu.models",
+    "Problem": "spacetime_tpu.models",
+    "register_problem": "spacetime_tpu.models",
 }
 
 

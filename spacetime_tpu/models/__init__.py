@@ -5,6 +5,6 @@ The reference's models are heat-equation benchmark problems (SURVEY.md §2
 from a closed-form exact solution for error reporting.
 """
 
-from .problems import Problem, get_problem, PROBLEMS
+from .problems import Problem, get_problem, register_problem, PROBLEMS
 
-__all__ = ["Problem", "get_problem", "PROBLEMS"]
+__all__ = ["Problem", "get_problem", "register_problem", "PROBLEMS"]

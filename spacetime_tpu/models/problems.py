@@ -203,3 +203,25 @@ def get_problem(name: str) -> Problem:
         return PROBLEMS[name]
     except KeyError:
         raise KeyError(f"unknown problem {name!r}; available: {sorted(PROBLEMS)}")
+
+
+def register_problem(problem: Problem, overwrite: bool = False) -> Problem:
+    """Add a user-defined :class:`Problem` to the registry (and thus to the
+    CLI's ``--problem`` and ``get_problem``). Manufactured problems need only
+    an ``exact`` formula in jax.numpy — the source g = ∂t u − Δu is derived by
+    autodiff; data-driven problems pass ``g_override``/``u0_override``
+    (NumPy callables) instead. See examples/custom_problem.py."""
+    if problem.exact is None and (
+        problem.g_override is None or problem.u0_override is None
+    ):
+        raise ValueError(
+            "a Problem needs either an exact solution (manufactured) or "
+            "both g_override and u0_override (data-driven)"
+        )
+    if problem.name in PROBLEMS and not overwrite:
+        raise ValueError(
+            f"problem {problem.name!r} already registered "
+            "(pass overwrite=True to replace)"
+        )
+    PROBLEMS[problem.name] = problem
+    return problem

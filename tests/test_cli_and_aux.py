@@ -346,3 +346,43 @@ class TestDeterminism:
         a, b = mk(), mk()
         np.testing.assert_array_equal(a.residuals, b.residuals)
         np.testing.assert_array_equal(a.U, b.U)
+
+
+class TestProblemRegistry:
+    def test_register_and_solve(self):
+        """A user-registered manufactured problem flows through get_problem
+        and solves with autodiff-derived source/initial data."""
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import (
+            PROBLEMS, Problem, get_problem, register_problem,
+        )
+        from spacetime_tpu.solver.heateq import HeatSolver
+
+        def exact(t, x):
+            import jax.numpy as jnp
+
+            return jnp.cos(t) * jnp.prod(jnp.sin(jnp.pi * x))
+
+        name = "_test_custom"
+        try:
+            register_problem(Problem(name=name, dim=2, exact=exact))
+            with pytest.raises(ValueError, match="already registered"):
+                register_problem(Problem(name=name, dim=2, exact=exact))
+            register_problem(
+                Problem(name=name, dim=2, exact=exact), overwrite=True
+            )
+            problem = get_problem(name)
+            res = HeatSolver(
+                problem, P1System.from_mesh(unit_square_mesh(12)),
+                uniform_time_grid(3),
+            ).solve(tol=1e-6)
+            assert res.converged and res.l2_error < 0.05
+        finally:
+            PROBLEMS.pop(name, None)
+
+    def test_register_rejects_dataless(self):
+        from spacetime_tpu.models import Problem, register_problem
+
+        with pytest.raises(ValueError, match="exact solution"):
+            register_problem(Problem(name="_bad", dim=2, exact=None))
