@@ -559,6 +559,86 @@ class ExplicitHeatSolver(HeatSolver):
     def _solve_params(self):
         return self.eparams_for(self.dtype)[0]
 
+    # ------------------------------------------------- mixed precision
+
+    def _refined_params(self, dtype):
+        return self.eparams_for(dtype)[0]
+
+    def _build_refined_jits(self, mode: str, inner_tol: float,
+                            inner_maxiter: int):
+        """Refinement executables over the explicit mesh: the f64 residual
+        pieces and the f32 inner PCG run as shard_map programs on the
+        duplicated-halo-row layout; the refinement driver itself sees the
+        global (N+1)-row layout, converted at the jit boundary (a static
+        gather in, the halo-slot drop out — per refinement round, not per
+        iteration, so the conversions are off the hot path)."""
+        _, es64 = self.eparams_for(jnp.float64)
+        _, es32 = self.eparams_for(jnp.float32)
+        gspec = P(*(("time",) + (None,) * len(self.gs)))
+        N, R, nP, gs, m = self.N, self.R, self.P, self.gs, self.m
+        dup_idx = (
+            np.arange(nP)[:, None] * R + np.arange(R + 1)[None]
+        ).reshape(-1)
+
+        def dup(Ug):
+            """(N+1, *gs) global -> (P*(R+1), *gs) duplicated rows."""
+            return Ug.reshape(N + 1, -1)[dup_idx].reshape(
+                (nP * (R + 1),) + gs
+            )
+
+        def flat(Ud):
+            """Duplicated rows -> (N+1, *gs) global."""
+            return self._device_iterate_flat(Ud).reshape((N + 1,) + gs)
+
+        rhs_local = shard_map(
+            lambda gL, gR, u0, p: self._rhs_local(gL, gR, u0, p),
+            mesh=self.mesh, in_specs=(gspec, gspec, P(), es64),
+            out_specs=gspec, check_vma=False,
+        )
+        S_local = shard_map(
+            lambda U, p: self._apply_S_local(U, p),
+            mesh=self.mesh, in_specs=(gspec, es64), out_specs=gspec,
+            check_vma=False,
+        )
+        rhs64 = jax.jit(lambda a, b, c, p: flat(rhs_local(a, b, c, p)))
+        resid64 = jax.jit(lambda f, u, p: f - flat(S_local(dup(u), p)))
+
+        fused = self.pcg_variant == "fused"
+        drv = pcg_fused if fused else pcg
+        dot_kw = {"dot3": self._dot3_local} if fused else {"dot": self._dot_local}
+
+        def local_inner(fd, p):
+            out = drv(
+                lambda U: self._apply_S_local(U, p),
+                lambda Rr: self._apply_KX_local(Rr, p),
+                fd, inner_tol, inner_maxiter, **dot_kw,
+            )
+            tile = lambda x: x[None]
+            return (out.U, tile(out.iterations), tile(out.residuals),
+                    tile(out.precond_residuals), tile(out.converged))
+
+        mapped = shard_map(
+            local_inner, mesh=self.mesh, in_specs=(gspec, es32),
+            out_specs=(gspec, P("time"), P("time", None), P("time", None),
+                       P("time")),
+            check_vma=False,
+        )
+        inner_j = jax.jit(
+            lambda r32, p: tuple(
+                flat(o) if i == 0 else o
+                for i, o in enumerate(mapped(dup(r32), p))
+            )
+        )
+
+        def inner(r32, p):
+            U, it, res, pres, done = inner_j(r32, p)
+            return PCGResult(
+                U=U, iterations=it[0], residuals=res[0],
+                precond_residuals=pres[0], converged=done[0],
+            )
+
+        return rhs64, resid64, inner
+
     def _prepare_x0(self, x0):
         if x0 is None:
             # zeros are already in duplicated layout — building and

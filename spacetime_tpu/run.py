@@ -74,8 +74,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "one global reduction per iteration instead of three")
     p.add_argument("--refined", action="store_true",
                    help="mixed-precision iterative refinement (f32 inner PCG "
-                        "+ f64 residuals; backend=jax, pairs with --dtype f32 "
-                        "and tight --tol like 1e-8)")
+                        "+ f64 residuals; any device backend, pairs with "
+                        "--dtype f32 and tight --tol like 1e-8)")
     p.add_argument("--no-error", action="store_true",
                    help="skip L2 error computation")
     p.add_argument("--estimate-condition", action="store_true",
@@ -118,8 +118,9 @@ def main(argv=None) -> int:
     from .utils import use_cpu, use_tpu
     from .utils.profiling import PhaseTimer, write_jsonl
 
-    if args.refined and args.backend != "jax":
-        print("--refined requires --backend jax", file=sys.stderr)
+    if args.refined and args.backend == "oracle":
+        print("--refined requires a device backend (jax/sharded/explicit)",
+              file=sys.stderr)
         return 2
     x64 = args.dtype == "f64" or args.backend == "oracle" or args.refined
     if args.device == "cpu":

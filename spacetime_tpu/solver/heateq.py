@@ -944,6 +944,11 @@ class HeatSolver:
 
     # ------------------------------------------------- mixed precision
 
+    def _refined_params(self, dtype):
+        """Params pytree the refinement executables consume — overridden by
+        the explicit subclass (its operators read the eparams layout)."""
+        return self.params_for(dtype)
+
     def _build_refined_jits(self, mode: str, inner_tol: float,
                             inner_maxiter: int):
         """(rhs64, resid64, inner) executables of the refinement loop —
@@ -1009,8 +1014,8 @@ class HeatSolver:
                 "jax.config.update('jax_enable_x64', True) (or "
                 "spacetime_tpu.utils.ensure_x64()) at process start"
             )
-        p64 = self.params_for(jnp.float64)
-        p32 = self.params_for(jnp.float32)
+        p64 = self._refined_params(jnp.float64)
+        p32 = self._refined_params(jnp.float32)
         gL64, gR64, u064 = self.assemble_rhs_host(jnp.float64)
 
         mode = self._loop_mode()

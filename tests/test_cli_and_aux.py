@@ -386,3 +386,60 @@ class TestProblemRegistry:
 
         with pytest.raises(ValueError, match="exact solution"):
             register_problem(Problem(name="_bad", dim=2, exact=None))
+
+
+class TestExplicitRefined:
+    def test_explicit_refined_matches_serial(self):
+        """Mixed-precision refinement on the explicit (shard_map) backend:
+        same round count and the same computed iterate as the serial path.
+        Mid-round residuals differ at the inner-tolerance level (the masked
+        local-dot + psum reduction order moves where the f32 inner PCG
+        stops), so the histories compare loosely but the f64 iterates must
+        agree to refinement accuracy."""
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        import jax.numpy as jnp
+
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+        from spacetime_tpu.solver.heateq import HeatSolver
+
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(4)
+        r1 = HeatSolver(
+            problem, system, grid, dtype=jnp.float32
+        ).solve_refined(tol=1e-8, compute_error=False)
+        r2 = ExplicitHeatSolver(
+            problem, system, grid, make_time_mesh(8), dtype=jnp.float32
+        ).solve_refined(tol=1e-8, compute_error=False)
+        assert r1.converged and r2.converged
+        assert len(r2.residuals) == len(r1.residuals)
+        np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=0.15)
+        np.testing.assert_allclose(r2.U, r1.U, rtol=0, atol=1e-9)
+
+    def test_explicit_refined_fused(self):
+        import jax
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs virtual devices")
+        import jax.numpy as jnp
+
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(4)
+        r = ExplicitHeatSolver(
+            problem, system, grid, make_time_mesh(8), dtype=jnp.float32,
+            pcg_variant="fused",
+        ).solve_refined(tol=1e-8, compute_error=False)
+        assert r.converged
+        assert r.residuals[-1] / r.residuals[0] <= 1e-8
