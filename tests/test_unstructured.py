@@ -127,6 +127,29 @@ def test_lshape_ell_solver_and_refinement():
     assert rr.residuals[-1] <= 1e-8 * rr.residuals[0]
 
 
+def test_unstructured_3d_tet_solve():
+    """The generic (no grid_shape) path in 3D: a red-refined tet mesh of the
+    cube solves through DIA + dense inner identically to the oracle, and the
+    Chebyshev generic-scale inner reproduces it to outer-iteration parity."""
+    from spacetime_tpu.oracle.solver import OracleSolver
+
+    problem = get_problem("smooth3d")
+    mesh = refine_uniform(unit_cube_mesh(2))
+    assert mesh.grid_shape is None and mesh.dim == 3
+    system = P1System.from_mesh(mesh)
+    grid = uniform_time_grid(3)
+    ro = OracleSolver(problem, system, grid).solve(tol=1e-6)
+    rj = HeatSolver(problem, system, grid, dtype=jnp.float64).solve(tol=1e-6)
+    assert rj.iterations == ro.iterations
+    np.testing.assert_allclose(rj.residuals, ro.residuals, rtol=1e-10)
+    assert np.isclose(rj.l2_error, ro.l2_error, rtol=1e-10)
+    rc = HeatSolver(
+        problem, system, grid, dtype=jnp.float64, inner="cheb"
+    ).solve(tol=1e-6)
+    assert abs(rc.iterations - ro.iterations) <= 1
+    assert np.isclose(rc.l2_error, ro.l2_error, rtol=1e-3)
+
+
 def test_refined_lshape_heat_solve():
     """A red-refined L-shape runs end-to-end (the general-mesh pipeline)."""
     problem = get_problem("lshape2d")
