@@ -84,34 +84,36 @@ def main():
     X_trial = jnp.asarray(rng.standard_normal((N + 1,) + gs), jnp.float32)
     X_test = jnp.asarray(rng.standard_normal((N,) + gs), jnp.float32)
 
-    def spectral_scale(op, X, iters=8):
+    def spectral_scale(op, X, pp, iters=8):
         """Static 1/rho(op) so a k2-link chain stays bounded in f32."""
         rho = 1.0
         for _ in range(iters):
-            Y = op(X, p)
+            Y = op(X, pp)
             rho = float(jnp.max(jnp.abs(Y)))
             X = Y / rho
         return 1.0 / rho
 
-    def slope(op, X):
-        c = spectral_scale(op, X)
+    def slope(op, X, pp=None):
+        """Median seconds per op application (chained-fori slope)."""
+        pp = p if pp is None else pp
+        c = spectral_scale(op, X, pp)
 
         def chain(k):
             @jax.jit
-            def f(V, pp):
-                V = jax.lax.fori_loop(0, k, lambda i, V: c * op(V, pp), V)
+            def f(V, q):
+                V = jax.lax.fori_loop(0, k, lambda i, V: c * op(V, q), V)
                 return V[(0,) * V.ndim]
 
             return f
 
         def timed(f):
             t0 = time.perf_counter()
-            float(f(X, p))
+            float(f(X, pp))
             log(f"  compile+warm: {time.perf_counter() - t0:.1f}s")
             ts = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                float(f(X, p))
+                float(f(X, pp))
                 ts.append(time.perf_counter() - t0)
             return float(np.median(ts))
 
@@ -167,39 +169,18 @@ def main():
         kp = KronPallas(M_st, A_st, h, jnp.float32, blocks=(TB, YB))
         log(f"[blocked_kron TB={kp.TB} YB={kp.YB}] grid programs: "
             f"{(N // kp.TB + 1) * -(-gs[-2] // kp.YB)} (BT)")
-        pk = {**p, "kron_forced": kp.params}
+        pk = kp.params
 
-        def pair(U, pp):
-            return kp.apply_BT(kp.apply_B(U, pp["kron_forced"]),
-                               pp["kron_forced"])
+        def pair(U, q):
+            return kp.apply_BT(kp.apply_B(U, q), q)
 
-        c = spectral_scale(lambda U, pp: pair(U, pk), X_trial)
-
-        def chain(k):
-            @jax.jit
-            def f(V, pp):
-                V = jax.lax.fori_loop(0, k, lambda i, V: c * pair(V, pp), V)
-                return V[(0,) * V.ndim]
-
-            return f
-
-        def timed(f):
-            t0 = time.perf_counter()
-            float(f(X_trial, pk))
-            log(f"  compile+warm: {time.perf_counter() - t0:.1f}s")
-            ts = []
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                float(f(X_trial, pk))
-                ts.append(time.perf_counter() - t0)
-            return float(np.median(ts))
-
-        t1, t2 = timed(chain(args.k1)), timed(chain(args.k2))
-        sec = (t2 - t1) / (args.k2 - args.k1) / 2.0
+        # Same metric definition as the 'kron_pair' row above: seconds and
+        # GDoF/s per B-then-BT pair application over the trial-space size.
+        sec = slope(pair, X_trial, pp=pk)
         print(json.dumps({
             "component": f"blocked_kron_{TB}x{YB}",
             "ms_per_apply": round(sec * 1e3, 4),
-            "gdofs": round(N * m / sec / 1e9, 2),
+            "gdofs": round(X_trial.size / sec / 1e9, 2),
             "space_n": args.space_n,
         }), flush=True)
 

@@ -80,15 +80,27 @@ def _load_gmsh(path: str) -> Mesh:
 
     ne = int(lines[e0 + 1])
     simplices: dict[int, list[list[int]]] = {3: [], 4: []}
+    nonsimplex: set[int] = set()
     for ln in lines[e0 + 2 : e0 + 2 + ne]:
         r = ln.split()
         etype = int(r[1])
         k = _GMSH_SIMPLEX.get(etype)
-        if k is None:  # points/lines/quads/boundary surfaces: skip
+        if k is None:
+            # Points (15) and lines (1/8) are boundary data: skip. Volume
+            # non-simplices would silently mutilate the domain — collect and
+            # reject below (quads are only tolerable as tet-mesh surface
+            # data, which requires prisms/hexes we reject anyway).
+            if etype not in (1, 8, 15):
+                nonsimplex.add(etype)
             continue
         ntags = int(r[2])
         conn = [remap[int(t)] for t in r[3 + ntags : 3 + ntags + k]]
         simplices[k].append(conn)
+    if nonsimplex:
+        raise ValueError(
+            f"{path}: non-simplex elements (gmsh types {sorted(nonsimplex)}) "
+            "— only linear triangle/tetrahedron meshes are supported"
+        )
     if simplices[4]:
         # Any surface triangles alongside tets are boundary data: skip them.
         elements = np.array(simplices[4], dtype=np.int32)
@@ -125,8 +137,18 @@ def _save_gmsh(mesh: Mesh, path: str) -> None:
 # ---------------------------------------------------------- triangle / tetgen
 
 
+def _triangle_base(path: str) -> str:
+    """Strip a .node/.ele extension (case-insensitive) to the pair's base."""
+    root, ext = os.path.splitext(path)
+    if ext.lower() in (".node", ".ele"):
+        return root
+    raise ValueError(
+        f"triangle-format path must end in .node or .ele, got {path!r}"
+    )
+
+
 def _load_triangle(node_path: str) -> Mesh:
-    base = node_path[: -len(".node")]
+    base = _triangle_base(node_path)
     ele_path = base + ".ele"
     if not os.path.exists(ele_path):
         raise FileNotFoundError(f"{ele_path} (needed alongside {node_path})")
@@ -166,7 +188,8 @@ def _load_triangle(node_path: str) -> Mesh:
 
 
 def _save_triangle(mesh: Mesh, node_path: str) -> None:
-    base = node_path[: -len(".node")]
+    base = _triangle_base(node_path)
+    node_path = base + ".node"
     d = mesh.dim
     with open(node_path, "w") as f:
         f.write(f"{mesh.num_vertices} {d} 0 0\n")
@@ -205,9 +228,7 @@ def load_mesh(path: str, fmt: str = "auto") -> Mesh:
     if fmt == "gmsh":
         return _load_gmsh(path)
     if fmt == "triangle":
-        if path.endswith(".ele"):
-            path = path[: -len(".ele")] + ".node"
-        return _load_triangle(path)
+        return _load_triangle(_triangle_base(path) + ".node")
     raise ValueError(f"unknown mesh format {fmt!r}")
 
 
@@ -224,8 +245,6 @@ def save_mesh(mesh: Mesh, path: str, fmt: str = "auto") -> None:
     if fmt == "gmsh":
         _save_gmsh(mesh, path)
     elif fmt == "triangle":
-        if path.endswith(".ele"):
-            path = path[: -len(".ele")] + ".node"
         _save_triangle(mesh, path)
     else:
         raise ValueError(f"unknown mesh format {fmt!r}")

@@ -460,6 +460,16 @@ class KronPallas:
         itemsize = jnp.dtype(dtype).itemsize
         if blocks is not None:
             self.TB, self.YB = blocks
+            if self.T % self.TB:
+                raise ValueError(
+                    f"blocks: TB={self.TB} must divide T={self.T} (the "
+                    "kernel grid is T // TB; a remainder is silently lost)"
+                )
+            if self.YB < self.gs[-2] and self.YB % _HALO:
+                raise ValueError(
+                    f"blocks: blocked YB={self.YB} must be a multiple of "
+                    f"{_HALO} (Mosaic sublane tile)"
+                )
         else:
             self.TB, self.YB = _pick_blocks(self.T, self.gs, itemsize)
         # Stab-fused variants hold ~2 extra live blocks (AD temporary + W),

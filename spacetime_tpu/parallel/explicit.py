@@ -130,12 +130,17 @@ class ExplicitHeatSolver(HeatSolver):
 
     # ------------------------------------------------------------- params
 
-    def _dup_rows(self, a: np.ndarray) -> np.ndarray:
-        """(N+1, ...) per-trial-row data -> duplicated layout (P*(R+1), ...)."""
-        idx = (
+    @property
+    def _dup_index(self) -> np.ndarray:
+        """Global-row gather index defining the duplicated layout:
+        device d owns trial rows [dR, dR+R]."""
+        return (
             np.arange(self.P)[:, None] * self.R + np.arange(self.R + 1)[None]
         ).reshape(-1)
-        return np.asarray(a)[idx]
+
+    def _dup_rows(self, a: np.ndarray) -> np.ndarray:
+        """(N+1, ...) per-trial-row data -> duplicated layout (P*(R+1), ...)."""
+        return np.asarray(a)[self._dup_index]
 
     def eparams_for(self, dtype):
         """(global param pytree, matching PartitionSpec pytree). Sharded
@@ -575,10 +580,8 @@ class ExplicitHeatSolver(HeatSolver):
         _, es64 = self.eparams_for(jnp.float64)
         _, es32 = self.eparams_for(jnp.float32)
         gspec = P(*(("time",) + (None,) * len(self.gs)))
-        N, R, nP, gs, m = self.N, self.R, self.P, self.gs, self.m
-        dup_idx = (
-            np.arange(nP)[:, None] * R + np.arange(R + 1)[None]
-        ).reshape(-1)
+        N, R, nP, gs = self.N, self.R, self.P, self.gs
+        dup_idx = self._dup_index
 
         def dup(Ug):
             """(N+1, *gs) global -> (P*(R+1), *gs) duplicated rows."""

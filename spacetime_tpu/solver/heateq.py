@@ -823,7 +823,7 @@ class HeatSolver:
         (None where the layout needs host postprocessing first)."""
         return U_dev.reshape(self.N + 1, self.m)
 
-    def _l2_error(self, U_dev, U_host) -> float:
+    def _l2_error(self, U_dev, U_host, device_layout: bool = True) -> float:
         """L2(I×Ω) error; on the device-RHS scale path the quadrature runs
         on-device from the device iterate (the host loop costs minutes at
         the big configs and would ship the iterate back through the
@@ -837,7 +837,14 @@ class HeatSolver:
         if self.rhs_mode == "device" and jnp.dtype(self.dtype) != jnp.dtype(
             jnp.float64
         ):
-            Ud = self._device_iterate_flat(U_dev) if U_dev is not None else None
+            # ``device_layout=False``: U_dev is already the flat (N+1, m)
+            # iterate (solve_refined's global layout) — do not route it
+            # through the backend's solve-layout flattener (the explicit
+            # backend's expects duplicated halo rows).
+            if U_dev is not None and device_layout:
+                Ud = self._device_iterate_flat(U_dev)
+            else:
+                Ud = U_dev
             return device_l2_error_spacetime(
                 self.problem, self.system.mesh, self.grid,
                 Ud if Ud is not None else jnp.asarray(U_host),
@@ -1055,7 +1062,9 @@ class HeatSolver:
         U_flat = np.asarray(u).reshape(self.N + 1, self.m)
         err = None
         if compute_error and self.problem.exact is not None:
-            err = self._l2_error(u.reshape(self.N + 1, self.m), U_flat)
+            err = self._l2_error(
+                u.reshape(self.N + 1, self.m), U_flat, device_layout=False
+            )
         hist = np.asarray(hist)
         return SolveResult(
             U=U_flat,

@@ -443,3 +443,31 @@ class TestExplicitRefined:
         ).solve_refined(tol=1e-8, compute_error=False)
         assert r.converged
         assert r.residuals[-1] / r.residuals[0] <= 1e-8
+
+
+def test_explicit_refined_with_error():
+    """compute_error=True on the explicit refined path (the global-layout
+    iterate must not be routed through the duplicated-layout flattener)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs virtual devices")
+    import jax.numpy as jnp
+
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import uniform_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(8))
+    grid = uniform_time_grid(4)
+    r1 = HeatSolver(problem, system, grid, dtype=jnp.float32).solve_refined(
+        tol=1e-8
+    )
+    r2 = ExplicitHeatSolver(
+        problem, system, grid, make_time_mesh(8), dtype=jnp.float32
+    ).solve_refined(tol=1e-8)
+    assert r2.l2_error is not None and np.isfinite(r2.l2_error)
+    assert np.isclose(r2.l2_error, r1.l2_error, rtol=1e-6)

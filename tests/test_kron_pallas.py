@@ -267,3 +267,26 @@ def test_tb1():
     np.testing.assert_allclose(
         np.asarray(kp.apply_BT(V)), np.asarray(refBT), rtol=1e-5,
         atol=1e-6 * float(np.abs(np.asarray(refBT)).max()))
+
+
+def test_blocks_override_validation():
+    import jax.numpy as jnp
+    import pytest
+
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import time_matrices, uniform_time_grid
+    from spacetime_tpu.ops.kron_pallas import KronPallas
+    from spacetime_tpu.ops.sparse import DiaMatrix
+    from spacetime_tpu.ops.stencil import StencilOperator
+
+    system = P1System.from_mesh(unit_square_mesh(16))
+    gs = tuple(system.mesh.grid_shape)
+    M_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.M), gs)
+    A_st = StencilOperator.from_dia(DiaMatrix.from_csr(system.A), gs)
+    h = time_matrices(uniform_time_grid(3))["h"]  # T = 8
+    with pytest.raises(ValueError, match="must divide T"):
+        KronPallas(M_st, A_st, h, jnp.float32, blocks=(3, 8))
+    with pytest.raises(ValueError, match="multiple of 8"):
+        KronPallas(M_st, A_st, h, jnp.float32, blocks=(2, 5))
+    kp = KronPallas(M_st, A_st, h, jnp.float32, interpret=True, blocks=(2, 8))
+    assert (kp.TB, kp.YB) == (2, 8)

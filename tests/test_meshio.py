@@ -137,3 +137,28 @@ def test_cli_mesh_file(tmp_path, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert "converged=True" in out
+
+
+def test_gmsh_rejects_nonsimplex_volume(tmp_path):
+    """Quads/hexes/prisms must fail loudly, not silently mutilate the mesh."""
+    path = tmp_path / "quad.msh"
+    with open(path, "w") as f:
+        f.write("$MeshFormat\n2.2 0 8\n$EndMeshFormat\n")
+        f.write("$Nodes\n4\n1 0.0 0.0 0.0\n2 1.0 0.0 0.0\n"
+                "3 1.0 1.0 0.0\n4 0.0 1.0 0.0\n$EndNodes\n")
+        f.write("$Elements\n2\n")
+        f.write("1 2 2 0 0 1 2 3\n")   # one triangle
+        f.write("2 3 2 0 0 1 2 3 4\n")  # one quad (type 3)
+        f.write("$EndElements\n")
+    with pytest.raises(ValueError, match="non-simplex"):
+        load_mesh(str(path))
+
+
+def test_triangle_ele_path_and_bad_base(tmp_path):
+    mesh = unit_square_mesh(4)
+    node = str(tmp_path / "m.node")
+    save_mesh(mesh, node)
+    loaded = load_mesh(str(tmp_path / "m.ele"))  # .ele path resolves the pair
+    np.testing.assert_array_equal(loaded.elements, mesh.elements)
+    with pytest.raises(ValueError, match="must end in .node or .ele"):
+        load_mesh(str(tmp_path / "m"), fmt="triangle")
