@@ -39,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "generating one (Gmsh 2.2 ASCII .msh, or Triangle/"
                         "TetGen .node/.ele); the mesh runs the generic "
                         "(non-stencil) spatial path")
+    p.add_argument("--refine", type=int, default=0, metavar="K",
+                   help="red-refine the spatial mesh K times (generated or "
+                        "loaded; the result runs the generic spatial path)")
     p.add_argument("--time-levels", type=int, default=6,
                    help="dyadic time levels (2^J uniform timesteps)")
     p.add_argument("--extra-levels", type=int, default=0,
@@ -161,6 +164,11 @@ def main(argv=None) -> int:
                 return 2
         else:
             mesh = domain_mesh(problem.domain, problem.dim, args.space_n)
+        if args.refine > 0:
+            from .fem import refine_uniform
+
+            for _ in range(args.refine):
+                mesh = refine_uniform(mesh)
         system = P1System.from_mesh(mesh)
         if args.extra_levels > 0:
             grid = graded_time_grid(args.time_levels, args.extra_levels, T=problem.T)
@@ -270,6 +278,7 @@ def main(argv=None) -> int:
         "backend": args.backend,
         "space_n": args.space_n,
         "mesh_file": args.mesh_file,
+        "refine": args.refine,
         "time_levels": args.time_levels,
         "extra_levels": args.extra_levels,
         "dof": n_dof,

@@ -139,6 +139,20 @@ def test_cli_mesh_file(tmp_path, capsys):
     assert "converged=True" in out
 
 
+def test_cli_refine_flag(capsys):
+    """--refine red-refines the generated mesh through the generic path."""
+    from spacetime_tpu.run import main
+
+    rc = main([
+        "--backend", "jax", "--device", "cpu", "--problem", "lshape2d",
+        "--space-n", "8", "--refine", "1", "--time-levels", "3",
+        "--tol", "1e-5", "--no-error", "--out", "",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "(m=161)" in out and "converged=True" in out
+
+
 def test_gmsh_rejects_nonsimplex_volume(tmp_path):
     """Quads/hexes/prisms must fail loudly, not silently mutilate the mesh."""
     path = tmp_path / "quad.msh"
