@@ -175,3 +175,34 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_explicit_warm_start():
+    """x0 warm start on the duplicated-halo layout: resuming from a partial
+    solve reaches the tight tolerance in fewer iterations than from scratch
+    and lands on the same iterate."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import uniform_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(8))
+    grid = uniform_time_grid(4)
+    mk = lambda: ExplicitHeatSolver(
+        problem, system, grid, make_time_mesh(4), dtype=jnp.float64
+    )
+    full = mk().solve(tol=1e-10, compute_error=False)
+    s = mk()
+    part = s.solve(tol=1e-3, compute_error=False)
+    resumed = s.solve(tol=1e-10, compute_error=False, x0=part.U)
+    assert resumed.converged
+    assert resumed.iterations < full.iterations
+    np.testing.assert_allclose(resumed.U, full.U, rtol=0, atol=1e-9)
