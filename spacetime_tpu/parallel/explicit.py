@@ -98,13 +98,7 @@ class ExplicitHeatSolver(HeatSolver):
                 f"N={N}); use ShardedHeatSolver (GSPMD) otherwise"
             )
         kwargs["pallas_kron"] = False  # base-class (global-T) kernels unused
-        if kwargs.get("spatial_format") == "ell":
-            raise ValueError("blocked-ELL spatial path: use ShardedHeatSolver")
         super().__init__(problem, system, grid, **kwargs)
-        if self.inner == "cheb":  # incl. 'auto' resolving to cheb
-            raise ValueError(
-                "inner='cheb' (generic-mesh path): use ShardedHeatSolver"
-            )
         if not self.wt.is_uniform:
             raise ValueError(
                 "explicit path requires the uniform dyadic time grid; "
@@ -161,11 +155,16 @@ class ExplicitHeatSolver(HeatSolver):
             "inv_h": row_scale(1.0 / h, self.gs, dtype),
         }
         es = {"h_half": t_spec, "h_stab": t_spec, "inv_h": t_spec}
-        if self.spatial_format == "dia":
-            ep["dia_Mv"] = cast(self._dia_host["Mv"])
-            ep["dia_Av"] = cast(self._dia_host["Av"])
-            es["dia_Mv"] = repl
-            es["dia_Av"] = repl
+        if self.spatial_format in ("dia", "ell"):
+            # Reuse the base params build: it casts the DIA diagonals and
+            # (for 'ell', non-f64) instantiates the blocked-ELL Pallas ops
+            # the inherited _spmv_generic dispatches to. Spatial operators
+            # are replicated over the mesh (SURVEY.md §2).
+            pbase = self.params_for(dtype)
+            for k in ("dia_Mv", "dia_Av", "ell_M", "ell_A"):
+                if k in pbase:
+                    ep[k] = pbase[k]
+                    es[k] = jax.tree.map(lambda _: repl, pbase[k])
 
         # Level one-hots for the two boundary slots (their wavelet level is
         # device-dependent, so level selection there is data-driven; interior
@@ -177,6 +176,10 @@ class ExplicitHeatSolver(HeatSolver):
             axis=1,
         ).reshape(-1)  # (2P,) levels of slots [0, R] per device
         onehot2 = np.zeros((2 * self.P, n_lvl))
+        # Dyadic-grid invariant (relied on by _cheb_levelwise_local's
+        # coarse-only boundary blend): shard-boundary nodes d*R are odd
+        # multiples of N >> j only for j <= log2 P.
+        assert bnd_lvl.max() <= self.p_log
         onehot2[np.arange(2 * self.P), bnd_lvl] = 1.0
         ep["onehot2"] = cast(onehot2)
         es["onehot2"] = P("time", None)
@@ -188,6 +191,14 @@ class ExplicitHeatSolver(HeatSolver):
             es["Kx_inv"] = repl
             es["Minv"] = repl
             es["sandwich"] = [repl for _ in ep["sandwich"]]
+        elif self.inner == "cheb":
+            # Chebyshev polynomial inverses are per-row local (batched SpMV
+            # scans) — the coefficient rows and Jacobi vectors replicate.
+            pbase = self.params_for(dtype)
+            for k in ("cheb_invA", "cheb_invM", "cheb_invS",
+                      "cheb_coefA", "cheb_coefM", "cheb_coefS"):
+                ep[k] = pbase[k]
+                es[k] = jax.tree.map(lambda _: repl, pbase[k])
         else:
             ep["mg_cinv_ky"] = cast(self._host["mg_cinv_ky"])
             ep["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
@@ -469,6 +480,27 @@ class ExplicitHeatSolver(HeatSolver):
         """Dense-inner K_X middle block, duplicated layout."""
         return self._levelwise_local(C, ep["sandwich"], ep)
 
+    def _cheb_levelwise_local(self, C, ep):
+        """Chebyshev-inner K_X middle block on the duplicated (R+1, m)
+        layout. Interior slots carry exactly the fine wavelet levels
+        (> log2 P): global row dR+i (0<i<R) has level J - tz(i) > p_log.
+        The two boundary slots carry coarse levels (node dR has level
+        p_log - tz(d) <= p_log), so their blend loops coarse levels only —
+        p_log+1 short scans on two rows each."""
+        out = C
+        for j in range(self.p_log + 1, self.J + 1):
+            s = self.N >> j
+            sl = slice(s, self.R, 2 * s)
+            out = out.at[sl].set(self._sandwich_rows(C[sl], j, ep))
+        b2 = jnp.array([0, self.R])
+        rows2 = C[b2]
+        acc = jnp.zeros_like(rows2)
+        for j in range(self.p_log + 1):
+            acc = acc + ep["onehot2"][:, j : j + 1] * self._sandwich_rows(
+                rows2, j, ep
+            )
+        return out.at[b2].set(acc)
+
     def _apply_KX_local(self, Rr, ep):
         C = self._wavelet_adjoint_local(Rr.reshape(self.R + 1, self.m), ep)
         if self.inner == "mg":
@@ -485,6 +517,8 @@ class ExplicitHeatSolver(HeatSolver):
                 X = self._spmv_A(X, ep)
             X = msolve(X)
             C = X.reshape(self.R + 1, self.m)
+        elif self.inner == "cheb":
+            C = self._cheb_levelwise_local(C, ep)
         else:
             C = self._sandwich_local(C, ep)
         return self._wavelet_forward_local(C, ep).reshape(Rr.shape)
