@@ -493,26 +493,10 @@ def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,
     Used for the well-conditioned mass solves (K_H ≈ M_x⁻¹): the spectrum of
     D⁻¹M is h-independent on a structured mesh family, so the bounds are
     calibrated once on a tiny instance. Error factor ≈ 2((√κ-1)/(√κ+1))^d.
+    Low degree only (the mass solve uses ~30): see ``chebyshev_generic``'s
+    note on large degrees.
     """
-
-    theta = 0.5 * (lmax + lmin)
-    delta = 0.5 * (lmax - lmin)
-    sigma = theta / delta
-
-    def solve(b):
-        r = inv_diag * b
-        d = r / theta
-        x = d
-        rho = 1.0 / sigma
-        for _ in range(degree - 1):
-            rho_new = 1.0 / (2.0 * sigma - rho)
-            r = r - inv_diag * stencil.apply(d)
-            d = rho_new * rho * d + (2.0 * rho_new / delta) * r
-            x = x + d
-            rho = rho_new
-        return x
-
-    return solve
+    return chebyshev_generic(stencil.apply, inv_diag, lmin, lmax, degree)
 
 
 def generic_spectral_bounds(Op, safety: float = 0.9) -> tuple[float, float]:
@@ -520,10 +504,13 @@ def generic_spectral_bounds(Op, safety: float = 0.9) -> tuple[float, float]:
     calibration step of the generic Chebyshev inner solver (unstructured
     meshes, where no nested grid hierarchy exists for multigrid).
 
-    lmax: Gershgorin row-sum bound (safe upper, cheap). lmin: smallest
-    eigenvalue of the Jacobi-normalized operator via a one-time sparse
-    eigensolve at setup (shift-invert Lanczos; LOBPCG fallback), shrunk by
-    ``safety`` so the Chebyshev interval certainly covers the spectrum.
+    lmax: Gershgorin row-sum bound (safe upper, cheap) of the symmetrically
+    normalized D^-1/2 Op D^-1/2 — callers that already hold |Op| row sums may
+    use their own (equally safe) D^-1-scaled bound instead, as the solver's
+    shifted-operator derivation does. lmin: smallest eigenvalue of the
+    Jacobi-normalized operator via a one-time sparse eigensolve at setup
+    (shift-invert Lanczos; LOBPCG fallback), shrunk by ``safety`` so the
+    Chebyshev interval certainly covers the spectrum.
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
@@ -538,8 +525,24 @@ def generic_spectral_bounds(Op, safety: float = 0.9) -> tuple[float, float]:
     except Exception:
         rng = np.random.default_rng(0)
         X = rng.standard_normal((B.shape[0], 1))
-        w, _ = spla.lobpcg(B.tocsr(), X, largest=False, maxiter=200, tol=1e-4)
-        lmin = float(w[0])
+        w, V = spla.lobpcg(B.tocsr(), X, largest=False, maxiter=200, tol=1e-4)
+        lam = float(w[0])
+        # LOBPCG with a single random block vector may stop unconverged and
+        # (approaching from above) OVERestimate lambda_min — which would
+        # silently exclude the lowest modes from the Chebyshev interval
+        # (|p| > 1 there amplifies instead of inverting). Underestimating
+        # only costs polynomial degree, so back the estimate off by the
+        # achieved residual norm (an eigenvalue lies within it of lam).
+        v = V[:, 0]
+        resid = float(
+            np.linalg.norm(B @ v - lam * v) / max(np.linalg.norm(v), 1e-300)
+        )
+        lmin = max(lam - resid, 0.1 * lam)
+    if not np.isfinite(lmin) or lmin <= 0.0:
+        raise ValueError(
+            f"spectral lower-bound estimation failed (lmin={lmin}); the "
+            "operator may not be SPD"
+        )
     return safety * lmin, gersh
 
 
@@ -549,7 +552,14 @@ def chebyshev_generic(spmv, inv_diag, lmin: float, lmax: float, degree: int):
     (m,) Jacobi vector (broadcasts over leading axes). Same recurrence as
     ``chebyshev_inverse``; this is a fixed POLYNOMIAL in Op — a linear,
     symmetric approximation of Op⁻¹, which is what keeps the outer normal
-    equations SPD (an inner Krylov solve would not be linear)."""
+    equations SPD (an inner Krylov solve would not be linear).
+
+    The recurrence here is an unrolled Python loop — fine eagerly and for
+    the low-degree structured-mesh uses, but NOT for jitting at the large
+    degrees the generic scale path reaches (HLO size ∝ degree; see
+    CLAUDE.md). The jitted production form is HeatSolver._cheb_run: a
+    ``lax.scan`` over ``chebyshev_coefficients`` rows threaded through
+    params. Keep the two numerically identical."""
 
     theta = 0.5 * (lmax + lmin)
     delta = 0.5 * (lmax - lmin)

@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")
     p.add_argument("--mg-cycles", type=int, default=3)
+    p.add_argument("--cheb-eps", type=float, default=1e-3,
+                   help="accuracy of the solution-bearing Chebyshev inverses "
+                        "(inner=cheb); lower for tight --tol solves")
     p.add_argument("--rhs", choices=["auto", "host", "device"], default="auto",
                    help="load quadrature: host = NumPy (oracle parity), "
                         "device = jitted on-device (fast at scale); auto = "
@@ -200,7 +203,7 @@ def main(argv=None) -> int:
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
         kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
                       spatial_format=args.spatial, pcg_variant=args.pcg,
-                      rhs=args.rhs)
+                      rhs=args.rhs, cheb_eps=args.cheb_eps)
         with timer("setup"):
             if args.backend == "sharded":
                 from .parallel import ShardedHeatSolver, make_time_mesh
@@ -284,6 +287,10 @@ def main(argv=None) -> int:
         "dof": n_dof,
         "dtype": args.dtype if args.backend != "oracle" else "f64",
         "pcg": args.pcg if args.backend != "oracle" else "standard",
+        # resolved settings, not the CLI literals — 'auto' is resolved at
+        # solver construction and rows are unattributable without them
+        "inner": getattr(solver, "inner", "oracle"),
+        "spatial": getattr(solver, "spatial_format", "oracle"),
         "tol": args.tol,
         "iterations": int(res.iterations),
         "converged": bool(res.converged),

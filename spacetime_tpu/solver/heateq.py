@@ -102,12 +102,19 @@ class HeatSolver:
         pallas_kron: bool | str = "auto",
         pcg_variant: str = "standard",
         rhs: str = "auto",
+        cheb_eps: float = 1e-3,
     ):
         """``inner``: inner spatial solver — 'dense' (exact precomputed
         inverses, parity phase, m ≤ a few thousand) or 'mg' (geometric
         multigrid + Chebyshev mass inverse, scale phase); 'auto' picks by m.
         ``space_n``: cells per side of the structured mesh (required for
-        'mg'; inferred from grid_shape when square/cubic)."""
+        'mg'; inferred from grid_shape when square/cubic).
+        ``cheb_eps``: relative accuracy of the solution-bearing (K_Y/K_H)
+        Chebyshev polynomial inverses on the generic-mesh path (inner
+        'cheb'); the preconditioner-only wavelet sandwich runs at 30x this.
+        The polynomials are FIXED at setup — for solve tolerances far below
+        the default 1e-3 operator accuracy, lower this (degrees grow like
+        log(1/eps))."""
         t0 = _time.perf_counter()
         # Fused mg-Pallas kernels engage at levels with >= this many grid
         # points ('the XLA form wins at small sizes', measured); a single
@@ -180,10 +187,7 @@ class HeatSolver:
         if inner == "auto":
             if self.m <= 4096:
                 inner = "dense"
-            elif (
-                spatial_format == "stencil"
-                or (spatial_format == "auto" and use_stencil)
-            ):
+            elif use_stencil:
                 inner = "mg"
             else:
                 # large unstructured meshes: no nested hierarchy for mg and
@@ -281,9 +285,9 @@ class HeatSolver:
             laM, gaM = generic_spectral_bounds(system.M)
             self._cheb_spec = {
                 "A": (laA, float((rsA / dA).max()),
-                      chebyshev_degree(laA, (rsA / dA).max(), 1e-3)),
+                      chebyshev_degree(laA, (rsA / dA).max(), cheb_eps)),
                 "M": (laM, float((rsM / dM).max()),
-                      chebyshev_degree(laM, (rsM / dM).max(), 1e-3)),
+                      chebyshev_degree(laM, (rsM / dM).max(), cheb_eps)),
             }
             shifts = []
             for omega in omegas:
@@ -292,7 +296,7 @@ class HeatSolver:
                 lmax_w = float(((rsA + omega * rsM) / d_w).max())
                 shifts.append(
                     (omega, lmin_w, lmax_w,
-                     chebyshev_degree(lmin_w, lmax_w, 3e-2))
+                     chebyshev_degree(lmin_w, lmax_w, 30.0 * cheb_eps))
                 )
             self._cheb_spec["shift"] = shifts
             self._host["cheb_invA"] = 1.0 / dA

@@ -190,3 +190,20 @@ class TestChebSolve:
         # spatial error floor of the 16-cell L-shape mesh (cf. the serial
         # blocked-ELL test's 1.2885e-02 at 8 timesteps)
         np.testing.assert_allclose(r.l2_error, 1.291e-02, rtol=2e-2)
+
+
+def test_cheb_eps_knob():
+    """Lower cheb_eps -> higher polynomial degrees and an L2 error closer to
+    the exact-inner (dense) solve."""
+    problem = get_problem("lshape2d")
+    system = P1System.from_mesh(l_shape_mesh(8))
+    grid = uniform_time_grid(3)
+    s1 = HeatSolver(problem, system, grid, inner="cheb")
+    s2 = HeatSolver(problem, system, grid, inner="cheb", cheb_eps=1e-6)
+    assert s2._cheb_spec["A"][2] > s1._cheb_spec["A"][2]
+    assert s2._cheb_spec["shift"][0][3] > s1._cheb_spec["shift"][0][3]
+    rd = HeatSolver(problem, system, grid, inner="dense").solve(
+        tol=1e-8, compute_error=True
+    )
+    r2 = s2.solve(tol=1e-8, compute_error=True)
+    assert abs(r2.l2_error - rd.l2_error) <= 1e-6 * abs(rd.l2_error) + 1e-12
