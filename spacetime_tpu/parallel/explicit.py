@@ -155,11 +155,16 @@ class ExplicitHeatSolver(HeatSolver):
             "inv_h": row_scale(1.0 / h, self.gs, dtype),
         }
         es = {"h_half": t_spec, "h_stab": t_spec, "inv_h": t_spec}
-        if self.spatial_format in ("dia", "ell"):
-            # Reuse the base params build: it casts the DIA diagonals and
-            # (for 'ell', non-f64) instantiates the blocked-ELL Pallas ops
-            # the inherited _spmv_generic dispatches to. Spatial operators
-            # are replicated over the mesh (SURVEY.md §2).
+        if self.spatial_format == "dia":
+            ep["dia_Mv"] = cast(self._dia_host["Mv"])
+            ep["dia_Av"] = cast(self._dia_host["Av"])
+            es["dia_Mv"] = repl
+            es["dia_Av"] = repl
+        elif self.spatial_format == "ell":
+            # Reuse the base params build: it instantiates the blocked-ELL
+            # Pallas ops (non-f64) the inherited _spmv_generic dispatches
+            # to, plus the DIA fallback diagonals. Spatial operators are
+            # replicated over the mesh (SURVEY.md §2).
             pbase = self.params_for(dtype)
             for k in ("dia_Mv", "dia_Av", "ell_M", "ell_A"):
                 if k in pbase:
@@ -455,51 +460,44 @@ class ExplicitHeatSolver(HeatSolver):
         mask0 = (lax.axis_index("time") == 0).astype(U.dtype)
         return out.at[0].add(mask0 * self._trace_row(U, ep)[0])
 
-    def _levelwise_local(self, flat, mats, ep):
-        """Apply per-wavelet-level matrices on the duplicated (R+1, k) local
-        layout: interior slots are device-uniform static strided slices
-        (cf. HeatSolver's global ones); the two boundary slots have
-        device-dependent levels and blend via the precomputed one-hot."""
+    def _levelwise_local(self, flat, ep, apply_rows):
+        """Apply a per-wavelet-level row operation ``apply_rows(rows, j)``
+        on the duplicated (R+1, k) local layout. Interior slots are
+        device-uniform static strided slices carrying exactly the fine
+        levels: global row dR+i (0<i<R) has level J - tz(i) > log2 P. The
+        two boundary slots have device-dependent COARSE levels (node dR has
+        level p_log - tz(d) <= p_log, asserted at setup), so their one-hot
+        blend loops coarse levels only."""
         out = flat
         for j in range(self.p_log + 1, self.J + 1):
             s = self.N >> j
             sl = slice(s, self.R, 2 * s)
-            out = out.at[sl].set(_dot(flat[sl], mats[j]))
-        rows2 = flat[jnp.array([0, self.R])]
+            out = out.at[sl].set(apply_rows(flat[sl], j))
+        b2 = jnp.array([0, self.R])
+        rows2 = flat[b2]
         acc = jnp.zeros_like(rows2)
-        for j in range(self.J + 1):
-            acc = acc + ep["onehot2"][:, j : j + 1] * _dot(rows2, mats[j])
-        return out.at[jnp.array([0, self.R])].set(acc)
+        for j in range(self.p_log + 1):
+            acc = acc + ep["onehot2"][:, j : j + 1] * apply_rows(rows2, j)
+        return out.at[b2].set(acc)
 
     def _coarse_by_level_local(self, bc, ep):
         """Multi-shift coarse solve, duplicated layout."""
         flat = bc.reshape(self.R + 1, -1)
-        return self._levelwise_local(flat, ep["mg_cinv"], ep).reshape(bc.shape)
+        out = self._levelwise_local(
+            flat, ep, lambda rows, j: _dot(rows, ep["mg_cinv"][j])
+        )
+        return out.reshape(bc.shape)
 
     def _sandwich_local(self, C, ep):
-        """Dense-inner K_X middle block, duplicated layout."""
-        return self._levelwise_local(C, ep["sandwich"], ep)
-
-    def _cheb_levelwise_local(self, C, ep):
-        """Chebyshev-inner K_X middle block on the duplicated (R+1, m)
-        layout. Interior slots carry exactly the fine wavelet levels
-        (> log2 P): global row dR+i (0<i<R) has level J - tz(i) > p_log.
-        The two boundary slots carry coarse levels (node dR has level
-        p_log - tz(d) <= p_log), so their blend loops coarse levels only —
-        p_log+1 short scans on two rows each."""
-        out = C
-        for j in range(self.p_log + 1, self.J + 1):
-            s = self.N >> j
-            sl = slice(s, self.R, 2 * s)
-            out = out.at[sl].set(self._sandwich_rows(C[sl], j, ep))
-        b2 = jnp.array([0, self.R])
-        rows2 = C[b2]
-        acc = jnp.zeros_like(rows2)
-        for j in range(self.p_log + 1):
-            acc = acc + ep["onehot2"][:, j : j + 1] * self._sandwich_rows(
-                rows2, j, ep
+        """K_X middle block, duplicated layout: per-level dense sandwich
+        GEMMs (inner 'dense') or Chebyshev shifted-solve scans ('cheb')."""
+        if self.inner == "cheb":
+            return self._levelwise_local(
+                C, ep, lambda rows, j: self._sandwich_rows(rows, j, ep)
             )
-        return out.at[b2].set(acc)
+        return self._levelwise_local(
+            C, ep, lambda rows, j: _dot(rows, ep["sandwich"][j])
+        )
 
     def _apply_KX_local(self, Rr, ep):
         C = self._wavelet_adjoint_local(Rr.reshape(self.R + 1, self.m), ep)
@@ -517,8 +515,6 @@ class ExplicitHeatSolver(HeatSolver):
                 X = self._spmv_A(X, ep)
             X = msolve(X)
             C = X.reshape(self.R + 1, self.m)
-        elif self.inner == "cheb":
-            C = self._cheb_levelwise_local(C, ep)
         else:
             C = self._sandwich_local(C, ep)
         return self._wavelet_forward_local(C, ep).reshape(Rr.shape)

@@ -207,3 +207,48 @@ def test_cheb_eps_knob():
     )
     r2 = s2.solve(tol=1e-8, compute_error=True)
     assert abs(r2.l2_error - rd.l2_error) <= 1e-6 * abs(rd.l2_error) + 1e-12
+
+
+def test_explicit_dense_ell_combo():
+    """explicit + blocked-ELL + dense inner (unlocked combination)."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+    from spacetime_tpu.solver.heateq import HeatSolver as HS
+
+    problem = get_problem("lshape2d")
+    system = P1System.from_mesh(l_shape_mesh(8))
+    grid = uniform_time_grid(3)
+    r1 = HS(problem, system, grid, inner="dense", spatial_format="ell",
+            dtype=jnp.float32).solve(tol=1e-5, compute_error=False)
+    r4 = ExplicitHeatSolver(
+        problem, system, grid, make_time_mesh(4), inner="dense",
+        spatial_format="ell", dtype=jnp.float32,
+    ).solve(tol=1e-5, compute_error=False)
+    assert r4.converged
+    assert r4.iterations == r1.iterations
+    np.testing.assert_allclose(r4.residuals, r1.residuals, rtol=1e-4)
+
+
+def test_explicit_cheb_structured_stencil():
+    """explicit + cheb inner on the structured stencil path."""
+    import jax
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs virtual devices")
+    from spacetime_tpu.parallel import ExplicitHeatSolver, make_time_mesh
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(12))
+    grid = uniform_time_grid(4)
+    r1 = HeatSolver(problem, system, grid, inner="cheb").solve(
+        tol=1e-6, compute_error=False
+    )
+    r4 = ExplicitHeatSolver(
+        problem, system, grid, make_time_mesh(4), inner="cheb"
+    ).solve(tol=1e-6, compute_error=False)
+    assert r4.converged
+    assert r4.iterations == r1.iterations
+    np.testing.assert_allclose(r4.residuals, r1.residuals, rtol=1e-9)
