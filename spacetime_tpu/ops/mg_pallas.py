@@ -156,6 +156,11 @@ def _smooth_call(
         """Blocked-axis row count of a window with the given halo."""
         return (YB + 2 * halo) if blocked else None
 
+    # zero_init ignores x entirely — drop its operand group so the pipeline
+    # does not DMA a second full copy of the input per grid step (the
+    # pre-smoother of every V-cycle is zero-init; measured memory-bound).
+    n_x = 0 if zero_init else n_f
+
     def kernel(om_ref, iD_ref, iT_ref, iDel_ref, *refs):
         out_ref = refs[-1]
         yi = pl.program_id(1)
@@ -163,7 +168,7 @@ def _smooth_call(
         iD = _col(iD_ref, dim)
         iT = _col(iT_ref, dim)
         iDel = _col(iDel_ref, dim)
-        Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, G, blocked)
+        Bw = _window(refs[n_x : n_x + n_f], yi, YB, ny, G, blocked)
         if zero_init:
             r = iD * Bw
             x_acc = None
@@ -188,7 +193,7 @@ def _smooth_call(
 
     specs = (
         [_col_spec(TB)] * 4
-        + _y_specs(TB, YB, gs, blocked)  # x
+        + _y_specs(TB, YB, gs, blocked) * (0 if zero_init else 1)  # x
         + _y_specs(TB, YB, gs, blocked)  # b
     )
     out_spec = pl.BlockSpec(
@@ -206,7 +211,7 @@ def _smooth_call(
             ),
             cost_estimate=pl.CostEstimate(
                 flops=2 * taps * nu * T * vol,
-                bytes_accessed=b.dtype.itemsize * T * vol * 3,
+                bytes_accessed=b.dtype.itemsize * T * vol * (2 if zero_init else 3),
                 transcendentals=0,
             ),
         )
@@ -220,17 +225,17 @@ def _smooth_call(
         out_shape=jax.ShapeDtypeStruct((T,) + gs, b.dtype),
         interpret=interpret,
         **kwargs,
-    )(omega, invD, invT, invDel, *([x] * n_f), *([b] * n_f))
+    )(omega, invD, invT, invDel, *([x] * n_x), *([b] * n_f))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "alpha", "interpret"),
+    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "interpret"),
 )
 def _residual_call(
-    x, b, omega, *, groups_A, groups_M, gs, TB, YB, alpha=1.0, interpret=False
+    x, b, omega, *, groups_A, groups_M, gs, TB, YB, interpret=False
 ):
-    """out = α·b − (A(x) + ω⊙M(x)) in one fused pass (α static)."""
+    """out = b − (A(x) + ω⊙M(x)) in one fused pass."""
     T = b.shape[0]
     dim = len(gs)
     ny, nx = gs[-2], gs[-1]
@@ -246,7 +251,7 @@ def _residual_call(
         Xw = _window(refs[:n_f], yi, YB, ny, 1 if blocked else 0, blocked)
         Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, 0, blocked)
         op = _op_rows(Xw, om, groups_A, groups_M, gs, YB if blocked else None)
-        out_ref[...] = alpha * Bw - op
+        out_ref[...] = Bw - op
 
     specs = (
         [_col_spec(TB)]
@@ -354,7 +359,13 @@ def _pick_blocks_mg(T, gs, itemsize):
         return TB, ny
     TB = min(8, max(T, 1))
     # Halved in blocked mode (larger live set; see kron_pallas._pick_blocks).
-    YB = max(_HALO, (budget // (2 * TB * per_row * lf)) // _HALO * _HALO)
+    yb_fit = (budget // (2 * TB * per_row * lf))
+    # Prefer 16-aligned YB: _fused_supported requires YB % 16 == 0 (coarse
+    # slab alignment), and an 8-only-aligned choice silently dropped the
+    # fused V-cycle kernels at exactly the largest grids (56 -> 48 etc.).
+    YB = yb_fit // 16 * 16
+    if YB == 0:
+        YB = max(_HALO, yb_fit // _HALO * _HALO)
     return TB, min(YB, ny)
 
 
@@ -377,18 +388,20 @@ class MSPallasLevel:
             # mode but faults the TPU worker (measured at 255²); force a
             # blocked y layout so the fused path is hardware-safe.
             self.YB = max(16, ((ny + 1) // 2) // 16 * 16)
-        if not interpret and len(self.gs) == 3 and self.YB < ny:
+        if not interpret and self.YB < ny:
             # Mosaic compile time scales with the number of grid programs
             # (measured: 3D fused_pre at T=17 takes 625 s with TB=1 / 34
             # programs but 56 s with TB=4 / 10); push TB up within a
-            # conservative VMEM model (~10 live windows, 80 MB).
+            # conservative VMEM model (~10 live windows, 40 MB — TB=8 at
+            # 63³ standalone fits, but inside the full solve module XLA's
+            # VMEM accounting hit 192 MB, measured OOM). Applies to any
+            # blocked layout: the 255²+ unblocked->blocked override above
+            # otherwise leaves 2D at the TB the (larger) unblocked estimate
+            # picked, with the same program-count blowup.
             per_win = (
                 int(np.prod(self.gs[:-2], dtype=int))
                 * (self.YB + 8) * self.gs[-1] * jnp.dtype(dtype).itemsize
             )
-            # TB=8 at 63³ standalone fits, but inside the full solve module
-            # XLA's VMEM accounting hit 192 MB (measured OOM) — stay at
-            # TB<=4 with a conservative 40 MB window budget.
             for cand in (4, 2):
                 if cand <= T and cand * per_win * 10 <= 40 * 1024 * 1024:
                     self.TB = max(self.TB, cand)
@@ -484,10 +497,9 @@ class MSPallasLevel:
 # The P1 transfer kernel factors exactly as K = ½(u^⊗2 + w^⊗2) with
 # u = [1,1,0], w = [0,1,1] (see ops/multigrid._transfer_fast), so inside the
 # kernel the x-direction transfer is a banded-matrix MXU matmul (Ux/Wx are
-# (nx, nxc) 0/1 operands) and the y-direction a sublane pair-sum / offset
-# repeat — no gathers, no lane-strided ops. 2D only; 3D keeps the unfused
-# path (its fine grids are smaller per axis and the z handling triples the
-# window bookkeeping for less payoff).
+# (nx, nxc) 0/1 operands) and the y/z directions sublane pair-sums / offset
+# repeats — no gathers, no lane-strided ops. Both 2D and 3D (the `if rest:`
+# branches; _fused_supported gates on dims, nu, and YB alignment).
 
 
 def _transfer_mats_np(nx: int):
