@@ -150,6 +150,14 @@ class WaveletTransform:
         if self._use_dense(dtype):
             Wd = self.dense()
             return {"Wd": jnp.asarray(Wd, dtype), "WdT": jnp.asarray(Wd.T, dtype)}
+        return self._lifting_params(dtype, gather=not self.is_uniform)
+
+    def _lifting_params(self, dtype, gather: bool):
+        """Lifting-form wp: per-level weight columns, plus gather index
+        arrays and the root scaling column when ``gather`` (every array a
+        runtime argument — no closed-over device constants, CLAUDE.md)."""
+        import jax.numpy as jnp
+
         levels = []
         for lev in self.levels:
             d = {
@@ -157,14 +165,15 @@ class WaveletTransform:
                 "wr": jnp.asarray(lev.wr[:, None], dtype),
                 "s": jnp.asarray(lev.s[:, None], dtype),
             }
-            if not self.is_uniform:
+            if gather:
                 d["idx"] = jnp.asarray(lev.idx)
                 d["pl"] = jnp.asarray(lev.pl)
                 d["pr"] = jnp.asarray(lev.pr)
             levels.append(d)
         out = {"levels": levels}
-        if not self.is_uniform:
+        if gather:
             out["root_idx"] = jnp.asarray(self.root_idx)
+            out["root_s"] = jnp.asarray(self.root_s[:, None], dtype)
         return out
 
     def _stride_slices(self, j: int):
@@ -194,7 +203,7 @@ class WaveletTransform:
             return self._gemm_axis0(wp["Wd"], c)
         r = lambda a: a.reshape(a.shape[:1] + (1,) * (c.ndim - 1))
         v = jnp.zeros_like(c)
-        if self.is_uniform:
+        if "root_idx" not in wp:  # uniform grid: static strided slices
             N = self.grid.num_intervals
             v = v.at[0].set(float(self.root_s[0]) * c[0])
             v = v.at[N].set(float(self.root_s[1]) * c[N])
@@ -207,10 +216,7 @@ class WaveletTransform:
                 v = v.at[mid].set(t + interp)
             return v
         ridx = wp["root_idx"]
-        v = v.at[ridx].set(
-            jnp.asarray(self.root_s.reshape((2,) + (1,) * (c.ndim - 1)), c.dtype)
-            * c[ridx]
-        )
+        v = v.at[ridx].set(r(wp["root_s"]) * c[ridx])
         for lw in wp["levels"]:
             t = r(lw["s"]) * c[lw["idx"]]
             interp = 0.5 * (v[lw["pl"]] + v[lw["pr"]])
@@ -227,7 +233,7 @@ class WaveletTransform:
             return self._gemm_axis0(wp["WdT"], x)
         r = lambda a: a.reshape(a.shape[:1] + (1,) * (x.ndim - 1))
         y = jnp.asarray(x)
-        if self.is_uniform:
+        if "root_idx" not in wp:  # uniform grid: static strided slices
             N = self.grid.num_intervals
             for j in range(self.num_levels, 0, -1):
                 lw = wp["levels"][j - 1]
@@ -249,43 +255,19 @@ class WaveletTransform:
             y = y.at[lw["pr"]].add(0.5 * t)
             y = y.at[lw["idx"]].set(r(lw["s"]) * (t + r(lw["wl"]) * a + r(lw["wr"]) * b))
         ridx = wp["root_idx"]
-        y = y.at[ridx].multiply(
-            jnp.asarray(self.root_s.reshape((2,) + (1,) * (x.ndim - 1)), y.dtype)
-        )
+        y = y.at[ridx].multiply(r(wp["root_s"]))
         return y
 
     def forward(self, c):
-        """JAX synthesis W along axis 0 of ``c`` ((N+1,) or (N+1, m))."""
-        import jax.numpy as jnp
-
-        w = lambda a: jnp.asarray(_bcast(a, c.ndim), c.dtype)
-        v = jnp.zeros_like(c)
-        v = v.at[self.root_idx].set(w(self.root_s) * c[self.root_idx])
-        for lev in self.levels:
-            interp = 0.5 * (v[lev.pl] + v[lev.pr])
-            t = w(lev.s) * c[lev.idx]
-            v = v.at[lev.pl].add(w(lev.wl) * t)
-            v = v.at[lev.pr].add(w(lev.wr) * t)
-            v = v.at[lev.idx].set(t + interp)
-        return v
+        """JAX synthesis W along axis 0 of ``c`` ((N+1,) or (N+1, m)) —
+        the gather form of forward_jax with a literal wp (tests only; see
+        the class jax notes)."""
+        return self.forward_jax(c, self._lifting_params(c.dtype, gather=True))
 
     def adjoint(self, x):
-        """JAX transpose W' along axis 0."""
-        import jax.numpy as jnp
-
-        y = jnp.asarray(x)
-        w = lambda a: jnp.asarray(_bcast(a, y.ndim), y.dtype)
-        for lev in reversed(self.levels):
-            t = y[lev.idx]
-            pv_l = y[lev.pl]
-            pv_r = y[lev.pr]
-            y = y.at[lev.pl].add(0.5 * t)
-            y = y.at[lev.pr].add(0.5 * t)
-            y = y.at[lev.idx].set(
-                w(lev.s) * (t + w(lev.wl) * pv_l + w(lev.wr) * pv_r)
-            )
-        y = y.at[self.root_idx].multiply(w(self.root_s))
-        return y
+        """JAX transpose W' along axis 0 (literal-wp gather form of
+        adjoint_jax; tests only)."""
+        return self.adjoint_jax(x, self._lifting_params(x.dtype, gather=True))
 
 
 def _bcast(a: np.ndarray, ndim: int):

@@ -59,10 +59,16 @@ def pcg(
     P0 = Z0
     rz0 = dot(R0, Z0)
     fnorm = norm(f)
-    res0 = jnp.full((maxiter + 1,), nan).at[0].set(norm(R0))
+    rnorm0 = norm(R0)
+    res0 = jnp.full((maxiter + 1,), nan).at[0].set(rnorm0)
     pres0 = jnp.full((maxiter + 1,), nan).at[0].set(
         jnp.sqrt(jnp.maximum(rz0, 0.0))
     )
+    # Already-converged entry (f = 0, or a warm start that solves exactly):
+    # without this the first trip computes alpha = 0/0 and poisons U with
+    # NaN. Normal solves enter with rnorm0 > tol*fnorm, so histories are
+    # unchanged.
+    done0 = rnorm0 <= tol * fnorm
 
     def cond(state):
         it, U, R, P, rz, res, pres, done = state
@@ -84,7 +90,7 @@ def pcg(
         return (it + 1, U, R, P, rz_new, res, pres, done)
 
     it, U, R, P, rz, res, pres, done = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), U0, R0, P0, rz0, res0, pres0, jnp.bool_(False))
+        cond, body, (jnp.int32(0), U0, R0, P0, rz0, res0, pres0, done0)
     )
     return PCGResult(
         U=U, iterations=it, residuals=res, precond_residuals=pres, converged=done
@@ -190,6 +196,11 @@ def pcg_fused(
         return pres.at[it].set(jnp.sqrt(jnp.maximum(g, 0.0)))
 
     pres = jax.lax.cond(done, lambda p: p, _final_pres, pres)
+    # Exhaustion exit whose LAST update did reach tol: the loop only detects
+    # convergence at the next trip's entry, which cond (it < maxiter) never
+    # runs — measure the final residual so `converged` agrees with pcg()'s
+    # for the identical history.
+    done = jnp.logical_or(done, res[it] <= tol * fnorm)
     return PCGResult(
         U=U, iterations=it, residuals=res, precond_residuals=pres,
         converged=done,
@@ -238,32 +249,46 @@ def pcg_init(apply_S, apply_KX, f, maxiter: int, x0=None) -> PCGState:
 
 
 def pcg_chunk(apply_S, apply_KX, state: PCGState, tol: float, k: int) -> PCGState:
-    """Advance k masked PCG iterations (a single device dispatch)."""
+    """Advance k masked PCG iterations (a single device dispatch).
+
+    Trips past convergence, past the history buffer's iteration budget
+    (``maxiter`` = res.shape[0]-1 — a chunk size need not divide it), or
+    after an exactly-zero residual (alpha would be 0/0) are exact no-ops.
+    """
+    nmax = state.res.shape[0] - 1
 
     def body(_, s: PCGState) -> PCGState:
+        degenerate = s.rz <= 0  # R == 0 entry (or SPD breakdown): finish
+        halt = jnp.logical_or(
+            s.done, jnp.logical_or(degenerate, s.it >= nmax)
+        )
         SP = apply_S(s.P)
-        alpha = jnp.where(s.done, 0.0, s.rz / jnp.vdot(s.P, SP)).astype(s.rz.dtype)
+        alpha = jnp.where(halt, 0.0, s.rz / jnp.vdot(s.P, SP)).astype(s.rz.dtype)
         U = s.U + alpha * s.P
         R = s.R - alpha * SP
         rnorm = jnp.linalg.norm(R)
-        idx = jnp.where(s.done, 0, s.it + 1)
-        res = s.res.at[idx].set(jnp.where(s.done, s.res[0], rnorm))
+        idx = jnp.where(halt, 0, s.it + 1)
+        res = s.res.at[idx].set(jnp.where(halt, s.res[0], rnorm))
         Z = apply_KX(R)
         rz_new = jnp.vdot(R, Z)
         pres = s.pres.at[idx].set(
-            jnp.where(s.done, s.pres[0], jnp.sqrt(jnp.maximum(rz_new, 0.0)))
+            jnp.where(halt, s.pres[0], jnp.sqrt(jnp.maximum(rz_new, 0.0)))
         )
-        new_done = jnp.logical_or(s.done, rnorm <= tol * s.fnorm)
-        beta = jnp.where(s.done, 0.0, rz_new / s.rz).astype(s.rz.dtype)
-        # alpha/beta are masked to 0 after convergence, so U and R freeze by
+        new_done = jnp.where(
+            halt,
+            jnp.logical_or(s.done, degenerate),
+            rnorm <= tol * s.fnorm,
+        )
+        beta = jnp.where(halt, 0.0, rz_new / s.rz).astype(s.rz.dtype)
+        # alpha/beta are masked to 0 on halted trips, so U and R freeze by
         # construction; only P needs an explicit select (beta=0 gives Z).
-        P = jnp.where(s.done, s.P, Z + beta * s.P)
+        P = jnp.where(halt, s.P, Z + beta * s.P)
         return PCGState(
-            it=s.it + jnp.int32(jnp.logical_not(s.done)),
+            it=s.it + jnp.int32(jnp.logical_not(halt)),
             U=U,
             R=R,
             P=P,
-            rz=jnp.where(s.done, s.rz, rz_new),
+            rz=jnp.where(halt, s.rz, rz_new),
             res=res,
             pres=pres,
             done=new_done,
