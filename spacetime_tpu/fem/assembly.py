@@ -16,11 +16,24 @@ import scipy.sparse as sp
 from .mesh import Mesh
 
 
+def _check_nondegenerate(det: np.ndarray, what: str) -> None:
+    """Zero-measure elements make the barycentric gradients inf/NaN and the
+    assembled operators silently poisoned — fail with the element ids
+    instead (imported meshes are only index-validated by the loader)."""
+    bad = np.flatnonzero(det == 0.0)
+    if bad.size:
+        raise ValueError(
+            f"{bad.size} degenerate (zero-{what}) element(s), e.g. ids "
+            f"{bad[:5].tolist()}"
+        )
+
+
 def _tri_geometry(mesh: Mesh):
     v = mesh.vertices[mesh.elements]  # (ne, 3, 2)
     d1 = v[:, 1] - v[:, 0]
     d2 = v[:, 2] - v[:, 0]
     det = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+    _check_nondegenerate(det, "area")
     area = np.abs(det) / 2.0
     # Gradients of the barycentric basis functions.
     g1 = np.stack([d2[:, 1], -d2[:, 0]], axis=1) / det[:, None]
@@ -34,6 +47,7 @@ def _tet_geometry(mesh: Mesh):
     v = mesh.vertices[mesh.elements]  # (ne, 4, 3)
     D = np.stack([v[:, 1] - v[:, 0], v[:, 2] - v[:, 0], v[:, 3] - v[:, 0]], axis=1)
     det = np.linalg.det(D)
+    _check_nondegenerate(det, "volume")
     vol = np.abs(det) / 6.0
     Dinv = np.linalg.inv(D)  # rows of Dinv^T are gradients of bary 1..3
     g = np.transpose(Dinv, (0, 2, 1))  # (ne, 3, 3): g[:, i] = grad lambda_{i+1}
@@ -73,10 +87,9 @@ def assemble_p1(
 
         rows, cols, mass, stiff = assemble_p1_native(mesh.vertices, mesh.elements)
         nv = mesh.num_vertices
+        # coo -> csr conversion already sums duplicate entries
         A = sp.coo_matrix((stiff, (rows, cols)), shape=(nv, nv)).tocsr()
         M = sp.coo_matrix((mass, (rows, cols)), shape=(nv, nv)).tocsr()
-        A.sum_duplicates()
-        M.sum_duplicates()
         return M, A
     if d == 2:
         measure, grads = _tri_geometry(mesh)
@@ -95,10 +108,9 @@ def assemble_p1(
     rows = np.repeat(mesh.elements, nloc, axis=1).ravel()
     cols = np.tile(mesh.elements, (1, nloc)).ravel()
     nv = mesh.num_vertices
+    # coo -> csr conversion already sums duplicate entries
     A = sp.coo_matrix((K.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
     M = sp.coo_matrix((Mel.ravel(), (rows, cols)), shape=(nv, nv)).tocsr()
-    A.sum_duplicates()
-    M.sum_duplicates()
     return M, A
 
 
@@ -267,12 +279,18 @@ def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
     # contraction keeps it at ~1e-7. These run once — speed is irrelevant.
     hp = jax.lax.Precision.HIGHEST
 
-    def _pts():
+    # The mesh arrays travel as jit ARGUMENTS (the `geo` tuple), never as
+    # closed-over constants — the CLAUDE.md rule: baked-in device constants
+    # (50+ MB of vertex/element/index data at 1025²) risk the measured
+    # minutes-long compiles on this backend.
+    geo = (verts, elems, bary_d, WB_d, meas_d, ids_d)
+
+    def _pts(verts, elems, bary_d):
         return jnp.einsum(
             "qi,eid->eqd", bary_d, verts[elems], precision=hp
         ).reshape(-1, mesh.dim)
 
-    def _scatter(fv, k):
+    def _scatter(fv, k, WB_d, meas_d, ids_d):
         """(k, ne*nq) point values -> (k, m) interior loads."""
         contrib = jnp.matmul(fv.reshape(k, -1, nq), WB_d, precision=hp)
         contrib = contrib * meas_d[None, :, None]
@@ -287,36 +305,36 @@ def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
     C = int(min(chunk, 4 * N, max(1, int(1.5e8 // max(npts, 1)))))
 
     @jax.jit
-    def loads_all(ts_chunks):
+    def loads_all(ts_chunks, verts, elems, bary_d, WB_d, meas_d, ids_d):
         """(nc, C) times -> (nc, C, m); lax.map over chunks bounds the
         autodiff working set to one chunk while keeping the whole
         quadrature a SINGLE dispatch (each host->device round trip costs
         ~170 ms through the tunnel; 1025² needs ~23 chunks)."""
-        pts = _pts()
+        pts = _pts(verts, elems, bary_d)
 
         def one(ts):
             fv = jax.vmap(lambda tt: gfn(tt, pts))(ts)
-            return _scatter(fv, C)
+            return _scatter(fv, C, WB_d, meas_d, ids_d)
 
         return jax.lax.map(one, ts_chunks)
 
     @jax.jit
-    def u0_load():
-        pts = _pts()
+    def u0_load(verts, elems, bary_d, WB_d, meas_d, ids_d):
+        pts = _pts(verts, elems, bary_d)
         zero = jnp.zeros((), dtype)
         fv = jax.vmap(lambda x: problem.exact(zero, x))(pts)
-        return _scatter(fv[None], 1)[0]
+        return _scatter(fv[None], 1, WB_d, meas_d, ids_d)[0]
 
     times = tq.reshape(-1)
     pad = (-times.size) % C
     tpad = np.concatenate([times, np.full(pad, t[0])]) if pad else times
     chunks = jnp.asarray(tpad.reshape(-1, C), dtype)
-    loads = loads_all(chunks).reshape(-1, m)[: times.size]
+    loads = loads_all(chunks, *geo).reshape(-1, m)[: times.size]
     loads = loads.reshape(N, 2, 2, m)
     wts = jnp.asarray(0.5 * hh, dtype)[:, None]
     gL = wts * loads[:, 0].sum(axis=1)
     gR = wts * loads[:, 1].sum(axis=1)
-    return gL, gR, u0_load()
+    return gL, gR, u0_load(*geo)
 
 
 @dataclasses.dataclass(frozen=True)

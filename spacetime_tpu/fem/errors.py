@@ -91,8 +91,11 @@ def device_l2_error_spacetime(
     tq = np.stack([mid - gq * h, mid + gq * h], axis=1)  # (N, 2)
     lam = (0.5 - gq, 0.5 + gq)
 
+    # mesh arrays as jit ARGUMENTS, not closed-over constants (CLAUDE.md)
+    geo = (verts, elems, bary_d, wm, meas_d)
+
     @jax.jit
-    def chunk_err(Uc, tqc, hc):
+    def chunk_err(Uc, tqc, hc, verts, elems, bary_d, wm, meas_d):
         """Uc (C+1, nv) coefficient rows, tqc (C, 2), hc (C,) -> partial sum."""
         pts = jnp.einsum("qi,eid->eqd", bary_d, verts[elems], precision=hp)
         flat = pts.reshape(-1, mesh.dim)
@@ -122,6 +125,6 @@ def device_l2_error_spacetime(
             tqc = np.concatenate([tqc, np.zeros((C - k, 2))])
             hc = np.concatenate([hc, np.zeros(C - k)])
         total += float(
-            chunk_err(Uc, jnp.asarray(tqc, dtype), jnp.asarray(hc, dtype))
+            chunk_err(Uc, jnp.asarray(tqc, dtype), jnp.asarray(hc, dtype), *geo)
         )
     return float(np.sqrt(total))

@@ -42,6 +42,22 @@ def _mesh_from_arrays(vertices: np.ndarray, elements: np.ndarray) -> Mesh:
         raise ValueError("mesh has no volume elements")
     if elements.min() < 0 or elements.max() >= vertices.shape[0]:
         raise ValueError("element indices out of vertex range")
+    # Duplicate elements double-count operator entries AND make exterior
+    # facets look shared (count 2), so topological boundary detection would
+    # silently drop the Dirichlet condition there — reject loudly.
+    sorted_conn = np.sort(elements, axis=1)
+    if np.unique(sorted_conn, axis=0).shape[0] != elements.shape[0]:
+        raise ValueError("mesh contains duplicate elements")
+    # Vertices referenced by no element (Triangle without -j keeps them;
+    # Gmsh point entities) would become interior DoFs with all-zero
+    # operator rows (a singular system) — compact them away, like the
+    # built-in generators do.
+    used = np.unique(elements)
+    if used.size < vertices.shape[0]:
+        remap = np.full(vertices.shape[0], -1, dtype=np.int64)
+        remap[used] = np.arange(used.size)
+        vertices = vertices[used]
+        elements = remap[elements].astype(np.int32)
     on_bdry = _boundary_vertex_mask(vertices.shape[0], elements)
     interior = np.flatnonzero(~on_bdry).astype(np.int32)
     if interior.size == 0:
@@ -55,14 +71,22 @@ _GMSH_SIMPLEX = {2: 3, 4: 4}  # elm-type -> nodes per element (tri, tet)
 
 
 def _load_gmsh(path: str) -> Mesh:
-    with open(path) as f:
+    # errors="replace": a binary MSH body must reach the $MeshFormat check
+    # below (clear message) instead of dying in a UnicodeDecodeError here.
+    with open(path, errors="replace") as f:
         lines = [ln.strip() for ln in f]
     if "$MeshFormat" in lines:
-        ver = lines[lines.index("$MeshFormat") + 1].split()[0]
+        fmt = lines[lines.index("$MeshFormat") + 1].split()
+        ver = fmt[0]
         if not ver.startswith("2"):
             raise ValueError(
                 f"{path}: MSH version {ver} unsupported — re-export as "
                 "version 2.2 ASCII (gmsh -format msh2)"
+            )
+        if len(fmt) > 1 and fmt[1] != "0":
+            raise ValueError(
+                f"{path}: binary MSH unsupported — re-export as ASCII "
+                "(gmsh -format msh2, without -bin)"
             )
     try:
         n0 = lines.index("$Nodes")

@@ -176,3 +176,66 @@ def test_triangle_ele_path_and_bad_base(tmp_path):
     np.testing.assert_array_equal(loaded.elements, mesh.elements)
     with pytest.raises(ValueError, match="must end in .node or .ele"):
         load_mesh(str(tmp_path / "m"), fmt="triangle")
+
+
+def test_unreferenced_vertices_compacted(tmp_path):
+    """Vertices in no element (Triangle without -j) must not become
+    interior DoFs with zero operator rows — they are compacted away."""
+    mesh = unit_square_mesh(4)
+    node = tmp_path / "m.node"
+    ele = tmp_path / "m.ele"
+    nv = mesh.num_vertices
+    with open(node, "w") as f:
+        f.write(f"{nv + 1} 2 0 0\n")
+        for i, v in enumerate(mesh.vertices):
+            f.write(f"{i} {float(v[0])!r} {float(v[1])!r}\n")
+        f.write(f"{nv} 9.0 9.0\n")  # orphan vertex
+    with open(ele, "w") as f:
+        f.write(f"{mesh.elements.shape[0]} 3 0\n")
+        for i, e in enumerate(mesh.elements):
+            f.write(f"{i} {e[0]} {e[1]} {e[2]}\n")
+    loaded = load_mesh(str(node))
+    assert loaded.num_vertices == nv
+    np.testing.assert_array_equal(loaded.elements, mesh.elements)
+    np.testing.assert_array_equal(loaded.interior, mesh.interior)
+
+
+def test_duplicate_elements_rejected(tmp_path):
+    mesh = unit_square_mesh(4)
+    node = tmp_path / "m.node"
+    ele = tmp_path / "m.ele"
+    with open(node, "w") as f:
+        f.write(f"{mesh.num_vertices} 2 0 0\n")
+        for i, v in enumerate(mesh.vertices):
+            f.write(f"{i} {float(v[0])!r} {float(v[1])!r}\n")
+    with open(ele, "w") as f:
+        f.write(f"{mesh.elements.shape[0] + 1} 3 0\n")
+        for i, e in enumerate(mesh.elements):
+            f.write(f"{i} {e[0]} {e[1]} {e[2]}\n")
+        e = mesh.elements[0]  # repeat the first element
+        f.write(f"{mesh.elements.shape[0]} {e[0]} {e[1]} {e[2]}\n")
+    with pytest.raises(ValueError, match="duplicate elements"):
+        load_mesh(str(node))
+
+
+def test_degenerate_element_rejected():
+    """A zero-area (collinear-vertex) element must fail assembly loudly
+    instead of poisoning the operators with inf/NaN."""
+    from spacetime_tpu.fem import Mesh
+
+    base = unit_square_mesh(2)
+    # append a collinear triangle along the bottom edge (distinct vertices)
+    degen = np.array([[0, 1, 2]], dtype=np.int32)  # (0,0),(.5,0),(1,0)
+    elements = np.concatenate([base.elements, degen])
+    mesh = Mesh(base.vertices, elements, base.boundary, base.interior, None)
+    with pytest.raises(ValueError, match="degenerate"):
+        P1System.from_mesh(mesh)
+
+
+def test_binary_msh_clear_error(tmp_path):
+    path = tmp_path / "bin.msh"
+    with open(path, "wb") as f:
+        f.write(b"$MeshFormat\n2.2 1 8\n")
+        f.write(bytes(range(256)))  # binary body
+    with pytest.raises(ValueError, match="binary MSH"):
+        load_mesh(str(path))
