@@ -95,6 +95,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "standard PCG)")
     p.add_argument("--resume-from", default=None, metavar="PATH",
                    help="warm-start PCG from a checkpointed iterate")
+    p.add_argument("--save-vtk", default=None, metavar="PREFIX",
+                   help="write solution snapshots as PREFIX_NNNN.vtk (legacy "
+                        "VTK, ParaView-readable) plus a PREFIX.pvd time "
+                        "series; pair with --vtk-stride")
+    p.add_argument("--vtk-stride", type=int, default=8,
+                   help="write every K-th timestep (final time always "
+                        "included)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the solve into DIR "
                         "(view with TensorBoard/XProf; best-effort on "
@@ -266,6 +273,15 @@ def main(argv=None) -> int:
                     checkpoint_path=args.checkpoint,
                     checkpoint_every=args.checkpoint_every,
                 )
+
+    if args.save_vtk:
+        from .utils import write_vtk_series
+
+        paths = write_vtk_series(
+            mesh, np.asarray(res.U).reshape(grid.num_intervals + 1, system.m),
+            grid, args.save_vtk, stride=args.vtk_stride,
+        )
+        print(f"wrote {len(paths)} VTK snapshots + {args.save_vtk}.pvd")
 
     rel = res.residuals / res.residuals[0]
     print(
