@@ -34,6 +34,8 @@ CONFIGS = [
     ("singular3d-graded-8-J2+3", "singular3d", 8, 2, 3, 1e-6),
     ("moving-peak-32x32x32", "moving_peak2d", 32, 5, 0, 1e-6),
     ("lshape-32-J5", "lshape2d", 32, 5, 0, 1e-6),
+    ("varcoef-32-J5", "varcoef2d", 32, 5, 0, 1e-6),
+    ("varcoef3d-8-J3", "varcoef3d", 8, 3, 0, 1e-6),
 ]
 
 

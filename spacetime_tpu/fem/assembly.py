@@ -57,31 +57,45 @@ def _tet_geometry(mesh: Mesh):
 
 
 def assemble_p1(
-    mesh: Mesh, engine: str = "auto"
+    mesh: Mesh, engine: str = "auto", kappa=None, reaction=None
 ) -> tuple[sp.csr_matrix, sp.csr_matrix]:
-    """Assemble full (all-vertex) P1 mass and stiffness matrices.
+    """Assemble full (all-vertex) P1 mass and spatial-form matrices.
 
     Returns (M, A) as CSR over all vertices; restrict with
-    ``P1System.from_mesh`` for the Dirichlet-interior block.
+    ``P1System.from_mesh`` for the Dirichlet-interior block. With the
+    optional coefficients, A is the general SPD parabolic spatial form
+    ``a(u,v) = ∫ κ(x) ∇u·∇v + c(x) u v`` (κ, c are callables
+    ``(n, d) -> (n,)`` evaluated at element centroids — exact for
+    elementwise-constant coefficients and an O(h²) variational crime
+    otherwise, preserving the method's 2nd-order rates); M is always the
+    plain mass matrix (it carries the ∂t pairing and the trace term).
 
     ``engine``: 'numpy' (vectorized host assembly, the parity reference),
     'native' (the C++ core in spacetime_tpu/native — the NGSolve-equivalent
     engine, ~2x faster and O(1) temporaries), or 'auto' (native for large
     meshes when the compiler is available, or when SPACETIME_TPU_NATIVE=1).
+    The native engine assembles the unweighted operators only.
     """
     import os
 
     d = mesh.dim
     nloc = d + 1
+    weighted = kappa is not None or reaction is not None
     if engine == "auto":
         big = mesh.elements.shape[0] >= 500_000
-        want = big or os.environ.get("SPACETIME_TPU_NATIVE") == "1"
+        want = not weighted and (
+            big or os.environ.get("SPACETIME_TPU_NATIVE") == "1"
+        )
         if want:
             from .. import native
 
             engine = "native" if native.available() else "numpy"
         else:
             engine = "numpy"
+    if engine == "native" and weighted:
+        raise ValueError(
+            "engine='native' does not support coefficient-weighted assembly"
+        )
     if engine == "native":
         from ..native import assemble_p1_native
 
@@ -104,6 +118,18 @@ def assemble_p1(
     K = measure[:, None, None] * np.einsum("eid,ejd->eij", grads, grads)
     Mloc = (np.ones((nloc, nloc)) + np.eye(nloc)) * mass_scale
     Mel = measure[:, None, None] * Mloc[None]
+    if weighted:
+        centroids = mesh.vertices[mesh.elements].mean(axis=1)
+        if kappa is not None:
+            kv = np.asarray(kappa(centroids), np.float64)
+            if kv.min() <= 0.0:
+                raise ValueError("diffusion coefficient must be positive")
+            K = kv[:, None, None] * K
+        if reaction is not None:
+            cv = np.asarray(reaction(centroids), np.float64)
+            if cv.min() < 0.0:
+                raise ValueError("reaction coefficient must be nonnegative")
+            K = K + cv[:, None, None] * Mel
 
     rows = np.repeat(mesh.elements, nloc, axis=1).ravel()
     cols = np.tile(mesh.elements, (1, nloc)).ravel()
@@ -344,18 +370,38 @@ class P1System:
     Attributes:
       mesh: the underlying mesh.
       M: interior mass matrix (m×m CSR).
-      A: interior stiffness matrix (m×m CSR).
+      A: interior spatial-form matrix (m×m CSR): the stiffness matrix, or
+        the weighted form ∫κ∇u·∇v + c·uv for variable-coefficient problems.
+      weighted: True when A carries non-constant coefficients — such
+        operators are not translation invariant, so the constant-stencil
+        device path must not be used (solvers fall back to DIA/blocked-ELL).
     """
 
     mesh: Mesh
     M: sp.csr_matrix
     A: sp.csr_matrix
+    weighted: bool = False
 
     @classmethod
-    def from_mesh(cls, mesh: Mesh) -> "P1System":
-        Mfull, Afull = assemble_p1(mesh)
+    def from_mesh(cls, mesh: Mesh, kappa=None, reaction=None) -> "P1System":
+        """``kappa``/``reaction``: optional coefficient callables
+        ``(n, d) -> (n,)`` (see :func:`assemble_p1`)."""
+        Mfull, Afull = assemble_p1(mesh, kappa=kappa, reaction=reaction)
         idx = mesh.interior
-        return cls(mesh, Mfull[idx][:, idx].tocsr(), Afull[idx][:, idx].tocsr())
+        return cls(
+            mesh,
+            Mfull[idx][:, idx].tocsr(),
+            Afull[idx][:, idx].tocsr(),
+            weighted=kappa is not None or reaction is not None,
+        )
+
+    @classmethod
+    def from_problem(cls, problem, mesh: Mesh) -> "P1System":
+        """Assemble the spatial form a given Problem prescribes (plain heat
+        operator, or the κ/c-weighted general parabolic form)."""
+        kap = problem.kappa_np if problem.kappa is not None else None
+        rea = problem.reaction_np if problem.reaction is not None else None
+        return cls.from_mesh(mesh, kappa=kap, reaction=rea)
 
     @property
     def m(self) -> int:

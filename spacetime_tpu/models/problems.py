@@ -1,10 +1,12 @@
-"""Heat-equation benchmark problems.
+"""Parabolic benchmark problems.
 
-Each problem prescribes ∂u/∂t − Δu = g on Ω×(0,T], u = 0 on ∂Ω, u(0) = u0,
-with Ω the unit square/cube (SURVEY.md Appendix A). Manufactured problems are
-defined by their exact solution alone: the source g = ∂t u − Δu is derived by
-JAX autodiff (exact to machine precision), so adding a benchmark — including
-the singular and moving-peak ones — is a three-line closed-form formula.
+Each problem prescribes a linear parabolic equation
+∂u/∂t − ∇·(κ(x)∇u) + c(x)u = g on Ω×(0,T], u = 0 on ∂Ω, u(0) = u0, with Ω
+the unit square/cube (SURVEY.md Appendix A; κ ≡ 1, c ≡ 0 is the heat
+equation — every benchmark family of the reference). Manufactured problems
+are defined by their exact solution alone: the source g is derived by JAX
+autodiff (exact to machine precision), so adding a benchmark — including the
+singular and moving-peak ones — is a three-line closed-form formula.
 
 Benchmark families (BASELINE.md config ladder):
   smooth2d / smooth3d — smooth separable solutions; iteration counts must be
@@ -12,6 +14,9 @@ Benchmark families (BASELINE.md config ladder):
   singular2d/3d — u ~ t^alpha near t=0 (incompatible data): optimal rates only
     on a time grid graded toward t=0.
   moving_peak2d — a Gaussian peak travelling across the domain.
+  varcoef2d — variable diffusion κ(x) + reaction c(x): the general linear
+    parabolic operator of the method (the published analysis covers any
+    SPD spatial form, not just −Δ); exercises the weighted-assembly path.
 """
 
 from __future__ import annotations
@@ -37,6 +42,10 @@ class Problem:
         toward t=0 (the singular family).
       domain: spatial domain tag for fem.mesh.domain_mesh ('unit' square/
         cube, 'lshape' — the generic non-tensor-product mesh path).
+      kappa: scalar diffusion coefficient κ(x) > 0 written in jax.numpy
+        (x shape (dim,)), or None for κ ≡ 1. Enters the bilinear form
+        a(u,v) = ∫ κ∇u·∇v + c·uv and the autodiff source.
+      reaction: scalar reaction coefficient c(x) ≥ 0, or None for c ≡ 0.
     """
 
     name: str
@@ -47,6 +56,8 @@ class Problem:
     u0_override: Callable | None = None
     graded_time: bool = False
     domain: str = "unit"
+    kappa: Callable | None = None
+    reaction: Callable | None = None
 
     # ---------------------------------------------------------------- data
 
@@ -88,16 +99,55 @@ class Problem:
                 _vmap_space(self.exact)(jnp.asarray(float(t)), jnp.asarray(X))
             )
 
+    def kappa_np(self, X: np.ndarray) -> np.ndarray:
+        """Diffusion coefficient at points X (n, dim) -> (n,), on the host
+        (assembly-time evaluation; κ ≡ 1 when unset)."""
+        if self.kappa is None:
+            return np.ones(X.shape[0])
+        with _host_device():
+            import jax.numpy as jnp
+
+            return np.asarray(_vmap_x(self.kappa)(jnp.asarray(X)))
+
+    def reaction_np(self, X: np.ndarray) -> np.ndarray:
+        """Reaction coefficient at points X (n, dim) -> (n,), on the host
+        (c ≡ 0 when unset)."""
+        if self.reaction is None:
+            return np.zeros(X.shape[0])
+        with _host_device():
+            import jax.numpy as jnp
+
+            return np.asarray(_vmap_x(self.reaction)(jnp.asarray(X)))
+
     def _g_fn(self):
         if not hasattr(self, "_g_cache"):
             import jax
 
             u = self.exact
 
-            def g_scalar(t, x):
-                du_dt = jax.grad(u, argnums=0)(t, x)
-                lap = jnp_trace_hessian(u, t, x)
-                return du_dt - lap
+            if self.kappa is None and self.reaction is None:
+                # Heat-equation path, byte-identical arithmetic to the
+                # recorded baselines (residual-history parity).
+                def g_scalar(t, x):
+                    du_dt = jax.grad(u, argnums=0)(t, x)
+                    lap = jnp_trace_hessian(u, t, x)
+                    return du_dt - lap
+
+            else:
+                kap, rea = self.kappa, self.reaction
+
+                def g_scalar(t, x):
+                    du_dt = jax.grad(u, argnums=0)(t, x)
+                    if kap is None:
+                        diff = jnp_trace_hessian(u, t, x)
+                    else:
+                        # ∇·(κ∇u) = tr ∂x [κ(x) ∇u(t,x)]
+                        flux = lambda y: kap(y) * jax.grad(u, argnums=1)(t, y)
+                        diff = jax.jacfwd(flux)(x).trace()
+                    out = du_dt - diff
+                    if rea is not None:
+                        out = out + rea(x) * u(t, x)
+                    return out
 
             object.__setattr__(self, "_g_cache", jax.jit(_vmap_space(g_scalar)))
         return self._g_cache
@@ -130,6 +180,12 @@ def _vmap_space(fn):
     import jax
 
     return jax.vmap(fn, in_axes=(None, 0))
+
+
+def _vmap_x(fn):
+    import jax
+
+    return jax.jit(jax.vmap(fn))
 
 
 # ------------------------------------------------------------------ registry
@@ -173,6 +229,30 @@ def _moving_peak2d():
     return Problem(name="moving_peak2d", dim=2, exact=u)
 
 
+def _varcoef(dim):
+    """General linear parabolic operator: smooth positive diffusion κ(x)
+    and nonnegative reaction c(x). The exact solution is the smooth-family
+    bubble, so convergence rates are directly comparable; the operator is
+    what changes (weighted assembly, generic DIA/cheb device paths)."""
+
+    def kappa(x):
+        import jax.numpy as jnp
+
+        return 1.0 + 0.5 * jnp.prod(jnp.sin(jnp.pi * x))
+
+    def reaction(x):
+        return 1.0 + x[0]
+
+    def u(t, x):
+        import jax.numpy as jnp
+
+        return jnp.exp(-t) * jnp.prod(jnp.sin(jnp.pi * x))
+
+    return Problem(
+        name=f"varcoef{dim}d", dim=dim, exact=u, kappa=kappa, reaction=reaction
+    )
+
+
 def _lshape2d():
     def u(t, x):
         import jax.numpy as jnp
@@ -194,6 +274,8 @@ PROBLEMS = {
         _singular(3),
         _moving_peak2d(),
         _lshape2d(),
+        _varcoef(2),
+        _varcoef(3),
     ]
 }
 

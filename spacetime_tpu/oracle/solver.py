@@ -249,7 +249,7 @@ def solve_heat_equation(
     """One-call driver: mesh + grid + assemble + solve (serial oracle)."""
     problem = get_problem(problem_name)
     mesh = domain_mesh(problem.domain, problem.dim, space_n)
-    system = P1System.from_mesh(mesh)
+    system = P1System.from_problem(problem, mesh)
     if extra_time_levels > 0:
         grid = graded_time_grid(time_levels, extra_time_levels, t_crit=0.0, T=problem.T)
     else:

@@ -179,7 +179,7 @@ def main(argv=None) -> int:
 
             for _ in range(args.refine):
                 mesh = refine_uniform(mesh)
-        system = P1System.from_mesh(mesh)
+        system = P1System.from_problem(problem, mesh)
         if args.extra_levels > 0:
             grid = graded_time_grid(args.time_levels, args.extra_levels, T=problem.T)
         else:

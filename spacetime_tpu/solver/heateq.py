@@ -134,9 +134,21 @@ class HeatSolver:
         A_dia = DiaMatrix.from_csr(system.A)
         gs = system.mesh.grid_shape
         use_ell = spatial_format == "ell"
+        weighted = getattr(system, "weighted", False)
+        if spatial_format == "stencil" and weighted:
+            raise ValueError(
+                "spatial_format='stencil' needs a translation-invariant "
+                "operator; coefficient-weighted systems use 'dia'/'ell'"
+            )
         use_stencil = not use_ell and (
             spatial_format == "stencil"
-            or (spatial_format == "auto" and gs is not None and min(gs) >= 3)
+            or (
+                spatial_format == "auto"
+                and gs is not None
+                and min(gs) >= 3
+                # Weighted forms are not constant stencils — generic paths.
+                and not weighted
+            )
         )
         if use_stencil:
             self.gs = tuple(gs)
@@ -1098,7 +1110,7 @@ def solve_heat_equation_tpu(
     ``oracle.solve_heat_equation``)."""
     problem = get_problem(problem_name)
     mesh = domain_mesh(problem.domain, problem.dim, space_n)
-    system = P1System.from_mesh(mesh)
+    system = P1System.from_problem(problem, mesh)
     if extra_time_levels > 0:
         grid = graded_time_grid(time_levels, extra_time_levels, T=problem.T)
     else:
