@@ -486,6 +486,220 @@ class MultiShiftMultigrid:
         return x
 
 
+def p1_interpolation_matrix(dim: int, nc: int):
+    """The nested-P1 interpolation as a sparse matrix over INTERIOR nodes:
+    coarse (nc-1)^dim -> fine (2nc-1)^dim on the structured Kuhn meshes.
+
+    Exactly the operator _transfer_fast applies on-device (its transpose is
+    the restriction): the 3^dim kernel factors as ½(u^⊗dim + w^⊗dim) with
+    1-D factors U[f, f//2] = 1 and W[f, (f-1)//2] = 1 (zero Dirichlet
+    ghosts dropped). Used host-side to form Galerkin coarse operators
+    A_c = Pᵀ A_f P for coefficient-weighted (non-constant-stencil) forms,
+    where per-level re-assembly and RAP coincide only in exact arithmetic
+    for resolved coefficients — RAP works from the assembled fine matrix
+    alone, no coefficient callables needed."""
+    import scipy.sparse as sp
+
+    nf = 2 * nc - 1
+    f = np.arange(nf)
+    U = sp.csr_matrix(
+        (np.ones(nf - 1), (f[f // 2 <= nc - 2], (f // 2)[f // 2 <= nc - 2])),
+        shape=(nf, nc - 1),
+    )
+    g = (f - 1) // 2
+    keep = (f >= 1) & (g <= nc - 2)
+    W = sp.csr_matrix(
+        (np.ones(keep.sum()), (f[keep], g[keep])), shape=(nf, nc - 1)
+    )
+    Ud, Wd = U, W
+    for _ in range(dim - 1):
+        Ud = sp.kron(Ud, U, format="csr")
+        Wd = sp.kron(Wd, W, format="csr")
+    return (0.5 * (Ud + Wd)).tocsr()
+
+
+def galerkin_coarsen(A, dim: int, nc: int):
+    """One Galerkin RAP step A -> Pᵀ A P, symmetrized and pruned of the
+    fp-noise entries outside the P1 neighbor pattern (anti-diagonal
+    couplings are exactly zero in exact arithmetic for any coefficient —
+    hats at anti-diagonal nodes share zero-measure support)."""
+    import scipy.sparse as sp
+
+    P = p1_interpolation_matrix(dim, nc)
+    Ac = (P.T @ A @ P).tocsr()
+    Ac = 0.5 * (Ac + Ac.T)
+    Ac.data[np.abs(Ac.data) < 1e-13 * np.abs(Ac.data).max()] = 0.0
+    Ac.eliminate_zeros()
+    return Ac.tocsr()
+
+
+@dataclasses.dataclass(frozen=True)
+class _GMSLevel:
+    A: DiaMatrix  # weighted spatial form at this level
+    M: DiaMatrix
+    dA: np.ndarray  # operator diagonals (m_l,)
+    dM: np.ndarray
+    rsA: np.ndarray  # |row| sums (Gershgorin numerators)
+    rsM: np.ndarray
+    n: int  # cells per side
+    gs: tuple[int, ...]  # interior grid shape (n-1,)*dim
+
+
+@dataclasses.dataclass(frozen=True)
+class GalerkinMultiShiftMultigrid:
+    """Multi-shift V-cycle for coefficient-weighted spatial forms.
+
+    Same algorithm as :class:`MultiShiftMultigrid` (per-row shifts ω enter
+    as scales, one fused smoothing pass for all rows), but the operators are
+    NOT translation invariant (variable diffusion/reaction), so:
+
+    - per-level operators are DIA matvecs on the flat (..., m_l) layout
+      (device arrays threaded through params), not constant stencils;
+    - coarse levels come from Galerkin RAP of the assembled fine matrix
+      (exact for nested P1), not re-assembly;
+    - the Jacobi diagonal is node-dependent: 1/(dA + ω·dM) is formed on the
+      fly in the smoother (one elementwise pass, nothing materialized per
+      row at setup);
+    - per-row Chebyshev bounds use the exact per-ω Gershgorin maximum,
+      computed host-side at the few distinct ω values only.
+
+    Transfers reshape flat rows to the level grid and use the same
+    separated-form passes as the constant-stencil hierarchy. No Pallas
+    variant (the fused kernels assume constant stencils); the XLA DIA
+    forms are bandwidth-bound and fuse well.
+    """
+
+    dim: int
+    levels: tuple[_GMSLevel, ...]
+    nu: int
+    n_coarse: int
+
+    _SIGMA = 5.0 / 3.0
+
+    @classmethod
+    def build(
+        cls,
+        dim: int,
+        n_fine: int,
+        A_fine,
+        M_fine,
+        nu: int = 2,
+        n_coarse: int = 8,
+    ) -> tuple["GalerkinMultiShiftMultigrid", tuple[np.ndarray, np.ndarray]]:
+        """``A_fine``/``M_fine``: interior CSR at the finest level (the
+        solver's assembled system — single source of truth). Returns
+        (static structure, (A_coarse, M_coarse) dense)."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A_fine)
+        M = sp.csr_matrix(M_fine)
+        levels = []
+        n = n_fine
+        while n > n_coarse:
+            if n % 2:
+                raise ValueError(f"level size {n} not even (n_fine={n_fine})")
+            dA = np.asarray(A.diagonal())
+            dM = np.asarray(M.diagonal())
+            rsA = np.asarray(np.abs(A).sum(axis=1)).ravel()
+            rsM = np.asarray(np.abs(M).sum(axis=1)).ravel()
+            levels.append(
+                _GMSLevel(
+                    DiaMatrix.from_csr(A), DiaMatrix.from_csr(M),
+                    dA, dM, rsA, rsM, n, (n - 1,) * dim,
+                )
+            )
+            A = galerkin_coarsen(A, dim, n // 2)
+            M = galerkin_coarsen(M, dim, n // 2)
+            n //= 2
+        return cls(dim, tuple(levels), nu, n), (A.toarray(), M.toarray())
+
+    # ------------------------------------------------------------- params
+
+    def row_params(self, omega_rows: np.ndarray, dtype) -> list[dict]:
+        """Per-level device params for a per-row shift vector: DIA values,
+        node diagonal vectors, and per-row Chebyshev scalars (θ, δ from the
+        exact Gershgorin bound of D(ω)⁻¹(A+ωM), evaluated at the distinct
+        shift values)."""
+        import jax.numpy as jnp
+
+        omega_rows = np.asarray(omega_rows, np.float64)
+        uniq, inv = np.unique(omega_rows, return_inverse=True)
+        out = []
+        for lev in self.levels:
+            lam_u = np.empty(uniq.size)
+            for k, w in enumerate(uniq):
+                lam_u[k] = ((lev.rsA + w * lev.rsM) / (lev.dA + w * lev.dM)).max()
+            lam = 1.1 * lam_u[inv]
+            flat = (int(np.prod(lev.gs)),)
+            out.append(
+                {
+                    "omega": row_scale(omega_rows, flat, dtype),
+                    "inv_theta": row_scale(1.0 / (0.625 * lam), flat, dtype),
+                    "inv_delta": row_scale(1.0 / (0.375 * lam), flat, dtype),
+                    "Avals": jnp.asarray(lev.A.vals, dtype),
+                    "Mvals": jnp.asarray(lev.M.vals, dtype),
+                    "dA": jnp.asarray(lev.dA, dtype),
+                    "dM": jnp.asarray(lev.dM, dtype),
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------------- jax
+
+    def _op(self, lev: _GMSLevel, lp, x):
+        from .sparse import dia_matvec
+
+        return dia_matvec(lp["Avals"], lev.A.offsets, x) + lp["omega"] * (
+            dia_matvec(lp["Mvals"], lev.M.offsets, x)
+        )
+
+    def _smooth(self, lev: _GMSLevel, lp, x, b, zero_init: bool = False):
+        sigma = self._SIGMA
+        invd = 1.0 / (lp["dA"] + lp["omega"] * lp["dM"])
+        r = invd * (b if zero_init else b - self._op(lev, lp, x))
+        d = r * lp["inv_theta"]
+        x = d if zero_init else x + d
+        rho = 1.0 / sigma
+        for _ in range(self.nu - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = r - invd * self._op(lev, lp, d)
+            d = rho_new * rho * d + (2.0 * rho_new) * lp["inv_delta"] * r
+            x = x + d
+            rho = rho_new
+        return x
+
+    def _restrict(self, lev: _GMSLevel, r):
+        lead = r.shape[:-1]
+        R = _transfer_fast(r.reshape(lead + lev.gs), self.dim, restrict=True)
+        return R.reshape(lead + (-1,))
+
+    def _interp(self, lev: _GMSLevel, ec):
+        nc = lev.n // 2
+        lead = ec.shape[:-1]
+        E = _transfer_fast(
+            ec.reshape(lead + (nc - 1,) * self.dim), self.dim, restrict=False
+        )
+        return E.reshape(lead + (-1,))
+
+    def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
+        if lvl == len(self.levels):
+            return coarse_solve(b)
+        lev = self.levels[lvl]
+        lp = lps[lvl]
+        x = self._smooth(lev, lp, None, b, zero_init=True)
+        r = b - self._op(lev, lp, x)
+        ec = self.vcycle(self._restrict(lev, r), lps, coarse_solve, lvl + 1)
+        x = x + self._interp(lev, ec)
+        return self._smooth(lev, lp, x, b)
+
+    def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
+        x = self.vcycle(b, lps, coarse_solve)
+        for _ in range(cycles - 1):
+            r = b - self._op(self.levels[0], lps[0], x)
+            x = x + self.vcycle(r, lps, coarse_solve)
+        return x
+
+
 def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,
                       lmax: float, degree: int):
     """Return fn(b) ≈ Op⁻¹ b by degree-``degree`` Chebyshev–Jacobi iteration.

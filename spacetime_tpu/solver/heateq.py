@@ -46,6 +46,7 @@ from ..fem.errors import device_l2_error_spacetime, l2_error_spacetime
 from ..fem.timegrid import graded_time_grid, uniform_time_grid
 from ..models import Problem, get_problem
 from ..ops.multigrid import (
+    GalerkinMultiShiftMultigrid,
     MultiShiftMultigrid,
     chebyshev_inverse,
     mass_spectral_bounds,
@@ -196,16 +197,27 @@ class HeatSolver:
         )
 
         # --- inner spatial solver ------------------------------------------
+        # Weighted forms on structured square/cubic grids still have the
+        # nested P1 hierarchy: Galerkin (RAP) multigrid with DIA level
+        # operators (ops/multigrid.GalerkinMultiShiftMultigrid) — mesh-
+        # independent inner cost where Chebyshev degrees grow like h⁻¹.
+        structured_sq = (
+            gs is not None
+            and len(set(gs)) == 1
+            and min(gs) >= 3
+            and (gs[0] + 1) % 2 == 0
+        )
         if inner == "auto":
             if self.m <= 4096:
                 inner = "dense"
-            elif use_stencil:
+            elif use_stencil or (weighted and structured_sq):
                 inner = "mg"
             else:
                 # large unstructured meshes: no nested hierarchy for mg and
                 # dense inverses are O(m²) — Chebyshev polynomial inverses
                 inner = "cheb"
         self.inner = inner
+        self._mg_weighted = False
         self._host = {"h": time_matrices(grid)["h"]}
         omegas = [float(self.wt.level_shift[j]) for j in range(self.wt.num_levels + 1)]
         if inner == "dense":
@@ -218,9 +230,48 @@ class HeatSolver:
                 Sj = np.linalg.inv(A_dense + omega * M_dense)
                 sandwiches.append(Sj @ A_dense @ Sj)
             self._host["sandwich"] = sandwiches
+        elif inner == "mg" and self.spatial_format != "stencil":
+            # Coefficient-weighted (or explicitly DIA/ELL-format) operators
+            # on structured grids: Galerkin RAP hierarchy off the assembled
+            # fine matrices, DIA level matvecs, same multi-shift V-cycle.
+            if not (weighted and structured_sq):
+                raise ValueError(
+                    "inner='mg' requires the structured stencil path (or a "
+                    "coefficient-weighted system on a structured "
+                    "square/cubic grid)"
+                )
+            if space_n is None:
+                space_n = gs[0] + 1
+            dim = len(gs)
+            self.mg_cycles = mg_cycles
+            self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
+            self.mg_nu = mg_nu
+            self._mg_dim = dim
+            self._mg_weighted = True
+            if mg_coarse is None:
+                mg_coarse = 32 if dim == 2 else 16
+            self.msmg, (A_c, M_c) = GalerkinMultiShiftMultigrid.build(
+                dim, space_n, system.A, system.M, nu=mg_nu,
+                n_coarse=min(mg_coarse, max(space_n // 2, 4)),
+            )
+            self._host["omega_ky"] = np.zeros(self.N)
+            self._host["omega_kx"] = np.asarray(
+                [float(self.wt.level_shift[j]) for j in self.wt.node_level]
+            )
+            self._host["mg_cinv_ky"] = np.linalg.inv(A_c)
+            self._host["mg_cinv"] = [
+                np.linalg.inv(A_c + omega * M_c) for omega in omegas
+            ]
+            # K_H ≈ M⁻¹: params-threaded Chebyshev in the flat DIA layout
+            # (M is the plain mass — its D⁻¹M spectrum is the h-independent
+            # structured-family one).
+            from ..ops.multigrid import chebyshev_coefficients
+
+            lminM, lmaxM = mass_spectral_bounds(dim)
+            self._cheb_spec = {"M": (lminM, lmaxM, 30)}
+            self._host["cheb_invM"] = 1.0 / np.asarray(system.M.diagonal())
+            self._host["cheb_coefM"] = chebyshev_coefficients(lminM, lmaxM, 30)
         elif inner == "mg":
-            if self.spatial_format != "stencil":
-                raise ValueError("inner='mg' requires the structured stencil path")
             if space_n is None:
                 if len(set(self.gs)) != 1:
                     raise ValueError("pass space_n for non-square grids")
@@ -457,6 +508,9 @@ class HeatSolver:
             p["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
             p["ms_ky"] = self.msmg.row_params(self._host["omega_ky"], dtype)
             p["ms_kx"] = self.msmg.row_params(self._host["omega_kx"], dtype)
+            if self._mg_weighted:
+                p["cheb_invM"] = cast(self._host["cheb_invM"]).reshape(self.gs)
+                p["cheb_coefM"] = cast(self._host["cheb_coefM"])
             # Fused Pallas smoother/residual kernels per level (large levels
             # only — the XLA form wins at small sizes); each level's
             # Chebyshev columns ride in the params pytree.
@@ -600,7 +654,7 @@ class HeatSolver:
             lead = X.shape[:-len(self.gs)]
             flat = X.reshape((-1, self.m))
             return _dot(flat, p["Minv"]).reshape(lead + self.gs)
-        if self.inner == "cheb":
+        if self.inner == "cheb" or self._mg_weighted:
             lmin, lmax, _ = self._cheb_spec["M"]
             return self._cheb_run(
                 X, p["cheb_invM"], lambda x: self._spmv_M(x, p),
