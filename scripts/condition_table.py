@@ -46,6 +46,8 @@ def main():
         ("singular2d", 32, 5, 4),
         ("lshape2d", 16, 4, 0),
         ("lshape2d", 32, 5, 0),
+        ("varcoef2d", 16, 4, 0),
+        ("varcoef2d", 32, 5, 0),
     ]
     if args.quick:
         ladder = [
@@ -59,7 +61,7 @@ def main():
     for name, n, J, extra in ladder:
         problem = get_problem(name)
         mesh = domain_mesh(problem.domain, problem.dim, n)
-        system = P1System.from_mesh(mesh)
+        system = P1System.from_problem(problem, mesh)
         grid = (graded_time_grid(J, extra, T=problem.T) if extra
                 else uniform_time_grid(J, T=problem.T))
         solver = HeatSolver(problem, system, grid, dtype=jnp.float64)

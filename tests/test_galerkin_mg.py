@@ -134,6 +134,20 @@ def test_varcoef_mg_sharded_matches_serial():
     np.testing.assert_allclose(r8.residuals, r1.residuals, rtol=1e-12)
 
 
+def test_varcoef_mg_mixed_precision_refinement():
+    """f32 weighted-mg inner PCG + f64 residual loop reaches 1e-8 (the
+    refinement path casts the Galerkin level params per dtype)."""
+    prob = get_problem("varcoef2d")
+    system = P1System.from_problem(prob, unit_square_mesh(16))
+    s = HeatSolver(
+        prob, system, uniform_time_grid(4),
+        dtype=jnp.float32, inner="mg", mg_coarse=8,
+    )
+    r = s.solve_refined(tol=1e-8)
+    assert r.converged
+    assert r.residuals[-1] / r.residuals[0] <= 1e-8
+
+
 def test_varcoef3d_mg_smoke():
     prob = get_problem("varcoef3d")
     system = P1System.from_problem(prob, unit_cube_mesh(8))
