@@ -74,32 +74,40 @@ def assemble_p1(
     'native' (the C++ core in spacetime_tpu/native — the NGSolve-equivalent
     engine, ~2x faster and O(1) temporaries), or 'auto' (native for large
     meshes when the compiler is available, or when SPACETIME_TPU_NATIVE=1).
-    The native engine assembles the unweighted operators only.
+    Both engines assemble the weighted form (centroid coefficient values
+    are evaluated host-side once and handed to the C++ core per element).
     """
     import os
 
     d = mesh.dim
     nloc = d + 1
     weighted = kappa is not None or reaction is not None
+    kv = cv = None
+    if weighted:
+        centroids = mesh.vertices[mesh.elements].mean(axis=1)
+        if kappa is not None:
+            kv = np.asarray(kappa(centroids), np.float64)
+            if kv.min() <= 0.0:
+                raise ValueError("diffusion coefficient must be positive")
+        if reaction is not None:
+            cv = np.asarray(reaction(centroids), np.float64)
+            if cv.min() < 0.0:
+                raise ValueError("reaction coefficient must be nonnegative")
     if engine == "auto":
         big = mesh.elements.shape[0] >= 500_000
-        want = not weighted and (
-            big or os.environ.get("SPACETIME_TPU_NATIVE") == "1"
-        )
+        want = big or os.environ.get("SPACETIME_TPU_NATIVE") == "1"
         if want:
             from .. import native
 
             engine = "native" if native.available() else "numpy"
         else:
             engine = "numpy"
-    if engine == "native" and weighted:
-        raise ValueError(
-            "engine='native' does not support coefficient-weighted assembly"
-        )
     if engine == "native":
         from ..native import assemble_p1_native
 
-        rows, cols, mass, stiff = assemble_p1_native(mesh.vertices, mesh.elements)
+        rows, cols, mass, stiff = assemble_p1_native(
+            mesh.vertices, mesh.elements, kv, cv
+        )
         nv = mesh.num_vertices
         # coo -> csr conversion already sums duplicate entries
         A = sp.coo_matrix((stiff, (rows, cols)), shape=(nv, nv)).tocsr()
@@ -118,18 +126,10 @@ def assemble_p1(
     K = measure[:, None, None] * np.einsum("eid,ejd->eij", grads, grads)
     Mloc = (np.ones((nloc, nloc)) + np.eye(nloc)) * mass_scale
     Mel = measure[:, None, None] * Mloc[None]
-    if weighted:
-        centroids = mesh.vertices[mesh.elements].mean(axis=1)
-        if kappa is not None:
-            kv = np.asarray(kappa(centroids), np.float64)
-            if kv.min() <= 0.0:
-                raise ValueError("diffusion coefficient must be positive")
-            K = kv[:, None, None] * K
-        if reaction is not None:
-            cv = np.asarray(reaction(centroids), np.float64)
-            if cv.min() < 0.0:
-                raise ValueError("reaction coefficient must be nonnegative")
-            K = K + cv[:, None, None] * Mel
+    if kv is not None:
+        K = kv[:, None, None] * K
+    if cv is not None:
+        K = K + cv[:, None, None] * Mel
 
     rows = np.repeat(mesh.elements, nloc, axis=1).ravel()
     cols = np.tile(mesh.elements, (1, nloc)).ravel()

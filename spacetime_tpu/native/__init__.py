@@ -45,6 +45,8 @@ def load():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_double),  # kv (nullable)
+                ctypes.POINTER(ctypes.c_double),  # cv (nullable)
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_int32),
                 ctypes.POINTER(ctypes.c_double),
@@ -61,8 +63,17 @@ def available() -> bool:
     return load() is not None
 
 
-def assemble_p1_native(vertices: np.ndarray, elements: np.ndarray):
-    """Per-element (rows, cols, mass, stiff) triplets via the C++ core."""
+def assemble_p1_native(
+    vertices: np.ndarray,
+    elements: np.ndarray,
+    kv: np.ndarray | None = None,
+    cv: np.ndarray | None = None,
+):
+    """Per-element (rows, cols, mass, stiff) triplets via the C++ core.
+
+    ``kv``/``cv``: optional (ne,) per-element diffusion/reaction values at
+    element centroids — the weighted spatial form (stiff carries
+    κ·K_el + c·M_el; mass stays the plain mass matrix)."""
     lib = load()
     if lib is None:
         raise RuntimeError(f"native assembler unavailable: {_load_error}")
@@ -79,5 +90,12 @@ def assemble_p1_native(vertices: np.ndarray, elements: np.ndarray):
     fn = lib.assemble_p1_tri if dim == 2 else lib.assemble_p1_tet
     c_d = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
     c_i = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
-    fn(c_d(V), c_i(T), ctypes.c_int64(ne), c_i(rows), c_i(cols), c_d(mass), c_d(stiff))
+    # Keep the contiguous copies referenced through the call — a pointer
+    # into an unnamed temporary would dangle once it is collected.
+    kv_a = None if kv is None else np.ascontiguousarray(kv, np.float64)
+    cv_a = None if cv is None else np.ascontiguousarray(cv, np.float64)
+    kv_c = None if kv_a is None else c_d(kv_a)
+    cv_c = None if cv_a is None else c_d(cv_a)
+    fn(c_d(V), c_i(T), ctypes.c_int64(ne), kv_c, cv_c,
+       c_i(rows), c_i(cols), c_d(mass), c_d(stiff))
     return rows, cols, mass, stiff

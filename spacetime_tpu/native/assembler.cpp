@@ -12,6 +12,11 @@
 // Triplet layout per element e, local pair (a, b):
 //   rows[k] = T[e,a], cols[k] = T[e,b],
 //   mass[k] / stiff[k] = local matrix entries,  k = e*nloc^2 + a*nloc + b.
+//
+// kv / cv: optional (nullable) per-element coefficient values at element
+// centroids for the weighted spatial form int kappa grad.grad + c u v —
+// stiff then carries kappa[e]*K_el + c[e]*M_el while mass stays the plain
+// mass matrix (it carries the d/dt pairing and the trace term).
 
 #include <cstdint>
 #include <cstddef>
@@ -20,6 +25,7 @@ extern "C" {
 
 // 2D: vertices (nv, 2) float64, triangles (ne, 3) int32.
 void assemble_p1_tri(const double* V, const int32_t* T, int64_t ne,
+                     const double* kv, const double* cv,
                      int32_t* rows, int32_t* cols,
                      double* mass, double* stiff) {
 #pragma omp parallel for schedule(static)
@@ -41,13 +47,17 @@ void assemble_p1_tri(const double* V, const int32_t* T, int64_t ne,
         g[0][1] = -g[1][1] - g[2][1];
         const int32_t idx[3] = {i0, i1, i2};
         const double m_off = area / 12.0;
+        const double kap = kv ? kv[e] : 1.0;
+        const double cw = cv ? cv[e] : 0.0;
         int64_t k = e * 9;
         for (int a = 0; a < 3; ++a) {
             for (int b = 0; b < 3; ++b, ++k) {
                 rows[k] = idx[a];
                 cols[k] = idx[b];
-                mass[k] = (a == b) ? 2.0 * m_off : m_off;
-                stiff[k] = area * (g[a][0] * g[b][0] + g[a][1] * g[b][1]);
+                const double m_ab = (a == b) ? 2.0 * m_off : m_off;
+                mass[k] = m_ab;
+                stiff[k] = kap * area * (g[a][0] * g[b][0] + g[a][1] * g[b][1])
+                           + cw * m_ab;
             }
         }
     }
@@ -55,6 +65,7 @@ void assemble_p1_tri(const double* V, const int32_t* T, int64_t ne,
 
 // 3D: vertices (nv, 3) float64, tets (ne, 4) int32.
 void assemble_p1_tet(const double* V, const int32_t* T, int64_t ne,
+                     const double* kv, const double* cv,
                      int32_t* rows, int32_t* cols,
                      double* mass, double* stiff) {
 #pragma omp parallel for schedule(static)
@@ -84,14 +95,18 @@ void assemble_p1_tet(const double* V, const int32_t* T, int64_t ne,
         for (int d = 0; d < 3; ++d)
             g[0][d] = -g[1][d] - g[2][d] - g[3][d];
         const double m_off = vol / 20.0;
+        const double kap = kv ? kv[e] : 1.0;
+        const double cw = cv ? cv[e] : 0.0;
         int64_t k = e * 16;
         for (int a = 0; a < 4; ++a) {
             for (int b = 0; b < 4; ++b, ++k) {
                 rows[k] = t[a];
                 cols[k] = t[b];
-                mass[k] = (a == b) ? 2.0 * m_off : m_off;
-                stiff[k] = vol * (g[a][0] * g[b][0] + g[a][1] * g[b][1] +
-                                  g[a][2] * g[b][2]);
+                const double m_ab = (a == b) ? 2.0 * m_off : m_off;
+                mass[k] = m_ab;
+                stiff[k] = kap * vol * (g[a][0] * g[b][0] + g[a][1] * g[b][1] +
+                                        g[a][2] * g[b][2])
+                           + cw * m_ab;
             }
         }
     }
