@@ -20,6 +20,7 @@ from .assembly import (
     spacetime_loads,
     P1System,
 )
+from .evaluate import evaluate_solution, locate_points
 from .meshio import load_mesh, save_mesh
 from .timegrid import (
     TimeGrid,
@@ -37,6 +38,8 @@ __all__ = [
     "domain_mesh",
     "load_mesh",
     "save_mesh",
+    "evaluate_solution",
+    "locate_points",
     "assemble_p1",
     "load_vector",
     "spacetime_loads",

@@ -102,6 +102,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--vtk-stride", type=int, default=8,
                    help="write every K-th timestep (final time always "
                         "included)")
+    p.add_argument("--probe", action="append", default=None, metavar="T,X,Y[,Z]",
+                   help="evaluate the solution at a space-time point after "
+                        "the solve (repeatable), e.g. --probe 0.5,0.3,0.7")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the solve into DIR "
                         "(view with TensorBoard/XProf; best-effort on "
@@ -282,6 +285,23 @@ def main(argv=None) -> int:
             grid, args.save_vtk, stride=args.vtk_stride,
         )
         print(f"wrote {len(paths)} VTK snapshots + {args.save_vtk}.pvd")
+
+    if args.probe:
+        from .fem import evaluate_solution
+
+        U2 = np.asarray(res.U).reshape(grid.num_intervals + 1, system.m)
+        for spec in args.probe:
+            vals = [float(v) for v in spec.split(",")]
+            if len(vals) != problem.dim + 1:
+                print(f"--probe {spec!r}: need t,{'x,y,z'[:2 * problem.dim - 1]}",
+                      file=sys.stderr)
+                return 2
+            t_p, x_p = vals[0], np.asarray(vals[1:])
+            u_val = float(evaluate_solution(mesh, grid, U2, t_p, x_p))
+            line = f"u({t_p}, {x_p.tolist()}) = {u_val:.8e}"
+            if problem.exact is not None:
+                line += f"  (exact {float(problem.exact_np(t_p, x_p[None])[0]):.8e})"
+            print(line)
 
     rel = res.residuals / res.residuals[0]
     print(
