@@ -45,9 +45,20 @@ def exact(t, x):
     return jnp.cos(3.0 * t) * jnp.prod(jnp.sin(2.0 * jnp.pi * x))
 
 
+def kappa(x):
+    """Optional variable diffusion coefficient (and similarly ``reaction``):
+    the general linear parabolic operator ∂t u − ∇·(κ∇u) + c·u. Scalar
+    jax.numpy formula of x; build the system with P1System.from_problem so
+    the weighted form is assembled."""
+    import jax.numpy as jnp
+
+    return 1.0 + 0.5 * jnp.sin(jnp.pi * x[0]) * jnp.sin(jnp.pi * x[1])
+
+
 def main():
     problem = register_problem(
-        Problem(name="my_problem", dim=2, exact=exact, domain="lshape"),
+        Problem(name="my_problem", dim=2, exact=exact, domain="lshape",
+                kappa=kappa),
         overwrite=True,  # idempotent re-runs
     )
 
@@ -61,7 +72,7 @@ def main():
             save_mesh(l_shape_mesh(n), path)
             mesh = load_mesh(path)
 
-        solver = HeatSolver(problem, P1System.from_mesh(mesh),
+        solver = HeatSolver(problem, P1System.from_problem(problem, mesh),
                             uniform_time_grid(J))
         res = solver.solve(tol=1e-6)
         rate = f"{errors[-1] / res.l2_error:.2f}" if errors else "  --"
