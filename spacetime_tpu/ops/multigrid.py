@@ -535,9 +535,12 @@ def galerkin_coarsen(A, dim: int, nc: int):
 
 @dataclasses.dataclass(frozen=True)
 class _GMSLevel:
-    A: DiaMatrix  # weighted spatial form at this level
-    M: DiaMatrix
-    dA: np.ndarray  # operator diagonals (m_l,)
+    A_vs: "VarStencilOperator"  # weighted spatial form: grid-layout taps
+    Aw: np.ndarray  # its (ntaps, *gs) weight arrays (host; cast into params)
+    kc: int  # index of the center tap in A_vs.disps (Jacobi diagonal)
+    M_st: StencilOperator  # plain mass — constant stencil at every level
+    cM: float  # its center weight
+    dA: np.ndarray  # operator diagonals (m_l,) for Chebyshev bounds
     dM: np.ndarray
     rsA: np.ndarray  # |row| sums (Gershgorin numerators)
     rsM: np.ndarray
@@ -553,20 +556,23 @@ class GalerkinMultiShiftMultigrid:
     as scales, one fused smoothing pass for all rows), but the operators are
     NOT translation invariant (variable diffusion/reaction), so:
 
-    - per-level operators are DIA matvecs on the flat (..., m_l) layout
-      (device arrays threaded through params), not constant stencils;
+    - per-level weighted operators are grid-layout variable-coefficient
+      stencils (ops/stencil.VarStencilOperator: per-tap WEIGHT ARRAYS in
+      the params pytree) — every tap a small-axis shift; the flat-DIA form
+      costs 2.3x at 33.8 MDoF on the axon backend (large lane-axis shifts).
+      The mass matrix stays a constant stencil at every level (Galerkin
+      coarsening of the plain mass equals re-assembly exactly);
     - coarse levels come from Galerkin RAP of the assembled fine matrix
       (exact for nested P1), not re-assembly;
-    - the Jacobi diagonal is node-dependent: 1/(dA + ω·dM) is formed on the
-      fly in the smoother (one elementwise pass, nothing materialized per
-      row at setup);
+    - the Jacobi diagonal is node-dependent: 1/(Aw_center + ω·cM) is formed
+      on the fly in the smoother (one elementwise pass, nothing
+      materialized per row at setup);
     - per-row Chebyshev bounds use the exact per-ω Gershgorin maximum,
       computed host-side at the few distinct ω values only.
 
-    Transfers reshape flat rows to the level grid and use the same
-    separated-form passes as the constant-stencil hierarchy. No Pallas
-    variant (the fused kernels assume constant stencils); the XLA DIA
-    forms are bandwidth-bound and fuse well.
+    ``solve`` accepts (..., m_l) flat or (..., *gs) grid layouts (grid
+    internally). No Pallas variant (the fused kernels assume constant
+    stencils); these XLA passes are bandwidth-bound and fuse well.
     """
 
     dim: int
@@ -591,6 +597,8 @@ class GalerkinMultiShiftMultigrid:
         (static structure, (A_coarse, M_coarse) dense)."""
         import scipy.sparse as sp
 
+        from .stencil import VarStencilOperator
+
         A = sp.csr_matrix(A_fine)
         M = sp.csr_matrix(M_fine)
         levels = []
@@ -598,15 +606,17 @@ class GalerkinMultiShiftMultigrid:
         while n > n_coarse:
             if n % 2:
                 raise ValueError(f"level size {n} not even (n_fine={n_fine})")
+            gs = (n - 1,) * dim
+            A_vs, Aw = VarStencilOperator.from_dia(DiaMatrix.from_csr(A), gs)
+            kc = A_vs.disps.index((0,) * dim)
+            M_st = StencilOperator.from_dia(DiaMatrix.from_csr(M), gs)
+            cM = dict(zip(M_st.disps, M_st.weights))[(0,) * dim]
             dA = np.asarray(A.diagonal())
             dM = np.asarray(M.diagonal())
             rsA = np.asarray(np.abs(A).sum(axis=1)).ravel()
             rsM = np.asarray(np.abs(M).sum(axis=1)).ravel()
             levels.append(
-                _GMSLevel(
-                    DiaMatrix.from_csr(A), DiaMatrix.from_csr(M),
-                    dA, dM, rsA, rsM, n, (n - 1,) * dim,
-                )
+                _GMSLevel(A_vs, Aw, kc, M_st, cM, dA, dM, rsA, rsM, n, gs)
             )
             A = galerkin_coarsen(A, dim, n // 2)
             M = galerkin_coarsen(M, dim, n // 2)
@@ -630,16 +640,12 @@ class GalerkinMultiShiftMultigrid:
             for k, w in enumerate(uniq):
                 lam_u[k] = ((lev.rsA + w * lev.rsM) / (lev.dA + w * lev.dM)).max()
             lam = 1.1 * lam_u[inv]
-            flat = (int(np.prod(lev.gs)),)
             out.append(
                 {
-                    "omega": row_scale(omega_rows, flat, dtype),
-                    "inv_theta": row_scale(1.0 / (0.625 * lam), flat, dtype),
-                    "inv_delta": row_scale(1.0 / (0.375 * lam), flat, dtype),
-                    "Avals": jnp.asarray(lev.A.vals, dtype),
-                    "Mvals": jnp.asarray(lev.M.vals, dtype),
-                    "dA": jnp.asarray(lev.dA, dtype),
-                    "dM": jnp.asarray(lev.dM, dtype),
+                    "omega": row_scale(omega_rows, lev.gs, dtype),
+                    "inv_theta": row_scale(1.0 / (0.625 * lam), lev.gs, dtype),
+                    "inv_delta": row_scale(1.0 / (0.375 * lam), lev.gs, dtype),
+                    "Aw": jnp.asarray(lev.Aw, dtype),
                 }
             )
         return out
@@ -647,15 +653,11 @@ class GalerkinMultiShiftMultigrid:
     # ---------------------------------------------------------------- jax
 
     def _op(self, lev: _GMSLevel, lp, x):
-        from .sparse import dia_matvec
-
-        return dia_matvec(lp["Avals"], lev.A.offsets, x) + lp["omega"] * (
-            dia_matvec(lp["Mvals"], lev.M.offsets, x)
-        )
+        return lev.A_vs.apply(x, lp["Aw"]) + lp["omega"] * lev.M_st.apply(x)
 
     def _smooth(self, lev: _GMSLevel, lp, x, b, zero_init: bool = False):
         sigma = self._SIGMA
-        invd = 1.0 / (lp["dA"] + lp["omega"] * lp["dM"])
+        invd = 1.0 / (lp["Aw"][lev.kc] + lev.cM * lp["omega"])
         r = invd * (b if zero_init else b - self._op(lev, lp, x))
         d = r * lp["inv_theta"]
         x = d if zero_init else x + d
@@ -668,19 +670,6 @@ class GalerkinMultiShiftMultigrid:
             rho = rho_new
         return x
 
-    def _restrict(self, lev: _GMSLevel, r):
-        lead = r.shape[:-1]
-        R = _transfer_fast(r.reshape(lead + lev.gs), self.dim, restrict=True)
-        return R.reshape(lead + (-1,))
-
-    def _interp(self, lev: _GMSLevel, ec):
-        nc = lev.n // 2
-        lead = ec.shape[:-1]
-        E = _transfer_fast(
-            ec.reshape(lead + (nc - 1,) * self.dim), self.dim, restrict=False
-        )
-        return E.reshape(lead + (-1,))
-
     def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
         if lvl == len(self.levels):
             return coarse_solve(b)
@@ -688,15 +677,25 @@ class GalerkinMultiShiftMultigrid:
         lp = lps[lvl]
         x = self._smooth(lev, lp, None, b, zero_init=True)
         r = b - self._op(lev, lp, x)
-        ec = self.vcycle(self._restrict(lev, r), lps, coarse_solve, lvl + 1)
-        x = x + self._interp(lev, ec)
+        rc = _transfer_fast(r, self.dim, restrict=True)
+        ec = self.vcycle(rc, lps, coarse_solve, lvl + 1)
+        x = x + _transfer_fast(ec, self.dim, restrict=False)
         return self._smooth(lev, lp, x, b)
 
     def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
+        """``b``: (..., m) flat or (..., *gs) grid layout; grid internally
+        (small-axis shifts — see class docstring), output in b's layout."""
+        gs = self.levels[0].gs
+        flat_in = b.shape[-len(gs):] != gs
+        if flat_in:
+            lead = b.shape[:-1]
+            b = b.reshape(lead + gs)
         x = self.vcycle(b, lps, coarse_solve)
         for _ in range(cycles - 1):
             r = b - self._op(self.levels[0], lps[0], x)
             x = x + self.vcycle(r, lps, coarse_solve)
+        if flat_in:
+            x = x.reshape(lead + (-1,))
         return x
 
 

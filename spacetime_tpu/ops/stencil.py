@@ -28,6 +28,100 @@ import numpy as np
 from .sparse import DiaMatrix
 
 
+def _offset_candidates(grid_shape: tuple[int, ...]) -> dict:
+    """flat DIA offset -> list of ±1-neighborhood grid displacements."""
+    dim = len(grid_shape)
+    strides = tuple(
+        int(np.prod(grid_shape[i + 1 :], dtype=int)) for i in range(dim)
+    )
+    cand: dict[int, list] = {}
+    for disp in itertools.product((-1, 0, 1), repeat=dim):
+        off = sum(d * s for d, s in zip(disp, strides))
+        cand.setdefault(off, []).append(disp)
+    return cand
+
+
+def _shifted_tap(U, disp, grid_shape, batch, Up_cache):
+    """Zero-padded slice of U translated by ``disp`` over the grid axes."""
+    import jax.numpy as jnp
+
+    center = (0,) * len(grid_shape)
+    if disp == center:
+        return U
+    if Up_cache[0] is None:
+        pad = [(0, 0)] * batch + [(1, 1)] * len(grid_shape)
+        Up_cache[0] = jnp.pad(U, pad)
+    idx = tuple([slice(None)] * batch) + tuple(
+        slice(1 + d, 1 + d + n) for d, n in zip(disp, grid_shape)
+    )
+    return Up_cache[0][idx]
+
+
+@dataclasses.dataclass(frozen=True)
+class VarStencilOperator:
+    """A variable-coefficient stencil on a structured grid.
+
+    The weighted spatial forms (∫κ∇u·∇v + c·uv, fem/assembly.py) keep the
+    ±1-neighborhood sparsity of the P1 operators but are not translation
+    invariant, so weights are per-node ARRAYS, not scalars:
+    out[y, x] = Σ_disp W_disp[y, x] · U[y+dy, x+dx]. In grid layout every
+    tap is a small-axis shift — the flat-DIA form's large lane-axis shifts
+    (±n_x) are what the axon backend handles poorly (measured 2.3x on the
+    33.8 MDoF weighted solve). Weight arrays are device params (threaded
+    through jit, never closed over — CLAUDE.md rule); the static structure
+    here carries only displacements + shapes.
+    """
+
+    disps: tuple[tuple[int, ...], ...]
+    grid_shape: tuple[int, ...]
+
+    @classmethod
+    def from_dia(
+        cls, dia: DiaMatrix, grid_shape: tuple[int, ...]
+    ) -> tuple["VarStencilOperator", np.ndarray]:
+        """Returns (static operator, weights (ntaps, *grid_shape) float64 —
+        goes in the params pytree)."""
+        cand = _offset_candidates(grid_shape)
+        disps = []
+        for off in dia.offsets:
+            matches = cand.get(off)
+            if matches is None:
+                raise ValueError(f"offset {off} is not a +/-1 neighborhood move")
+            if len(matches) > 1:
+                raise ValueError(
+                    f"ambiguous offset {off} for grid {grid_shape}; "
+                    "grid extents too small"
+                )
+            disps.append(matches[0])
+        W = np.ascontiguousarray(
+            dia.vals.T.reshape((len(disps),) + tuple(grid_shape))
+        )
+        return cls(tuple(disps), tuple(grid_shape)), W
+
+    def apply(self, U, W):
+        """U (..., *grid_shape), W (ntaps, *grid_shape) -> U.shape."""
+        batch = U.ndim - len(self.grid_shape)
+        Up_cache = [None]
+        out = None
+        for k, disp in enumerate(self.disps):
+            term = W[k] * _shifted_tap(U, disp, self.grid_shape, batch, Up_cache)
+            out = term if out is None else out + term
+        return out
+
+    def apply_np(self, U: np.ndarray, W: np.ndarray) -> np.ndarray:
+        batch = U.ndim - len(self.grid_shape)
+        pad = [(0, 0)] * batch + [(1, 1)] * len(self.grid_shape)
+        Up = np.pad(U, pad)
+        out = np.zeros_like(U)
+        for k, disp in enumerate(self.disps):
+            idx = tuple([slice(None)] * batch) + tuple(
+                slice(1 + d, 1 + d + n)
+                for d, n in zip(disp, self.grid_shape)
+            )
+            out += np.asarray(W[k]) * Up[idx]
+        return out
+
+
 @dataclasses.dataclass(frozen=True)
 class StencilOperator:
     """A constant-coefficient stencil on a structured grid.
@@ -46,12 +140,7 @@ class StencilOperator:
         """Decode DIA offsets into grid displacements and verify the weights
         are constant over interior rows."""
         dim = len(grid_shape)
-        strides = tuple(int(np.prod(grid_shape[i + 1 :], dtype=int)) for i in range(dim))
-
-        cand = {}
-        for disp in itertools.product((-1, 0, 1), repeat=dim):
-            off = sum(d * s for d, s in zip(disp, strides))
-            cand.setdefault(off, []).append(disp)
+        cand = _offset_candidates(grid_shape)
 
         # Interior-of-interior rows: all grid coords in [1, n-2].
         coords = np.unravel_index(np.arange(dia.shape[0]), grid_shape)

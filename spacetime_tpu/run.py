@@ -64,7 +64,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "m<=4k), geometric multigrid (structured grids), or "
                         "Chebyshev polynomial inverses (large unstructured "
                         "meshes)")
-    p.add_argument("--spatial", choices=["auto", "stencil", "dia", "ell"],
+    p.add_argument("--spatial",
+                   choices=["auto", "stencil", "vstencil", "dia", "ell"],
                    default="auto",
                    help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")
     p.add_argument("--mg-cycles", type=int, default=3)

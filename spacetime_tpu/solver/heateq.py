@@ -151,6 +151,21 @@ class HeatSolver:
                 and not weighted
             )
         )
+        use_vst = (
+            not use_ell
+            and not use_stencil
+            and gs is not None
+            and min(gs) >= 3
+            and (
+                spatial_format == "vstencil"
+                or (spatial_format == "auto" and weighted)
+            )
+        )
+        if spatial_format == "vstencil" and not use_vst:
+            raise ValueError(
+                "spatial_format='vstencil' needs a structured grid "
+                "(mesh.grid_shape)"
+            )
         if use_stencil:
             self.gs = tuple(gs)
             M_st = StencilOperator.from_dia(M_dia, self.gs)
@@ -159,6 +174,22 @@ class HeatSolver:
             # Stencil weights are static Python floats — safe to close over.
             self._spmv_M = lambda U, p=None: M_st.apply(U)
             self._spmv_A = lambda U, p=None: A_st.apply(U)
+        elif use_vst:
+            # Weighted forms on structured grids: grid layout with per-node
+            # tap weights for A (ops/stencil.VarStencilOperator — the flat
+            # DIA form's large lane-axis shifts cost 2.3x at 33.8 MDoF on
+            # this backend); M is the plain mass — a constant stencil.
+            from ..ops.stencil import VarStencilOperator
+
+            self.gs = tuple(gs)
+            M_st = StencilOperator.from_dia(M_dia, self.gs)
+            vA, Aw = VarStencilOperator.from_dia(A_dia, self.gs)
+            self._vst_A = vA
+            self._vst_host = {"Aw": Aw}
+            self._spmv_M = lambda U, p=None: M_st.apply(U)
+            self._spmv_A = lambda U, p=None: vA.apply(
+                U, (p or self.params)["Aw"]
+            )
         else:
             # Generic-mesh paths. DIA: ndiag shifted multiply-adds, one fused
             # XLA pass, any dtype. Blocked-ELL ('ell'): the Pallas SpMM kernel
@@ -193,7 +224,9 @@ class HeatSolver:
                     (p or self.params)["dia_Av"], A_dia.offsets, U
                 )
         self.spatial_format = (
-            "stencil" if use_stencil else ("ell" if use_ell else "dia")
+            "stencil"
+            if use_stencil
+            else ("vstencil" if use_vst else ("ell" if use_ell else "dia"))
         )
 
         # --- inner spatial solver ------------------------------------------
@@ -472,6 +505,8 @@ class HeatSolver:
                 kp = KronPallas(M_st, A_st, h, dtype, interpret=self._pl_interpret)
                 self._kron[key] = kp
                 p["kron"] = kp.params
+        if self.spatial_format == "vstencil":
+            p["Aw"] = cast(self._vst_host["Aw"])
         if self.spatial_format in ("dia", "ell"):
             if self.spatial_format == "ell" and jnp.dtype(dtype) != jnp.dtype(
                 jnp.float64

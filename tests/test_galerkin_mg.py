@@ -87,7 +87,10 @@ def test_weighted_vcycle_contracts():
     )
 
     def coarse(bc):
-        return jnp.einsum("tm,tmk->tk", bc, jnp.asarray(cinvs))
+        # The V-cycle runs in grid layout internally — flatten per row.
+        flat = bc.reshape(bc.shape[0], -1)
+        out = jnp.einsum("tm,tmk->tk", flat, jnp.asarray(cinvs))
+        return out.reshape(bc.shape)
 
     rng = np.random.default_rng(1)
     x_true = rng.standard_normal((T, sys_w.m))

@@ -138,8 +138,13 @@ def test_varcoef_weighted_system_rejects_stencil():
     grid = uniform_time_grid(3)
     with pytest.raises(ValueError, match="stencil"):
         HeatSolver(problem, system, grid, spatial_format="stencil")
+    # Auto picks the grid-layout variable-coefficient stencil on structured
+    # grids; the flat forms remain explicitly selectable.
     solver = HeatSolver(problem, system, grid)
-    assert solver.spatial_format == "dia"
+    assert solver.spatial_format == "vstencil"
+    assert HeatSolver(
+        problem, system, grid, spatial_format="dia"
+    ).spatial_format == "dia"
 
 
 def test_varcoef_sharded_matches_serial():
