@@ -71,7 +71,7 @@ def main():
 
     problem = get_problem(args.problem)
     mesh = domain_mesh(problem.domain, problem.dim, args.space_n)
-    system = P1System.from_mesh(mesh)
+    system = P1System.from_problem(problem, mesh)
     grid = uniform_time_grid(args.time_levels)
     s = HeatSolver(problem, system, grid, dtype=jnp.float32, inner=args.inner)
     p = s.params

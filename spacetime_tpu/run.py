@@ -258,11 +258,21 @@ def main(argv=None) -> int:
                     print(f"profiler trace unavailable: {e}", file=sys.stderr)
 
         x0 = None
+        resume_state = None
         if args.resume_from:
-            from .utils.checkpoint import load_solution
+            from .utils.checkpoint import (
+                has_pcg_state, load_pcg_state, load_solution,
+            )
 
-            x0, ck_meta = load_solution(args.resume_from)
-            print(f"resuming from {args.resume_from} "
+            if has_pcg_state(args.resume_from) and getattr(
+                solver, "supports_chunked", False
+            ) and args.pcg != "fused":
+                resume_state, ck_meta = load_pcg_state(args.resume_from)
+                kind = "exact PCG state"
+            else:
+                x0, ck_meta = load_solution(args.resume_from)
+                kind = "iterate (PCG restart)"
+            print(f"resuming {kind} from {args.resume_from} "
                   f"(saved at iteration {int(ck_meta.get('iterations', 0))})")
 
         with timer("solve (incl. compile)"), _maybe_trace():
@@ -276,6 +286,7 @@ def main(argv=None) -> int:
                     compute_error=not args.no_error, x0=x0,
                     checkpoint_path=args.checkpoint,
                     checkpoint_every=args.checkpoint_every,
+                    resume_state=resume_state,
                 )
 
     if args.save_vtk:

@@ -890,11 +890,13 @@ class HeatSolver:
         return jax.jit(prep), jax.jit(step, static_argnums=2)
 
     def _run_chunked(self, fns, gL, gR, u0_vec, x0_dev, maxiter: int,
-                     on_chunk=None):
+                     on_chunk=None, state0=None):
         """``on_chunk(state)`` runs on the host between chunks — the hook
-        periodic checkpointing (and any adaptive policy) attaches to."""
+        periodic checkpointing (and any adaptive policy) attaches to.
+        ``state0``: a prepared PCGState (exact resume) replacing prep."""
         prep, step = fns
-        state = prep(gL, gR, u0_vec, self.params, x0_dev)
+        state = prep(gL, gR, u0_vec, self.params, x0_dev) if state0 is None \
+            else state0
         while int(state.it) < maxiter and not bool(state.done):
             k = min(self.chunk, maxiter - int(state.it))
             state = step(state, self.params, k)
@@ -903,7 +905,7 @@ class HeatSolver:
         return PCGResult(
             U=state.U, iterations=state.it, residuals=state.res,
             precond_residuals=state.pres, converged=state.done,
-        )
+        ), state
 
     # Layout hooks — overridden by the explicit shard_map path
     # (parallel/explicit), whose device iterate uses a duplicated-halo-row
@@ -918,6 +920,32 @@ class HeatSolver:
         if x0 is None:
             return jnp.zeros((self.N + 1,) + self.gs, self.dtype)
         return jnp.asarray(x0, self.dtype).reshape((self.N + 1,) + self.gs)
+
+    def _state_from_arrays(self, st: dict, maxiter: int) -> "PCGState":
+        """Device PCGState from a full-state checkpoint's arrays (exact
+        resume: the Krylov sequence continues where the save left off).
+        History buffers are re-sized to the new ``maxiter`` budget."""
+        from .pcg import PCGState
+
+        arr = lambda a: self._prepare_x0(a)
+        it = int(st["it"])
+        if it > maxiter:
+            raise ValueError(
+                f"checkpoint is at iteration {it} > maxiter {maxiter}"
+            )
+        hist = lambda h: jnp.asarray(
+            np.concatenate([
+                np.asarray(h)[: it + 1],
+                np.full(maxiter - it, np.nan),
+            ]).astype(np.asarray(h).dtype)
+        )
+        return PCGState(
+            it=jnp.int32(it), U=arr(st["U"]), R=arr(st["R"]), P=arr(st["P"]),
+            rz=jnp.asarray(st["rz"], self.dtype),
+            res=hist(st["res"]), pres=hist(st["pres"]),
+            done=jnp.bool_(bool(st["done"])),
+            fnorm=jnp.asarray(st["fnorm"], self.dtype),
+        )
 
     def _postprocess_U(self, U_dev) -> np.ndarray:
         """Device iterate -> host (N+1, m) array."""
@@ -968,22 +996,28 @@ class HeatSolver:
         x0=None,
         checkpoint_path: str | None = None,
         checkpoint_every: int | None = None,
+        resume_state: dict | None = None,
     ) -> SolveResult:
         """``x0`` warm-starts PCG (e.g. a checkpointed iterate);
         ``checkpoint_path`` saves the final iterate via utils.checkpoint.
-        ``checkpoint_every`` additionally saves the in-progress iterate to
-        the same path every ~that many iterations (failure tolerance for
-        long runs, SURVEY.md §5) — this forces the chunked loop driver,
-        paying one host sync per chunk."""
+        ``checkpoint_every`` additionally saves the FULL in-progress PCG
+        state to the same path every ~that many iterations (failure
+        tolerance for long runs, SURVEY.md §5) — this forces the chunked
+        loop driver, paying one host sync per chunk. ``resume_state``
+        (utils.checkpoint.load_pcg_state arrays) continues the exact
+        Krylov sequence of such a checkpoint; ``x0`` resume of an
+        iterate-only checkpoint is a PCG restart instead."""
         mode = self._loop_mode()
-        if checkpoint_every is not None:
-            if checkpoint_path is None:
+        if checkpoint_every is not None or resume_state is not None:
+            if checkpoint_every is not None and checkpoint_path is None:
                 raise ValueError("checkpoint_every needs checkpoint_path")
             if self.pcg_variant == "fused" or not self.supports_chunked:
                 raise ValueError(
-                    "periodic checkpointing uses the chunked driver "
-                    "(standard PCG, single-program solvers only)"
+                    "periodic checkpointing / exact resume uses the chunked "
+                    "driver (standard PCG, single-program solvers only)"
                 )
+            if resume_state is not None and x0 is not None:
+                raise ValueError("pass either resume_state or x0, not both")
             mode = "chunked"  # mid-solve host control
         key = (mode, tol, maxiter, x0 is not None)
         if key not in self._solve_jit_cache:
@@ -993,29 +1027,40 @@ class HeatSolver:
         x0_dev = self._prepare_x0(x0)
         params = self._solve_params()
         t0 = _time.perf_counter()
+        final_state = None
         if mode == "while":
             out = self._solve_jit_cache[key](gL, gR, u0_vec, params, x0_dev)
         else:
             cb = None
             if checkpoint_every:
-                from ..utils.checkpoint import save_solution
+                from ..utils.checkpoint import save_pcg_state
 
                 last = [0]
 
                 def cb(state):
                     it = int(state.it)
                     if it - last[0] >= checkpoint_every and not bool(state.done):
-                        save_solution(
+                        flat = lambda A: np.asarray(A).reshape(
+                            self.N + 1, self.m
+                        )
+                        save_pcg_state(
                             checkpoint_path,
-                            self._postprocess_U(state.U),
+                            state._replace(
+                                U=flat(state.U), R=flat(state.R),
+                                P=flat(state.P),
+                            ),
                             {"iterations": it, "tol": tol, "m": self.m,
                              "N": self.N, "in_progress": True},
                         )
                         last[0] = it
 
-            out = self._run_chunked(
+            state0 = (
+                None if resume_state is None
+                else self._state_from_arrays(resume_state, maxiter)
+            )
+            out, final_state = self._run_chunked(
                 self._solve_jit_cache[key], gL, gR, u0_vec, x0_dev, maxiter,
-                on_chunk=cb,
+                on_chunk=cb, state0=state0,
             )
         # Sync on the small arrays first: through the axon tunnel, shipping
         # the full iterate costs ~60 ms/MB, so time-to-solution and
@@ -1031,12 +1076,27 @@ class HeatSolver:
         transfer_seconds = _time.perf_counter() - t0
         out = PCGResult(U_flat, it, residuals, pres, converged)
         if checkpoint_path is not None:
-            from ..utils.checkpoint import save_solution
+            from ..utils.checkpoint import save_pcg_state, save_solution
 
-            save_solution(
-                checkpoint_path, U_flat,
-                {"iterations": it, "tol": tol, "m": self.m, "N": self.N},
-            )
+            if final_state is not None and not converged and checkpoint_every:
+                # A truncated long run (the kill/resume scenario): keep the
+                # FULL state so the next process continues the exact Krylov
+                # sequence (solve(resume_state=...) / CLI --resume-from).
+                flat = lambda A: np.asarray(A).reshape(self.N + 1, self.m)
+                save_pcg_state(
+                    checkpoint_path,
+                    final_state._replace(
+                        U=flat(final_state.U), R=flat(final_state.R),
+                        P=flat(final_state.P),
+                    ),
+                    {"iterations": it, "tol": tol, "m": self.m,
+                     "N": self.N, "in_progress": True},
+                )
+            else:
+                save_solution(
+                    checkpoint_path, U_flat,
+                    {"iterations": it, "tol": tol, "m": self.m, "N": self.N},
+                )
         err = None
         if compute_error and self.problem.exact is not None:
             err = self._l2_error(U_dev, U_flat)

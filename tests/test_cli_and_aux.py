@@ -168,6 +168,62 @@ class TestCheckpoint:
         r2 = s.solve(tol=1e-10, maxiter=50, compute_error=False, x0=U1)
         assert r2.converged and r2.iterations < r.iterations
 
+    def test_exact_state_resume(self, tmp_path):
+        """A truncated periodic-checkpoint run leaves a FULL PCG state;
+        resuming it continues the exact Krylov sequence — the combined
+        residual history matches an uninterrupted solve to rounding
+        (SURVEY.md §5: serialize (u, r, p, iteration))."""
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+        from spacetime_tpu.utils.checkpoint import has_pcg_state, load_pcg_state
+
+        s = HeatSolver(get_problem("smooth2d"),
+                       P1System.from_mesh(unit_square_mesh(8)),
+                       uniform_time_grid(3), chunk=3, loop="chunked")
+        cold = s.solve(tol=1e-10, maxiter=50, compute_error=False)
+        assert cold.converged
+
+        ckpt = str(tmp_path / "full_state.npz")
+        r1 = s.solve(tol=1e-10, maxiter=6, compute_error=False,
+                     checkpoint_path=ckpt, checkpoint_every=3)
+        assert not r1.converged
+        assert has_pcg_state(ckpt)
+        state, meta = load_pcg_state(ckpt)
+        assert int(meta["iterations"]) == 6 and bool(meta["in_progress"])
+
+        r2 = s.solve(tol=1e-10, maxiter=50, compute_error=False,
+                     resume_state=state)
+        assert r2.converged
+        assert r2.iterations == cold.iterations
+        # The stitched history equals the uninterrupted one exactly: the
+        # resumed run replays nothing and restarts nothing.
+        np.testing.assert_allclose(
+            r2.residuals, cold.residuals[: r2.iterations + 1], rtol=1e-12
+        )
+        np.testing.assert_allclose(r2.U, cold.U, atol=1e-12)
+
+    def test_resume_state_guards(self, tmp_path):
+        from spacetime_tpu.fem import P1System, unit_square_mesh
+        from spacetime_tpu.fem.timegrid import uniform_time_grid
+        from spacetime_tpu.models import get_problem
+        from spacetime_tpu.solver.heateq import HeatSolver
+        from spacetime_tpu.utils.checkpoint import load_pcg_state, save_solution
+
+        s = HeatSolver(get_problem("smooth2d"),
+                       P1System.from_mesh(unit_square_mesh(8)),
+                       uniform_time_grid(3))
+        path = str(tmp_path / "iterate_only.npz")
+        save_solution(path, np.zeros((9, 49)), {"iterations": 0})
+        with pytest.raises(KeyError, match="full PCG-state"):
+            load_pcg_state(path)
+        fake = {k: np.zeros(1) for k in
+                ("U", "R", "P", "rz", "res", "pres", "done", "fnorm")}
+        fake["it"] = np.int32(60)
+        with pytest.raises(ValueError, match="maxiter"):
+            s.solve(maxiter=50, resume_state=fake, compute_error=False)
+
     def test_periodic_checkpoint_guards(self, tmp_path):
         from spacetime_tpu.fem import P1System, unit_square_mesh
         from spacetime_tpu.fem.timegrid import uniform_time_grid
