@@ -481,6 +481,365 @@ class MSPallasLevel:
         )
 
 
+# ---------------------------------------------- variable-coefficient kernels
+#
+# The weighted spatial forms (fem/assembly with κ/c; GalerkinMultiShift-
+# Multigrid levels) keep the stencil displacement structure but carry
+# per-node tap WEIGHT ARRAYS (ntaps, *gs). These kernels mirror the
+# constant-weight smoother/residual/apply above; the weight field travels
+# as one more y-blocked operand (tiny: no time axis — ~2 MB per block at
+# 511²), and the node-dependent Jacobi diagonal 1/(W_center + ω·cM) is
+# formed in-kernel (zeroed outside the domain via a where, so ω = 0 rows
+# cannot divide by the masked-out zeros).
+
+
+def _w_specs(ntaps, YB, gs, blocked):
+    """BlockSpecs for the (ntaps, *gs) weight field: mid (+ 8-row up/dn
+    slabs when y is blocked); no time axis — the same block serves every
+    time block."""
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    nyb8 = pl.cdiv(ny, _HALO)
+
+    def spec(yb, ymap):
+        return pl.BlockSpec(
+            (ntaps,) + rest + (yb, nx),
+            lambda ti, yi, ymap=ymap: (0,) + zeros + (ymap(yi), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    if not blocked:
+        return [spec(ny, lambda yi: 0)]
+    s = YB // _HALO
+    return [
+        spec(YB, lambda yi: yi),
+        spec(_HALO, lambda yi: jnp.maximum(yi * s - 1, 0)),
+        spec(_HALO, lambda yi: jnp.minimum(yi * s + s, nyb8 - 1)),
+    ]
+
+
+def _stencil_var(X, Wc, disps, gs, yb):
+    """Variable-weight stencil on a haloed window: X (TT, …, yb+2, nx)
+    blocked (or unblocked, zero-padded), Wc = weights at the OUTPUT rows
+    (ntaps, …, yb or ny, nx). Returns (TT, …, yb or ny, nx)."""
+    dim = len(gs)
+    blocked = dim - 2 if yb is not None else -1
+    pad = [(0, 0)]
+    for a in range(dim):
+        pad.append((0, 0) if a == blocked else (1, 1))
+    Xp = jnp.pad(X, pad)
+    out = None
+    for k, disp in enumerate(disps):
+        idx = [slice(None)]
+        for a, d in enumerate(disp):
+            if a == blocked:
+                idx.append(slice(1 + d, 1 + d + yb))
+            else:
+                idx.append(slice(1 + d, 1 + d + gs[a]))
+        term = Wc[k] * Xp[tuple(idx)]
+        out = term if out is None else out + term
+    return out
+
+
+def _op_rows_var(X, Wc, disps, omega, groups_M, gs, yb):
+    """A_w(X) + ω·M(X) on the interior rows of a haloed window."""
+    return _stencil_var(X, Wc, disps, gs, yb) + omega * _stencil(
+        X, groups_M, gs, yb
+    )
+
+
+def _inv_diag_var(Wc_center, omega, cM):
+    """Node-dependent Jacobi diagonal, zeroed at masked-out rows (the
+    domain mask zeroes W there; ω = 0 rows must not divide by it)."""
+    den = Wc_center + cM * omega
+    return jnp.where(den > 0, 1.0 / den, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "disps", "kc", "cM", "groups_M", "gs", "TB", "YB", "nu",
+        "zero_init", "interpret",
+    ),
+)
+def _smooth_var_call(
+    x, b, W, omega, invT, invDel, *, disps, kc, cM, groups_M, gs, TB, YB,
+    nu, zero_init=False, interpret=False,
+):
+    """Degree-ν Chebyshev–Jacobi sweep for the weighted operator; mirrors
+    _smooth_call with per-node A weights (and therefore per-node 1/D)."""
+    T = b.shape[0]
+    dim = len(gs)
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    blocked = YB < ny
+    G = nu - 1
+    if blocked and G + 1 > _HALO:
+        raise ValueError(f"nu={nu} needs {G + 1} halo rows > slab {_HALO}")
+    n_f = 3 if blocked else 1
+    n_x = 0 if zero_init else n_f
+
+    def yb_rows(halo):
+        return (YB + 2 * halo) if blocked else None
+
+    def kernel(om_ref, iT_ref, iDel_ref, *refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        om = _col(om_ref, dim)
+        iT = _col(iT_ref, dim)
+        iDel = _col(iDel_ref, dim)
+        Bw = _window(refs[n_x : n_x + n_f], yi, YB, ny, G, blocked)
+        Ww = _window(refs[n_x + n_f : n_x + 2 * n_f], yi, YB, ny, G, blocked)
+        iD = _inv_diag_var(Ww[kc], om, cM)
+        if zero_init:
+            r = iD * Bw
+            x_acc = None
+        else:
+            Xw = _window(refs[:n_f], yi, YB, ny, G + 1, blocked)
+            r = iD * (
+                Bw - _op_rows_var(Xw, Ww, disps, om, groups_M, gs, yb_rows(G))
+            )
+            x_acc = _crop(Xw, 1 if blocked else 0)
+        d = r * iT
+        x_acc = d if x_acc is None else x_acc + d
+        rho = 1.0 / _SIGMA
+        for k in range(1, nu):
+            rho_new = 1.0 / (2.0 * _SIGMA - rho)
+            c = 1 if blocked else 0
+            if blocked:
+                d = _domain_mask(d, yi, YB, ny, G - k + 1)
+            Wk = _crop(Ww, k) if blocked else Ww
+            iDk = _crop(iD, k) if blocked else iD
+            Opd = _op_rows_var(d, Wk, disps, om, groups_M, gs, yb_rows(G - k))
+            r = _crop(r, c) - iDk * Opd
+            d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
+            x_acc = _crop(x_acc, c) + d
+            rho = rho_new
+        out_ref[...] = x_acc
+
+    specs = (
+        [_col_spec(TB)] * 3
+        + _y_specs(TB, YB, gs, blocked) * (0 if zero_init else 1)  # x
+        + _y_specs(TB, YB, gs, blocked)  # b
+        + _w_specs(len(disps), YB, gs, blocked)  # A weights
+    )
+    out_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        taps = len(disps) + len(groups_M)
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * taps * nu * T * vol,
+                bytes_accessed=b.dtype.itemsize * vol * (
+                    T * (2 if zero_init else 3)
+                    + pl.cdiv(T, TB) * len(disps)
+                ),
+                transcendentals=0,
+            ),
+        )
+    wfields = 3 if blocked else 1
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
+        out_shape=jax.ShapeDtypeStruct((T,) + gs, b.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(omega, invT, invDel, *([x] * n_x), *([b] * n_f), *([W] * wfields))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("disps", "groups_M", "gs", "TB", "YB", "interpret"),
+)
+def _residual_var_call(
+    x, b, W, omega, *, disps, groups_M, gs, TB, YB, interpret=False
+):
+    """out = b − (A_w(x) + ω⊙M(x)) in one fused pass."""
+    T = b.shape[0]
+    dim = len(gs)
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    blocked = YB < ny
+    n_f = 3 if blocked else 1
+
+    def kernel(om_ref, *refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        om = _col(om_ref, dim)
+        Xw = _window(refs[:n_f], yi, YB, ny, 1 if blocked else 0, blocked)
+        Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, 0, blocked)
+        Ww = _window(refs[2 * n_f : 3 * n_f], yi, YB, ny, 0, blocked)
+        op = _op_rows_var(Xw, Ww, disps, om, groups_M, gs, YB if blocked else None)
+        out_ref[...] = Bw - op
+
+    specs = (
+        [_col_spec(TB)]
+        + _y_specs(TB, YB, gs, blocked)
+        + _y_specs(TB, YB, gs, blocked)
+        + _w_specs(len(disps), YB, gs, blocked)
+    )
+    out_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        taps = len(disps) + len(groups_M)
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * taps * T * vol,
+                bytes_accessed=b.dtype.itemsize * vol * (
+                    3 * T + pl.cdiv(T, TB) * len(disps)
+                ),
+                transcendentals=0,
+            ),
+        )
+    wfields = 3 if blocked else 1
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
+        out_shape=jax.ShapeDtypeStruct((T,) + gs, b.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(omega, *([x] * n_f), *([b] * n_f), *([W] * wfields))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("disps", "gs", "TB", "YB", "interpret")
+)
+def _apply_var_call(x, W, *, disps, gs, TB, YB, interpret=False):
+    """out = A_w(x) for the weighted stencil, one fused pass (the middle
+    step of the K_X sandwich on the weighted path)."""
+    T = x.shape[0]
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    zeros = (0,) * len(rest)
+    blocked = YB < ny
+    n_f = 3 if blocked else 1
+
+    def kernel(*refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        Xw = _window(refs[:n_f], yi, YB, ny, 1 if blocked else 0, blocked)
+        Ww = _window(refs[n_f : 2 * n_f], yi, YB, ny, 0, blocked)
+        out_ref[...] = _stencil_var(Xw, Ww, disps, gs, YB if blocked else None)
+
+    specs = _y_specs(TB, YB, gs, blocked) + _w_specs(len(disps), YB, gs, blocked)
+    out_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * len(disps) * T * vol,
+                bytes_accessed=x.dtype.itemsize * vol * (
+                    2 * T + pl.cdiv(T, TB) * len(disps)
+                ),
+                transcendentals=0,
+            ),
+        )
+    wfields = 3 if blocked else 1
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
+        out_shape=jax.ShapeDtypeStruct((T,) + gs, x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(*([x] * n_f), *([W] * wfields))
+
+
+class VarMSPallasLevel:
+    """Pallas smoother/residual for one GalerkinMultiShiftMultigrid level
+    (variable-coefficient A, constant-stencil mass). API mirrors
+    MSPallasLevel; the A weight array rides in the level params ("Aw")
+    and is passed per call. No fused transfer stages (deferred)."""
+
+    needs_weights = True
+
+    def __init__(self, lev, T: int, dtype, nu: int, interpret=False):
+        self.gs = tuple(lev.gs)
+        self.disps = tuple(lev.A_vs.disps)
+        self.kc = int(lev.kc)
+        self.cM = float(lev.cM)
+        self.groups_M = _weight_groups(lev.M_st.disps, lev.M_st.weights)
+        self.nu = nu
+        self.interpret = interpret
+        self.TB, self.YB = _pick_blocks_mg(T, self.gs, jnp.dtype(dtype).itemsize)
+
+    @staticmethod
+    def columns(lev, omega_rows: np.ndarray, dtype):
+        """(T,1,128) per-row Chebyshev columns — EXACTLY the formulas of
+        GalerkinMultiShiftMultigrid.row_params (per-unique-ω Gershgorin),
+        so the XLA and Pallas paths smooth with identical scalars."""
+        omega_rows = np.asarray(omega_rows, np.float64)
+        uniq, inv = np.unique(omega_rows, return_inverse=True)
+        lam_u = np.array(
+            [((lev.rsA + w * lev.rsM) / (lev.dA + w * lev.dM)).max()
+             for w in uniq]
+        )
+        lam = 1.1 * lam_u[inv]
+        cols = {
+            "omega": omega_rows,
+            "invT": 1.0 / (0.625 * lam),
+            "invDel": 1.0 / (0.375 * lam),
+        }
+        to128 = lambda a: jnp.broadcast_to(
+            jnp.asarray(a, dtype)[:, None, None], (a.shape[0], 1, 128)
+        ).copy()
+        return {k: to128(v) for k, v in cols.items()}
+
+    def smooth(self, x, b, cols, W, zero_init=False):
+        return _smooth_var_call(
+            b if zero_init else x, b, W,
+            cols["omega"], cols["invT"], cols["invDel"],
+            disps=self.disps, kc=self.kc, cM=self.cM,
+            groups_M=self.groups_M, gs=self.gs, TB=self.TB, YB=self.YB,
+            nu=self.nu, zero_init=zero_init, interpret=self.interpret,
+        )
+
+    def residual(self, x, b, cols, W):
+        return _residual_var_call(
+            x, b, W, cols["omega"],
+            disps=self.disps, groups_M=self.groups_M, gs=self.gs,
+            TB=self.TB, YB=self.YB, interpret=self.interpret,
+        )
+
+    def apply_A(self, x, W):
+        return _apply_var_call(
+            x, W, disps=self.disps, gs=self.gs, TB=self.TB, YB=self.YB,
+            interpret=self.interpret,
+        )
+
+
 # ----------------------------------------------------- fused V-cycle kernels
 #
 # The V-cycle's fine-level chain (pre-smooth -> residual -> restrict, and

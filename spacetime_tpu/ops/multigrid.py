@@ -670,30 +670,50 @@ class GalerkinMultiShiftMultigrid:
             rho = rho_new
         return x
 
+    def _pj(self, pallas, lps, lvl):
+        """Usable Pallas level (requires kernel columns in the params)."""
+        if pallas is None:
+            return None
+        pj = pallas[lvl]
+        return pj if (pj is None or "cols" in lps[lvl]) else None
+
     def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
         if lvl == len(self.levels):
             return coarse_solve(b)
         lev = self.levels[lvl]
         lp = lps[lvl]
-        x = self._smooth(lev, lp, None, b, zero_init=True)
-        r = b - self._op(lev, lp, x)
+        pj = self._pj(pallas, lps, lvl)
+        if pj is not None:
+            x = pj.smooth(None, b, lp["cols"], lp["Aw"], zero_init=True)
+            r = pj.residual(x, b, lp["cols"], lp["Aw"])
+        else:
+            x = self._smooth(lev, lp, None, b, zero_init=True)
+            r = b - self._op(lev, lp, x)
         rc = _transfer_fast(r, self.dim, restrict=True)
-        ec = self.vcycle(rc, lps, coarse_solve, lvl + 1)
+        ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
         x = x + _transfer_fast(ec, self.dim, restrict=False)
+        if pj is not None:
+            return pj.smooth(x, b, lp["cols"], lp["Aw"])
         return self._smooth(lev, lp, x, b)
 
     def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
         """``b``: (..., m) flat or (..., *gs) grid layout; grid internally
-        (small-axis shifts — see class docstring), output in b's layout."""
+        (small-axis shifts — see class docstring), output in b's layout.
+        ``pallas``: optional per-level ops.mg_pallas.VarMSPallasLevel list
+        (fused smoother/residual kernels; level params then carry 'cols')."""
         gs = self.levels[0].gs
         flat_in = b.shape[-len(gs):] != gs
         if flat_in:
             lead = b.shape[:-1]
             b = b.reshape(lead + gs)
-        x = self.vcycle(b, lps, coarse_solve)
+        x = self.vcycle(b, lps, coarse_solve, pallas=pallas)
         for _ in range(cycles - 1):
-            r = b - self._op(self.levels[0], lps[0], x)
-            x = x + self.vcycle(r, lps, coarse_solve)
+            pj = self._pj(pallas, lps, 0)
+            if pj is not None:
+                r = pj.residual(x, b, lps[0]["cols"], lps[0]["Aw"])
+            else:
+                r = b - self._op(self.levels[0], lps[0], x)
+            x = x + self.vcycle(r, lps, coarse_solve, pallas=pallas)
         if flat_in:
             x = x.reshape(lead + (-1,))
         return x

@@ -251,6 +251,7 @@ class HeatSolver:
                 inner = "cheb"
         self.inner = inner
         self._mg_weighted = False
+        self.pallas_mg = False
         self._host = {"h": time_matrices(grid)["h"]}
         omegas = [float(self.wt.level_shift[j]) for j in range(self.wt.num_levels + 1)]
         if inner == "dense":
@@ -281,6 +282,14 @@ class HeatSolver:
             self.mg_nu = mg_nu
             self._mg_dim = dim
             self._mg_weighted = True
+            # Fused Pallas smoother/residual for the weighted levels
+            # (ops/mg_pallas.VarMSPallasLevel) — same backend gate as the
+            # constant-stencil kernels; explicit pallas_kron=True runs
+            # them in interpret mode on CPU (tests).
+            self.pallas_mg = pallas_kron is True or (
+                pallas_kron == "auto"
+                and jax.default_backend() not in ("cpu",)
+            )
             if mg_coarse is None:
                 mg_coarse = 32 if dim == 2 else 16
             self.msmg, (A_c, M_c) = GalerkinMultiShiftMultigrid.build(
@@ -546,6 +555,31 @@ class HeatSolver:
             if self._mg_weighted:
                 p["cheb_invM"] = cast(self._host["cheb_invM"]).reshape(self.gs)
                 p["cheb_coefM"] = cast(self._host["cheb_coefM"])
+                if self.pallas_mg and jnp.dtype(dtype) != jnp.dtype(
+                    jnp.float64
+                ):
+                    from ..ops.mg_pallas import VarMSPallasLevel
+
+                    self._ms_pl[key] = [
+                        VarMSPallasLevel(
+                            lev, self.N + 1, dtype, self.mg_nu,
+                            interpret=self._pl_interpret,
+                        )
+                        if int(np.prod(lev.gs)) >= self.mg_pallas_min_points
+                        else None
+                        for lev in self.msmg.levels
+                    ]
+                    for name, omr in (
+                        ("ms_ky", self._host["omega_ky"]),
+                        ("ms_kx", self._host["omega_kx"]),
+                    ):
+                        for pj, lp, lev in zip(
+                            self._ms_pl[key], p[name], self.msmg.levels
+                        ):
+                            if pj is not None:
+                                lp["cols"] = VarMSPallasLevel.columns(
+                                    lev, omr, dtype
+                                )
             # Fused Pallas smoother/residual kernels per level (large levels
             # only — the XLA form wins at small sizes); each level's
             # Chebyshev columns ride in the params pytree.
@@ -776,7 +810,11 @@ class HeatSolver:
             X = self._ms_solve_kx(X, p)
             pls = self._ms_pl.get(jnp.dtype(X.dtype).name)
             if pls is not None and pls[0] is not None:
-                X = pls[0].apply_A(X)  # fused pass (ops/mg_pallas.py)
+                if getattr(pls[0], "needs_weights", False):
+                    # Weighted kernels read the fine-level tap arrays.
+                    X = pls[0].apply_A(X, p["ms_kx"][0]["Aw"])
+                else:
+                    X = pls[0].apply_A(X)  # fused pass (ops/mg_pallas.py)
             else:
                 X = self._spmv_A(X, p)
             X = self._ms_solve_kx(X, p)
