@@ -149,13 +149,16 @@ def _pick_blocks(T, gs, itemsize, extra: int = 0):
     if TB * (ny + 2) * per_row * lf <= budget:
         return TB, ny
     TB = 1
-    for cand in (16, 8, 4, 2):
+    for cand in (8, 4, 2):
         if T % cand == 0:
             TB = cand
             break
     # Blocked mode carries a larger live set (halo slabs, the assembled
-    # Vext/VM/VA temporaries): a 32 MB-budget block OOM'd the 110 MB scoped
-    # limit at 1023^2 (107.8 MB measured) — budget half in this branch.
+    # Vext/VM/VA temporaries): budget half in this branch, and prefer TB=8
+    # over 16 — measured at 1023²×128 f32: (TB=16, YB=32) requests 107.8 MB
+    # of scoped VMEM and fails to compile, while (8, 64) compiles and runs
+    # at 43.1 GDoF/s = 4.4× the XLA stencil pair at that shape ((4, 128)
+    # 42.4, (4, 64) 41.4, (2, 128) 38.1 — DMA-bound, shape barely matters).
     YB = max(_HALO, (_VMEM_BUDGET // (2 * TB * per_row * lf)) // _HALO * _HALO)
     return TB, min(YB, ny)
 
@@ -503,17 +506,19 @@ class KronPallas:
             return False
         if T < 1 or min(grid_shape) < 3:
             return False
-        # Shapes at the VMEM edge are out: at 1023²×128 the chooser lands on
-        # unblocked TB=1 (the 32 MB estimate fits by 32 bytes) but Mosaic's
-        # actual Bᵀ live set is 123.8 MB — over the 110 MB scoped-VMEM limit,
-        # compile fails (and TB=1 means a 128-program grid, pathological to
-        # compile anyway). Require an unblocked TB ≥ 2 — every recorded
-        # working config (≤ 511² and 3D) satisfies it; larger grids fall
-        # back to the XLA stencil pair while the fused multigrid kernels
-        # (the bulk of the win) are unaffected. The blocked kernels remain
-        # for explicit/interpret use.
+        # Unblocked shapes at the VMEM edge are out: at 1023²×128 an
+        # unblocked TB=1 estimate fits the 32 MB budget by 32 bytes but
+        # Mosaic's actual Bᵀ live set is 123.8 MB — over the 110 MB
+        # scoped-VMEM limit (and a TB=1 grid is pathological to compile).
+        # Require TB ≥ 2. Blocked-y 2D kernels are in: measured at
+        # 1023²×128 f32, (TB=8, YB=64) compiles and runs 3.11 ms/apply vs
+        # the XLA pair's 13.59 ms (4.4×). Blocked 3D keeps the XLA
+        # fallback: its far larger in-kernel live set (_live_factor 24) is
+        # unmeasured on hardware at blocking-forcing sizes.
         TB, YB = _pick_blocks(T, tuple(grid_shape), jnp.dtype(dtype).itemsize)
-        return YB >= grid_shape[-2] and TB >= 2
+        if YB >= grid_shape[-2]:
+            return TB >= 2
+        return len(grid_shape) == 2 and TB >= 2
 
     def apply_B(self, U, p=None, scale: float = 1.0):
         """``scale``: static output scaling fused into the kernel (free);
