@@ -839,6 +839,32 @@ class VarMSPallasLevel:
             interpret=self.interpret,
         )
 
+    # -------------------------------------------------- fused V-cycle stages
+    # The transfer stages are coefficient-independent, so the banded 0/1
+    # factors and the support gate are shared with the constant path.
+
+    @property
+    def fused_ok(self) -> bool:
+        return _fused_supported(self.gs, self.nu, self.YB, self.gs[-2])
+
+    transfers = MSPallasLevel.transfers
+
+    def fused_pre(self, b, cols, tx, W):
+        return _fused_pre_var_call(
+            b, W, cols["omega"], cols["invT"], cols["invDel"],
+            tx["Ux"], tx["Wx"], disps=self.disps, kc=self.kc, cM=self.cM,
+            groups_M=self.groups_M, gs=self.gs, TB=self.TB, YB=self.YB,
+            nu=self.nu, interpret=self.interpret,
+        )
+
+    def fused_post(self, x, b, ec, cols, tx, W):
+        return _fused_post_var_call(
+            x, b, ec, W, cols["omega"], cols["invT"], cols["invDel"],
+            tx["UxT"], tx["WxT"], disps=self.disps, kc=self.kc, cM=self.cM,
+            groups_M=self.groups_M, gs=self.gs, TB=self.TB, YB=self.YB,
+            nu=self.nu, interpret=self.interpret,
+        )
+
 
 # ----------------------------------------------------- fused V-cycle kernels
 #
@@ -1194,3 +1220,279 @@ def _fused_supported(gs, nu: int, YB: int, ny: int) -> bool:
     if YB < ny and (YB % 16 or (YB // 2) % _HALO):
         return False
     return True
+
+
+# ------------------------------------- fused V-cycle kernels, weighted forms
+#
+# Mirrors _fused_pre_call/_fused_post_call for the variable-coefficient
+# operator of GalerkinMultiShiftMultigrid (per-node A tap weights, constant
+# mass stencil): the weighted stencil replaces _op_rows with _op_rows_var
+# and the Jacobi diagonal is formed in-kernel from the weight window at the
+# matching halo extent (cf. _smooth_var_call). The transfer stages are
+# coefficient-independent (nested-P1 interpolation), so the restriction/
+# prolongation machinery is shared unchanged.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "disps", "kc", "cM", "groups_M", "gs", "TB", "YB", "nu", "interpret"
+    ),
+)
+def _fused_pre_var_call(
+    b, W, omega, invT, invDel, Ux, Wx, *, disps, kc, cM, groups_M, gs, TB,
+    YB, nu, interpret=False,
+):
+    """(x, r_c) with x = zero-init degree-ν sweep on b, r = b − Op_w(x),
+    r_c = R(r), for the weighted operator."""
+    T = b.shape[0]
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    restc = tuple((g - 1) // 2 for g in rest)
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    YB = min(YB, ny)
+    blocked = YB < ny
+    YBc = YB // 2 if blocked else nyc
+    G = nu - 1
+    E = 2  # extra halo carried so the residual is valid on 1 halo row
+    if blocked and (G + E + 1 > _HALO or YB % 16):
+        raise ValueError("fused_pre needs halo G+3 <= 8 and YB % 16 == 0")
+    n_f = 3 if blocked else 1
+    off = 1 if blocked else 0
+    dim = len(gs)
+
+    def kernel(om_ref, iT_ref, iDel_ref, Ux_ref, Wx_ref, *refs):
+        x_ref, rc_ref = refs[-2], refs[-1]
+        yi = pl.program_id(1)
+        om = _col(om_ref, dim)
+        iT, iDel = _col(iT_ref, dim), _col(iDel_ref, dim)
+        Bw = _window(refs[:n_f], yi, YB, ny, G + E, blocked)
+        Ww = _window(refs[n_f : 2 * n_f], yi, YB, ny, G + E, blocked)
+        iD = _inv_diag_var(Ww[kc], om, cM)
+
+        def rows(h):
+            return (YB + 2 * h) if blocked else None
+
+        # zero-init Chebyshev-Jacobi sweep, carrying E extra halo rows
+        r = iD * Bw
+        d = r * iT
+        x = d
+        rho = 1.0 / _SIGMA
+        for k in range(1, nu):
+            rho_new = 1.0 / (2.0 * _SIGMA - rho)
+            c = 1 if blocked else 0
+            if blocked:
+                d = _domain_mask(d, yi, YB, ny, G + E - k + 1)
+            Wk = _crop(Ww, k) if blocked else Ww
+            iDk = _crop(iD, k) if blocked else iD
+            Opd = _op_rows_var(d, Wk, disps, om, groups_M, gs, rows(G + E - k))
+            r = _crop(r, c) - iDk * Opd
+            d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
+            x = _crop(x, c) + d
+            rho = rho_new
+        # x now carries halo E; residual on 1 halo row
+        if blocked:
+            x = _domain_mask(x, yi, YB, ny, E)
+        W1 = _crop(Ww, G + E - 1) if blocked else Ww
+        Opx = _op_rows_var(x, W1, disps, om, groups_M, gs, rows(E - 1))
+        Bw1 = _crop(Bw, G + 1 if blocked else 0)
+        rr = Bw1 - Opx  # halo 1 (blocked) / full (unblocked)
+        x_ref[...] = _crop(x, E if blocked else 0)
+        A = _dot_last(rr, Ux_ref[...])
+        B = _dot_last(rr, Wx_ref[...])
+        A = _pairsum_rows(A, off, YBc)
+        B = _pairsum_rows(B, off + 1, YBc)
+        if rest:
+            A = _pairsum_rows(A, 0, restc[0], axis=-3)
+            B = _pairsum_rows(B, 1, restc[0], axis=-3)
+        rc_ref[...] = 0.5 * (A + B)
+
+    mat_spec = pl.BlockSpec(
+        (nx, nxc), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    specs = (
+        [_col_spec(TB)] * 3
+        + [mat_spec, mat_spec]
+        + _y_specs(TB, YB, gs, blocked)  # b
+        + _w_specs(len(disps), YB, gs, blocked)  # A weights
+    )
+    zeros = (0,) * len(rest)
+    x_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    rc_spec = pl.BlockSpec(
+        (TB,) + restc + (YBc, nxc),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        taps = len(disps) + len(groups_M)
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * (taps * (nu + 1) * vol + 2 * vol * nxc),
+                bytes_accessed=b.dtype.itemsize * vol * (
+                    T * 9 // 4 + pl.cdiv(T, TB) * len(disps)
+                ),
+                transcendentals=0,
+            ),
+        )
+    wfields = 3 if blocked else 1
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([x_spec, rc_spec]),
+        out_shape=[
+            jax.ShapeDtypeStruct((T,) + rest + (ny, nx), b.dtype),
+            jax.ShapeDtypeStruct((T,) + restc + (nyc, nxc), b.dtype),
+        ],
+        interpret=interpret,
+        **kwargs,
+    )(omega, invT, invDel, Ux, Wx, *([b] * n_f), *([W] * wfields))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "disps", "kc", "cM", "groups_M", "gs", "TB", "YB", "nu", "interpret"
+    ),
+)
+def _fused_post_var_call(
+    x, b, ec, W, omega, invT, invDel, UxT, WxT, *, disps, kc, cM, groups_M,
+    gs, TB, YB, nu, interpret=False,
+):
+    """smooth(x + P(ec), b) for the weighted operator: prolongation +
+    correction + degree-ν sweep in one pass."""
+    T = b.shape[0]
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    restc = tuple((g - 1) // 2 for g in rest)
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    YB = min(YB, ny)
+    blocked = YB < ny
+    YBc = YB // 2 if blocked else nyc
+    G = nu - 1
+    if blocked and (YB % 16 or YBc % _HALO):
+        raise ValueError("fused_post needs YB % 16 == 0")
+    n_f = 3 if blocked else 1
+    n_c = 3 if blocked else 1
+    gsc = restc + (nyc, nxc)
+    dim = len(gs)
+
+    def kernel(om_ref, iT_ref, iDel_ref, UxT_ref, WxT_ref, *refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        om = _col(om_ref, dim)
+        iT, iDel = _col(iT_ref, dim), _col(iDel_ref, dim)
+        Xw = _window(refs[:n_f], yi, YB, ny, G + 1, blocked)
+        Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, G, blocked)
+        if blocked:
+            Cw = _window(refs[2 * n_f : 2 * n_f + n_c], yi, YBc, nyc, 2, True)
+        else:
+            Cw = jnp.pad(
+                refs[2 * n_f][...],
+                [(0, 0)] + [(0, 0)] * len(rest) + [(2, 2), (0, 0)],
+            )
+        Ww = _window(
+            refs[2 * n_f + n_c : 2 * n_f + 2 * n_c], yi, YB, ny, G, blocked
+        )
+        iD = _inv_diag_var(Ww[kc], om, cM)
+        # prolongation on the window rows of Xw (halo G+1 = nu)
+        A = _dot_last(Cw, UxT_ref[...])
+        B = _dot_last(Cw, WxT_ref[...])
+        nrows = YB + 2 * (G + 1) if blocked else ny
+        start = 4 - (G + 1) if blocked else 4
+        if rest:
+            A = _repeat_rows(A, 0, rest[0], axis=-3)
+            B = _repeat_rows(B, -1, rest[0], axis=-3)
+        P = 0.5 * (
+            _repeat_rows(A, start, nrows) + _repeat_rows(B, start - 1, nrows)
+        )
+        Xc = Xw + P
+        # standard non-zero-init sweep (mirrors _smooth_var_call)
+        if blocked:
+            Xc = _domain_mask(Xc, yi, YB, ny, G + 1)
+
+        def rows(h):
+            return (YB + 2 * h) if blocked else None
+
+        r = iD * (Bw - _op_rows_var(Xc, Ww, disps, om, groups_M, gs, rows(G)))
+        x_acc = _crop(Xc, 1 if blocked else 0)
+        d = r * iT
+        x_acc = x_acc + d
+        rho = 1.0 / _SIGMA
+        for k in range(1, nu):
+            rho_new = 1.0 / (2.0 * _SIGMA - rho)
+            c = 1 if blocked else 0
+            if blocked:
+                d = _domain_mask(d, yi, YB, ny, G - k + 1)
+            Wk = _crop(Ww, k) if blocked else Ww
+            iDk = _crop(iD, k) if blocked else iD
+            Opd = _op_rows_var(d, Wk, disps, om, groups_M, gs, rows(G - k))
+            r = _crop(r, c) - iDk * Opd
+            d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
+            x_acc = _crop(x_acc, c) + d
+            rho = rho_new
+        out_ref[...] = x_acc
+
+    matT_spec = pl.BlockSpec(
+        (nxc, nx), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    zeros = (0,) * len(rest)
+    if blocked:
+        c_specs = _y_specs(TB, YBc, gsc, True)
+    else:
+        c_specs = [
+            pl.BlockSpec(
+                (TB,) + restc + (nyc, nxc),
+                lambda ti, yi: (ti,) + zeros + (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    specs = (
+        [_col_spec(TB)] * 3
+        + [matT_spec, matT_spec]
+        + _y_specs(TB, YB, gs, blocked)  # x
+        + _y_specs(TB, YB, gs, blocked)  # b
+        + c_specs  # ec
+        + _w_specs(len(disps), YB, gs, blocked)  # A weights
+    )
+    out_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        taps = len(disps) + len(groups_M)
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * (taps * nu * vol + 2 * vol * nxc),
+                bytes_accessed=b.dtype.itemsize * vol * (
+                    T * 13 // 4 + pl.cdiv(T, TB) * len(disps)
+                ),
+                transcendentals=0,
+            ),
+        )
+    wfields = 3 if blocked else 1
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([out_spec])[0],
+        out_shape=jax.ShapeDtypeStruct((T,) + rest + (ny, nx), b.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(omega, invT, invDel, UxT, WxT, *([x] * n_f), *([b] * n_f),
+      *([ec] * len(c_specs)), *([W] * wfields))

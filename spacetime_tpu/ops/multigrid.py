@@ -683,6 +683,13 @@ class GalerkinMultiShiftMultigrid:
         lev = self.levels[lvl]
         lp = lps[lvl]
         pj = self._pj(pallas, lps, lvl)
+        if pj is not None and pj.fused_ok and "tx" in lp:
+            # Fully fused fine-level stages (ops/mg_pallas.py, weighted
+            # variants): one pass for smooth+residual+restrict, one for
+            # prolong+correct+smooth.
+            x, rc = pj.fused_pre(b, lp["cols"], lp["tx"], lp["Aw"])
+            ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
+            return pj.fused_post(x, b, ec, lp["cols"], lp["tx"], lp["Aw"])
         if pj is not None:
             x = pj.smooth(None, b, lp["cols"], lp["Aw"], zero_init=True)
             r = pj.residual(x, b, lp["cols"], lp["Aw"])

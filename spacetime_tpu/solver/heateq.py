@@ -580,6 +580,8 @@ class HeatSolver:
                                 lp["cols"] = VarMSPallasLevel.columns(
                                     lev, omr, dtype
                                 )
+                                if pj.fused_ok:
+                                    lp["tx"] = pj.transfers(dtype)
             # Fused Pallas smoother/residual kernels per level (large levels
             # only — the XLA form wins at small sizes); each level's
             # Chebyshev columns ride in the params pytree.

@@ -100,6 +100,122 @@ def test_3d_blocked(monkeypatch):
     assert pj.YB < pj.gs[-2]
 
 
+@pytest.mark.parametrize("nu", [2, 3])
+@pytest.mark.parametrize("force_blocked", [False, True])
+def test_var_fused_pre_post_match_unfused(nu, force_blocked):
+    """Weighted fused_pre == (zero-smooth, residual, restrict) and weighted
+    fused_post == (prolong, correct, smooth), blocked and unblocked, in
+    interpret mode (cf. the constant-path test in test_mg_pallas.py)."""
+    from spacetime_tpu.ops.multigrid import _transfer_fast
+
+    n, T = 32, 5
+    msmg, _ = _build(2, n, nu)
+    rng = np.random.default_rng(0)
+    omega = np.abs(rng.standard_normal(T)) * 20
+    lps = msmg.row_params(omega, jnp.float32)
+    lev = msmg.levels[0]
+    lp = lps[0]
+    cols = VarMSPallasLevel.columns(lev, omega, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T, n - 1, n - 1)), jnp.float32)
+
+    x_ref = msmg._smooth(lev, lp, None, b, zero_init=True)
+    r_ref = b - msmg._op(lev, lp, x_ref)
+    rc_ref = _transfer_fast(r_ref, 2, restrict=True)
+    ec = jnp.asarray(rng.standard_normal(np.asarray(rc_ref).shape), jnp.float32)
+    post_ref = msmg._smooth(
+        lev, lp, x_ref + _transfer_fast(ec, 2, restrict=False), b
+    )
+
+    pj = VarMSPallasLevel(lev, T, jnp.float32, nu, interpret=True)
+    if force_blocked:
+        pj.YB = 16
+    assert pj.fused_ok
+    tx = pj.transfers(jnp.float32)
+    W = lp["Aw"]
+    x, rc = pj.fused_pre(b, cols, tx, W)
+    post = pj.fused_post(x_ref, b, ec, cols, tx, W)
+    scale = float(np.abs(np.asarray(rc_ref)).max())
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-5,
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_ref), rtol=1e-4,
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(post), np.asarray(post_ref),
+                               rtol=1e-4, atol=3e-5 * float(
+                                   np.abs(np.asarray(post_ref)).max()))
+
+
+def test_var_fused_pre_post_3d_matches_unfused():
+    """3D weighted fused stages (z-axis pairsums/repeats) vs the XLA forms."""
+    from spacetime_tpu.ops.multigrid import _transfer_fast
+
+    n, T, nu = 16, 3, 2
+    msmg, _ = _build(3, n, nu)
+    rng = np.random.default_rng(3)
+    omega = np.abs(rng.standard_normal(T)) * 10
+    lps = msmg.row_params(omega, jnp.float32)
+    lev = msmg.levels[0]
+    lp = lps[0]
+    cols = VarMSPallasLevel.columns(lev, omega, jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T,) + lev.gs), jnp.float32)
+
+    x_ref = msmg._smooth(lev, lp, None, b, zero_init=True)
+    r_ref = b - msmg._op(lev, lp, x_ref)
+    rc_ref = _transfer_fast(r_ref, 3, restrict=True)
+    ec = jnp.asarray(rng.standard_normal(np.asarray(rc_ref).shape), jnp.float32)
+    post_ref = msmg._smooth(
+        lev, lp, x_ref + _transfer_fast(ec, 3, restrict=False), b
+    )
+
+    pj = VarMSPallasLevel(lev, T, jnp.float32, nu, interpret=True)
+    assert pj.fused_ok
+    tx = pj.transfers(jnp.float32)
+    W = lp["Aw"]
+    x, rc = pj.fused_pre(b, cols, tx, W)
+    post = pj.fused_post(x_ref, b, ec, cols, tx, W)
+    scale = float(np.abs(np.asarray(rc_ref)).max())
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), rtol=1e-5,
+                               atol=1e-5 * scale)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_ref), rtol=1e-4,
+                               atol=3e-5 * scale)
+    np.testing.assert_allclose(np.asarray(post), np.asarray(post_ref),
+                               rtol=1e-4, atol=3e-5 * float(
+                                   np.abs(np.asarray(post_ref)).max()))
+
+
+def test_weighted_vcycle_fused_matches_xla():
+    """The Galerkin vcycle's fused branch (exercised via lp['tx']) matches
+    the unfused XLA vcycle."""
+    msmg, (A_c, M_c) = _build(2, 16)
+    T = 6
+    rng = np.random.default_rng(1)
+    omega_rows = np.abs(rng.standard_normal(T)) * 4
+    lps = msmg.row_params(omega_rows, jnp.float32)
+    cinvs = np.stack([np.linalg.inv(A_c + w * M_c) for w in omega_rows])
+
+    def coarse(bc):
+        flat = bc.reshape(bc.shape[0], -1)
+        out = jnp.einsum(
+            "tm,tmk->tk", flat, jnp.asarray(cinvs, jnp.float32)
+        )
+        return out.reshape(bc.shape)
+
+    b = jnp.asarray(
+        rng.standard_normal((T,) + msmg.levels[0].gs), jnp.float32
+    )
+    ref = np.asarray(msmg.solve(b, lps, coarse, cycles=2))
+    pls = [
+        VarMSPallasLevel(lev, T, jnp.float32, msmg.nu, interpret=True)
+        for lev in msmg.levels
+    ]
+    for lp, lev, pj in zip(lps, msmg.levels, pls):
+        lp["cols"] = VarMSPallasLevel.columns(lev, omega_rows, jnp.float32)
+        if pj.fused_ok:
+            lp["tx"] = pj.transfers(jnp.float32)
+    assert any("tx" in lp for lp in lps)
+    out = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pls))
+    np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5 * np.abs(ref).max())
+
+
 def test_weighted_vcycle_with_pallas_matches_xla():
     msmg, (A_c, M_c) = _build(2, 16)
     T = 6
