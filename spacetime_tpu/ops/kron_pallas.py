@@ -146,7 +146,14 @@ def _pick_blocks(T, gs, itemsize, extra: int = 0):
         if T % cand == 0 and cand * (ny + 2) * per_row * lf <= budget:
             TB = cand
             break
-    if TB * (ny + 2) * per_row * lf <= budget:
+    # An unblocked TB=1 "fit" is never trusted: the live-set model is a
+    # per-block estimate and Mosaic's actual TB=1 Bᵀ live set blows it up
+    # ~4× right at the budget edge — at 1023²×128 f32 the estimate fits the
+    # 32 MB budget by 32 bytes (and the stab estimate fits its 40 MB budget
+    # by 40) while the real kernel requests 123.8 MB of scoped VMEM and
+    # fails to compile. Fall through to y-blocking instead; genuinely tiny
+    # problems (T == 1) keep the unblocked form.
+    if (TB >= 2 or T == 1) and TB * (ny + 2) * per_row * lf <= budget:
         return TB, ny
     TB = 1
     for cand in (8, 4, 2):
@@ -478,11 +485,13 @@ class KronPallas:
         # Stab-fused variants hold ~2 extra live blocks (AD temporary + W),
         # so they get their own, possibly smaller, blocking.
         self.TBs, self.YBs = _pick_blocks(self.T, self.gs, itemsize, extra=2)
-        # Blocked-y stab kernels blow the 110 MB scoped-VMEM limit at the
-        # sizes that force blocking (measured 123.8 MB at 1023²×128 where the
-        # plain pair was already at ~108 MB): production callers keep the
-        # plain kernels + separate stab pass there (solver.apply_S).
-        self.stab_ok = self.YBs >= self.gs[-2]
+        # Blocked-y stab kernels: 2D in (measured at 1023²×128 f32 with the
+        # capped TB=8 chooser: (8,64)/(8,32)/(4,64) all compile, exact vs
+        # the XLA forms, and the fused pair at 8.7 ms/iter beats plain pair
+        # + separate XLA stab pass at 16.2 ms — the stab pass alone costs
+        # ~7.5 ms at that shape). Blocked 3D stays out with the plain
+        # kernels (live set unmeasured at blocking-forcing sizes).
+        self.stab_ok = self.YBs >= self.gs[-2] or len(self.gs) == 2
         self.params = self.params_for_h(h, dtype)
 
     @staticmethod
