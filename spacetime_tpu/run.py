@@ -69,6 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
                    default="auto",
                    help="spatial SpMV format (ell = Pallas blocked-ELL, the generic-mesh TPU path)")
     p.add_argument("--mg-cycles", type=int, default=3)
+    p.add_argument("--mg-cycles-kx", type=int, default=None,
+                   help="V-cycles per shifted solve inside the K_X sandwich "
+                        "(default 2). 1 halves the dominant per-iteration "
+                        "cost at scale for +1-3 PCG iterations (measured; "
+                        "see BASELINE.md)")
     p.add_argument("--cheb-eps", type=float, default=1e-3,
                    help="accuracy of the solution-bearing Chebyshev inverses "
                         "(inner=cheb); lower for tight --tol solves")
@@ -213,6 +218,7 @@ def main(argv=None) -> int:
 
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
         kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
+                      mg_cycles_kx=args.mg_cycles_kx,
                       spatial_format=args.spatial, pcg_variant=args.pcg,
                       rhs=args.rhs, cheb_eps=args.cheb_eps)
         with timer("setup"):

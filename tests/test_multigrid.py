@@ -101,6 +101,23 @@ class TestSolverIntegration:
         assert abs(r_mg.iterations - r_dense.iterations) <= 2
         assert abs(r_mg.l2_error - r_dense.l2_error) < 0.02 * r_dense.l2_error
 
+    def test_reduced_cycle_presets(self):
+        """The speed presets (K_Y 2 cycles, K_X sandwich 1 cycle per shifted
+        solve) stay convergent with near-flat iteration counts and an
+        unchanged discrete solution (measured tradeoff in BASELINE.md)."""
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(16))
+        grid = uniform_time_grid(4)
+        ref = HeatSolver(problem, system, grid, inner="mg").solve(tol=1e-6)
+        fast = HeatSolver(
+            problem, system, grid, inner="mg", mg_cycles=2, mg_cycles_kx=1
+        ).solve(tol=1e-6)
+        assert fast.converged
+        # inexact inner solves may cost a few extra outer iterations but
+        # must not change the computed solution at this error scale
+        assert fast.iterations - ref.iterations <= 3
+        assert abs(fast.l2_error - ref.l2_error) < 0.01 * ref.l2_error
+
 
 if __name__ == "__main__":
     import sys
