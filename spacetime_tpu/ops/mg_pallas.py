@@ -117,12 +117,60 @@ def _domain_mask(A, yi, YB, ny, g):
     return jnp.where(ok, A, 0.0)
 
 
+@functools.lru_cache(maxsize=None)
+def _pair_groups(groups_A, groups_M):
+    """Regroup two same-support stencils by their (wA, wM) weight PAIR.
+
+    A and M are P1 forms on the same mesh — identical tap displacements —
+    so applying them as two separate grouped stencils loads every tap
+    twice. Grouping by the weight pair shares the tap sums: each pair
+    group costs its tap adds once plus two scalar multiplies (one into the
+    A accumulator, one into the M accumulator). For the 7-point 2D P1 pair
+    this roughly halves the smoother's VPU work — the fused V-cycle stages
+    are compute-bound, not DMA-bound (measured 228 GB/s effective at
+    1023²×129 vs the kron kernels' ~580)."""
+    wA = {d: w for w, ds in groups_A for d in ds}
+    wM = {d: w for w, ds in groups_M for d in ds}
+    pairs: dict[tuple[float, float], list] = {}
+    for d in {**wA, **wM}:
+        key = (wA.get(d, 0.0), wM.get(d, 0.0))
+        if key != (0.0, 0.0):
+            pairs.setdefault(key, []).append(d)
+    return tuple((k, tuple(ds)) for k, ds in pairs.items())
+
+
 def _op_rows(X, omega, groups_A, groups_M, gs, yb):
-    """A(X) + ω·M(X) on the interior rows of a haloed window.
+    """A(X) + ω·M(X) on the interior rows of a haloed window, with the tap
+    loads shared between the two stencils (see _pair_groups).
 
     ``yb``: number of output rows along the blocked axis; None = unblocked
     (zero-pad the blocked axis like the others)."""
-    return _stencil(X, groups_A, gs, yb) + omega * _stencil(X, groups_M, gs, yb)
+    dim = len(gs)
+    blocked = dim - 2 if yb is not None else -1
+    pad = [(0, 0)]
+    for a in range(dim):
+        pad.append((0, 0) if a == blocked else (1, 1))
+    Xp = jnp.pad(X, pad)
+    outA = None
+    outM = None
+    for (wa, wm), ds in _pair_groups(groups_A, groups_M):
+        acc = None
+        for disp in ds:
+            idx = [slice(None)]
+            for a, d in enumerate(disp):
+                if a == blocked:
+                    idx.append(slice(1 + d, 1 + d + yb))
+                else:
+                    idx.append(slice(1 + d, 1 + d + gs[a]))
+            tap = Xp[tuple(idx)]
+            acc = tap if acc is None else acc + tap
+        if wa != 0.0:
+            outA = wa * acc if outA is None else outA + wa * acc
+        if wm != 0.0:
+            outM = wm * acc if outM is None else outM + wm * acc
+    if outM is None:
+        return outA
+    return outM * omega if outA is None else outA + omega * outM
 
 
 @functools.partial(
