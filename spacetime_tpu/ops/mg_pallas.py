@@ -591,10 +591,42 @@ def _stencil_var(X, Wc, disps, gs, yb):
 
 
 def _op_rows_var(X, Wc, disps, omega, groups_M, gs, yb):
-    """A_w(X) + ω·M(X) on the interior rows of a haloed window."""
-    return _stencil_var(X, Wc, disps, gs, yb) + omega * _stencil(
-        X, groups_M, gs, yb
-    )
+    """A_w(X) + ω·M(X) on the interior rows of a haloed window, sharing
+    the tap loads between the weighted-A and constant-M stencils (the P1
+    forms have identical displacements — same idea as _pair_groups for the
+    constant-coefficient kernels, with A's weights as arrays)."""
+    dim = len(gs)
+    blocked = dim - 2 if yb is not None else -1
+    pad = [(0, 0)]
+    for a in range(dim):
+        pad.append((0, 0) if a == blocked else (1, 1))
+    Xp = jnp.pad(X, pad)
+    wM = {d: w for w, ds in groups_M for d in ds}
+    outA = None
+    accM: dict[float, object] = {}
+    for k, disp in enumerate(disps):
+        idx = [slice(None)]
+        for a, d in enumerate(disp):
+            if a == blocked:
+                idx.append(slice(1 + d, 1 + d + yb))
+            else:
+                idx.append(slice(1 + d, 1 + d + gs[a]))
+        tap = Xp[tuple(idx)]
+        termA = Wc[k] * tap
+        outA = termA if outA is None else outA + termA
+        w = wM.pop(tuple(disp), 0.0)
+        if w != 0.0:
+            accM[w] = tap if w not in accM else accM[w] + tap
+    outM = None
+    for w, acc in accM.items():
+        term = w * acc
+        outM = term if outM is None else outM + term
+    if wM:  # M taps outside A's support (not the P1 case, but stay correct)
+        extra = _stencil(
+            X, tuple((w, (d,)) for d, w in wM.items() if w != 0.0), gs, yb
+        )
+        outM = extra if outM is None else outM + extra
+    return outA if outM is None else outA + omega * outM
 
 
 def _inv_diag_var(Wc_center, omega, cM):
