@@ -58,29 +58,44 @@ def _weight_groups(disps, weights):
     return tuple((w, tuple(ds)) for w, ds in groups.items())
 
 
-def _stencil(V, groups, gs, yb):
-    """In-kernel spatial stencil on (TT, *sp). When ``yb`` is None the
-    blocked axis carries no halo rows and is zero-padded like the other
-    axes; otherwise sp's axis -2 has yb+2 rows including halos. Returns
-    (TT, …, yb or ny, nx)."""
+def _tap_fn(V, gs, yb):
+    """Shared tap extraction of the in-kernel stencils: zero-pads every
+    unblocked spatial axis of V (the Dirichlet guard; the blocked axis
+    already carries halo rows) and returns ``tap(disp)`` slicing one
+    displaced window. The ONE copy of the halo/blocked-axis indexing
+    convention — _stencil, _stencil_var, and the fused-Op forms of
+    ops/mg_pallas all build on it."""
     dim = len(gs)
     blocked = dim - 2 if yb is not None else -1
     pad = [(0, 0)]
     for a in range(dim):
         pad.append((0, 0) if a == blocked else (1, 1))
     Vp = jnp.pad(V, pad)
+
+    def tap(disp):
+        idx = [slice(None)]
+        for a, d in enumerate(disp):
+            if a == blocked:
+                idx.append(slice(1 + d, 1 + d + yb))
+            else:
+                idx.append(slice(1 + d, 1 + d + gs[a]))
+        return Vp[tuple(idx)]
+
+    return tap
+
+
+def _stencil(V, groups, gs, yb):
+    """In-kernel spatial stencil on (TT, *sp). When ``yb`` is None the
+    blocked axis carries no halo rows and is zero-padded like the other
+    axes; otherwise sp's axis -2 has yb+2 rows including halos. Returns
+    (TT, …, yb or ny, nx)."""
+    tap = _tap_fn(V, gs, yb)
     out = None
     for w, ds in groups:
         acc = None
         for disp in ds:
-            idx = [slice(None)]
-            for a, d in enumerate(disp):
-                if a == blocked:
-                    idx.append(slice(1 + d, 1 + d + yb))
-                else:
-                    idx.append(slice(1 + d, 1 + d + gs[a]))
-            tap = Vp[tuple(idx)]
-            acc = tap if acc is None else acc + tap
+            t = tap(disp)
+            acc = t if acc is None else acc + t
         term = w * acc
         out = term if out is None else out + term
     return out

@@ -145,25 +145,14 @@ def _op_rows(X, omega, groups_A, groups_M, gs, yb):
 
     ``yb``: number of output rows along the blocked axis; None = unblocked
     (zero-pad the blocked axis like the others)."""
-    dim = len(gs)
-    blocked = dim - 2 if yb is not None else -1
-    pad = [(0, 0)]
-    for a in range(dim):
-        pad.append((0, 0) if a == blocked else (1, 1))
-    Xp = jnp.pad(X, pad)
+    tap = _kp._tap_fn(X, gs, yb)
     outA = None
     outM = None
     for (wa, wm), ds in _pair_groups(groups_A, groups_M):
         acc = None
         for disp in ds:
-            idx = [slice(None)]
-            for a, d in enumerate(disp):
-                if a == blocked:
-                    idx.append(slice(1 + d, 1 + d + yb))
-                else:
-                    idx.append(slice(1 + d, 1 + d + gs[a]))
-            tap = Xp[tuple(idx)]
-            acc = tap if acc is None else acc + tap
+            t = tap(disp)
+            acc = t if acc is None else acc + t
         if wa != 0.0:
             outA = wa * acc if outA is None else outA + wa * acc
         if wm != 0.0:
@@ -571,21 +560,10 @@ def _stencil_var(X, Wc, disps, gs, yb):
     """Variable-weight stencil on a haloed window: X (TT, …, yb+2, nx)
     blocked (or unblocked, zero-padded), Wc = weights at the OUTPUT rows
     (ntaps, …, yb or ny, nx). Returns (TT, …, yb or ny, nx)."""
-    dim = len(gs)
-    blocked = dim - 2 if yb is not None else -1
-    pad = [(0, 0)]
-    for a in range(dim):
-        pad.append((0, 0) if a == blocked else (1, 1))
-    Xp = jnp.pad(X, pad)
+    tap = _kp._tap_fn(X, gs, yb)
     out = None
     for k, disp in enumerate(disps):
-        idx = [slice(None)]
-        for a, d in enumerate(disp):
-            if a == blocked:
-                idx.append(slice(1 + d, 1 + d + yb))
-            else:
-                idx.append(slice(1 + d, 1 + d + gs[a]))
-        term = Wc[k] * Xp[tuple(idx)]
+        term = Wc[k] * tap(disp)
         out = term if out is None else out + term
     return out
 
@@ -595,28 +573,17 @@ def _op_rows_var(X, Wc, disps, omega, groups_M, gs, yb):
     the tap loads between the weighted-A and constant-M stencils (the P1
     forms have identical displacements — same idea as _pair_groups for the
     constant-coefficient kernels, with A's weights as arrays)."""
-    dim = len(gs)
-    blocked = dim - 2 if yb is not None else -1
-    pad = [(0, 0)]
-    for a in range(dim):
-        pad.append((0, 0) if a == blocked else (1, 1))
-    Xp = jnp.pad(X, pad)
+    tap = _kp._tap_fn(X, gs, yb)
     wM = {d: w for w, ds in groups_M for d in ds}
     outA = None
     accM: dict[float, object] = {}
     for k, disp in enumerate(disps):
-        idx = [slice(None)]
-        for a, d in enumerate(disp):
-            if a == blocked:
-                idx.append(slice(1 + d, 1 + d + yb))
-            else:
-                idx.append(slice(1 + d, 1 + d + gs[a]))
-        tap = Xp[tuple(idx)]
-        termA = Wc[k] * tap
+        t = tap(disp)
+        termA = Wc[k] * t
         outA = termA if outA is None else outA + termA
         w = wM.pop(tuple(disp), 0.0)
         if w != 0.0:
-            accM[w] = tap if w not in accM else accM[w] + tap
+            accM[w] = t if w not in accM else accM[w] + t
     outM = None
     for w, acc in accM.items():
         term = w * acc

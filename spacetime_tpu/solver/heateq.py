@@ -253,6 +253,13 @@ class HeatSolver:
         self._mg_weighted = False
         self.pallas_mg = False
         self._host = {"h": time_matrices(grid)["h"]}
+        if mg_cycles < 1 or (mg_cycles_kx is not None and mg_cycles_kx < 1):
+            # 0 cycles would apply a ZERO K_X/K_Y — PCG then divides by
+            # zero curvature and burns maxiter on NaNs with no hint why.
+            raise ValueError(
+                f"mg_cycles={mg_cycles} / mg_cycles_kx={mg_cycles_kx}: "
+                "V-cycle counts must be >= 1"
+            )
         omegas = [float(self.wt.level_shift[j]) for j in range(self.wt.num_levels + 1)]
         if inner == "dense":
             A_dense = system.A.toarray()
@@ -322,11 +329,15 @@ class HeatSolver:
             self.mg_cycles = mg_cycles
             # K_Y sits inside S, so its V-cycle count sets the accuracy of
             # the computed solution (3 cycles keeps the discretization-level
-            # L2 error; 1 visibly degrades it). K_X is only a preconditioner —
-            # its cycle count trades preconditioner quality (outer iteration
-            # count) against per-iteration cost without touching the fixed
-            # point. Measured at 513²×128ts f32: kx-cycles 3/2/1 → 18/18/23
-            # outer iterations, 2.05/1.65/1.47 s — 2 is the sweet spot.
+            # L2 error; 2 perturbs it measurably at scale — err 3.50→4.40e-6
+            # at 33.8 MDoF — and 1 visibly degrades it). K_X is only a
+            # preconditioner — its cycle count trades preconditioner quality
+            # (outer iteration count) against per-iteration cost without
+            # touching the fixed point. Measured at 513²×128ts f32 with the
+            # fused pair-grouped kernels: kx-cycles 2/1 → 17/18 outer
+            # iterations, 0.89/0.74 s — 2 stays the robust default (in 3D
+            # kx=1 costs +4 iterations for ~no net win), 1 is the 2D speed
+            # preset (CLI --mg-cycles-kx, BASELINE.md).
             self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
             self.mg_nu = mg_nu
             self._mg_dim = dim
