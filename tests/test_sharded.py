@@ -84,6 +84,59 @@ if __name__ == "__main__":
 
 
 @requires_multidevice
+def test_varcoef_sharded_parity():
+    # Weighted (Galerkin-RAP mg) path: serial vs 8-device histories equal.
+    problem = get_problem("varcoef2d")
+    system = P1System.from_problem(problem, unit_square_mesh(8))
+    grid = uniform_time_grid(3)
+    kw = dict(inner="mg", mg_coarse=4)
+    r1 = HeatSolver(problem, system, grid, **kw).solve(
+        tol=1e-6, compute_error=False
+    )
+    r8 = ShardedHeatSolver(problem, system, grid, make_time_mesh(8), **kw).solve(
+        tol=1e-6, compute_error=False
+    )
+    assert r8.converged
+    assert r8.iterations == r1.iterations
+    np.testing.assert_allclose(r8.residuals, r1.residuals, rtol=1e-9)
+
+
+@requires_multidevice
+def test_unstructured_sharded_parity():
+    # Generic-mesh path (DIA operators + Chebyshev inner): serial vs sharded.
+    from spacetime_tpu.fem import l_shape_mesh
+
+    problem = get_problem("lshape2d")
+    system = P1System.from_mesh(l_shape_mesh(6))
+    grid = uniform_time_grid(3)
+    r1 = HeatSolver(problem, system, grid, inner="cheb").solve(
+        tol=1e-6, compute_error=False
+    )
+    r8 = ShardedHeatSolver(
+        problem, system, grid, make_time_mesh(8), inner="cheb"
+    ).solve(tol=1e-6, compute_error=False)
+    assert r8.converged
+    assert r8.iterations == r1.iterations
+    np.testing.assert_allclose(r8.residuals, r1.residuals, rtol=1e-9)
+
+
+@requires_multidevice
+def test_3d_sharded_parity():
+    from spacetime_tpu.fem import unit_cube_mesh
+
+    problem = get_problem("smooth3d")
+    system = P1System.from_mesh(unit_cube_mesh(8))
+    grid = uniform_time_grid(3)
+    r1 = HeatSolver(problem, system, grid).solve(tol=1e-6, compute_error=False)
+    r8 = ShardedHeatSolver(problem, system, grid, make_time_mesh(8)).solve(
+        tol=1e-6, compute_error=False
+    )
+    assert r8.converged
+    assert r8.iterations == r1.iterations
+    np.testing.assert_allclose(r8.residuals, r1.residuals, rtol=1e-9)
+
+
+@requires_multidevice
 def test_spacetime_2d_mesh_parity():
     # cfg5-stretch layout: 4 time x 2 space devices; residual history must
     # match the serial solve.
