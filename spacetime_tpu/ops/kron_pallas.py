@@ -170,6 +170,18 @@ def _pick_blocks(T, gs, itemsize, extra: int = 0):
     # problems (T == 1) keep the unblocked form.
     if (TB >= 2 or T == 1) and TB * (ny + 2) * per_row * lf <= budget:
         return TB, ny
+    if len(gs) == 3:
+        # Blocked 3D: the live-set model is useless at this dim (Mosaic's
+        # actual scoped-VMEM requests exceed the estimate ~4×), so the block
+        # is the hardware-measured point, not a formula. Probe at 127³×32
+        # f32 (scripts/probe_kron3d.py, results_tpu/probe_kron3d.jsonl):
+        # (TB=4, YB=16) is the ONLY compiling candidate — exact vs the XLA
+        # pair, 3.13 ms/apply = 3.0× the XLA pair — while (8,8), (8,16),
+        # (4,32), (2,48), (2,64) and the stab-fused (4,16) all fail Mosaic
+        # compile (scoped-VMEM over the limit via tpu_compile_helper).
+        TB = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
+        YB = 16 if ny > 16 else _HALO
+        return TB, min(YB, ny)
     TB = 1
     for cand in (8, 4, 2):
         if T % cand == 0:
@@ -504,8 +516,10 @@ class KronPallas:
         # capped TB=8 chooser: (8,64)/(8,32)/(4,64) all compile, exact vs
         # the XLA forms, and the fused pair at 8.7 ms/iter beats plain pair
         # + separate XLA stab pass at 16.2 ms — the stab pass alone costs
-        # ~7.5 ms at that shape). Blocked 3D stays out with the plain
-        # kernels (live set unmeasured at blocking-forcing sizes).
+        # ~7.5 ms at that shape). Blocked 3D stays out: measured at 127³×32
+        # f32, the stab-fused (4,16) fails Mosaic compile even though the
+        # plain (4,16) kernel fits — the plain blocked-3D pair runs with a
+        # separate XLA stab pass instead (solver.apply_S else-branch).
         self.stab_ok = self.YBs >= self.gs[-2] or len(self.gs) == 2
         self.params = self.params_for_h(h, dtype)
 
@@ -536,13 +550,27 @@ class KronPallas:
         # scoped-VMEM limit (and a TB=1 grid is pathological to compile).
         # Require TB ≥ 2. Blocked-y 2D kernels are in: measured at
         # 1023²×128 f32, (TB=8, YB=64) compiles and runs 3.11 ms/apply vs
-        # the XLA pair's 13.59 ms (4.4×). Blocked 3D keeps the XLA
-        # fallback: its far larger in-kernel live set (_live_factor 24) is
-        # unmeasured on hardware at blocking-forcing sizes.
+        # the XLA pair's 13.59 ms (4.4×).
         TB, YB = _pick_blocks(T, tuple(grid_shape), jnp.dtype(dtype).itemsize)
         if YB >= grid_shape[-2]:
             return TB >= 2
-        return len(grid_shape) == 2 and TB >= 2
+        if len(grid_shape) == 2:
+            return TB >= 2
+        # Blocked 3D: only the hardware-measured configuration is trusted —
+        # (TB=4, YB=16) at f32 with rows no wider than the probed 127³ grid
+        # (scripts/probe_kron3d.py: exact vs XLA, 3.0× faster; every larger
+        # block fails Mosaic compile). Other dtypes / wider rows are
+        # unmeasured at blocking-forcing sizes → XLA fallback.
+        row_bytes = (
+            int(np.prod(grid_shape[:-2], dtype=int))
+            * grid_shape[-1]
+            * jnp.dtype(dtype).itemsize
+        )
+        return (
+            (TB, YB) == (4, 16)
+            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
+            and row_bytes <= 127 * 127 * 4
+        )
 
     def apply_B(self, U, p=None, scale: float = 1.0):
         """``scale``: static output scaling fused into the kernel (free);

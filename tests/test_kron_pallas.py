@@ -86,6 +86,25 @@ def test_3d_blocked_y(monkeypatch):
     )
 
 
+def test_3d_blocked_measured_point(monkeypatch):
+    """The hardware-enabled blocked-3D configuration (TB=4, YB=16) — forced
+    here on a small grid via the budget monkeypatch — must be exact in
+    interpret mode, and supported() must admit exactly the probed family
+    (f32, rows ≤ the 127³ probe's, T divisible by 4; probe_kron3d.jsonl)."""
+    kp = _check(
+        unit_cube_mesh, 18, uniform_time_grid(4), budget=16 * 1024,
+        monkeypatch=monkeypatch,
+    )
+    assert (kp.TB, kp.YB) == (4, 16)  # the probed block, blocking engaged
+    assert not kp.stab_ok  # stab-fused (4,16) failed Mosaic compile
+    # 129³-mesh × 64ts (the big-3D config): picked on real hardware.
+    assert KronPallas.supported((127, 127, 127), 64, jnp.float32)
+    # Unmeasured variants keep the XLA fallback:
+    assert not KronPallas.supported((127, 127, 127), 64, jnp.bfloat16)
+    assert not KronPallas.supported((127, 127, 127), 2, jnp.float32)  # TB=2
+    assert not KronPallas.supported((127, 255, 255), 64, jnp.float32)
+
+
 def test_scale_is_fused():
     system = P1System.from_mesh(unit_square_mesh(12))
     grid = uniform_time_grid(3)
