@@ -254,6 +254,11 @@ def spacetime_loads(problem, mesh: Mesh, grid) -> tuple[np.ndarray, np.ndarray, 
     return gL, gR, u0_vec
 
 
+# Quadrature-point block bound for device_spacetime_loads (module-level so
+# tests can force multi-block execution on small meshes).
+_POINT_BLOCK = 500_000
+
+
 def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
     """Device-resident half-interval load quadrature (the scale path).
 
@@ -292,12 +297,6 @@ def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
     ids = inv[mesh.elements.ravel()]
     ids = np.where(ids >= 0, ids, m)  # boundary vertices -> dummy slot m
 
-    verts = jnp.asarray(mesh.vertices, dtype)
-    elems = jnp.asarray(mesh.elements, jnp.int32)
-    meas_d = jnp.asarray(measure, dtype)
-    WB_d = jnp.asarray(w[:, None] * bary, dtype)
-    bary_d = jnp.asarray(bary, dtype)
-    ids_d = jnp.asarray(ids, jnp.int32)
     gfn = problem._g_fn()  # jitted (t, (n, d)) -> (n,), inlines under jit
 
     # HIGHEST matmul precision: the TPU default (bf16 MXU passes) costs
@@ -305,51 +304,94 @@ def device_spacetime_loads(problem, mesh: Mesh, grid, dtype, chunk: int = 128):
     # contraction keeps it at ~1e-7. These run once — speed is irrelevant.
     hp = jax.lax.Precision.HIGHEST
 
+    # Element blocking: every materialized per-element buffer is bounded by
+    # the block size. TPU tiles the last two axes of every buffer to
+    # (8, 128), so a tiny trailing axis over a huge element axis lane-pads
+    # catastrophically — at 129³×64ts the unblocked (d, ne, nverts) vertex
+    # gather alone pads 4→128 into a 19.3 GB allocation and OOMs the 16 GB
+    # chip at compile time (measured, big-3D catch-up stage). Blocks of
+    # ≤5e5 quadrature points keep each such buffer under ~1 GB padded.
+    ne = mesh.elements.shape[0]
+    npts = ne * nq
+    EB = ne if npts <= _POINT_BLOCK else max(1, _POINT_BLOCK // nq)
+    nblk = -(-ne // EB)
+    pad_e = nblk * EB - ne
+
+    def _padded(a, fill):
+        if not pad_e:
+            return a
+        tail = np.full((pad_e,) + a.shape[1:], fill, a.dtype)
+        return np.concatenate([a, tail])
+
+    # Padded elements point at vertex 0 with measure 0 — their quadrature
+    # contributions are exact zeros scattered to real slots.
+    elems_b = _padded(mesh.elements, 0).reshape(nblk, EB, -1)
+    meas_b = _padded(measure, 0.0).reshape(nblk, EB)
+    ids_b = _padded(ids.reshape(ne, -1), m).reshape(nblk, -1)
+
+    verts = jnp.asarray(mesh.vertices, dtype)
+    # (nblk, nverts, EB): the big element axis rides the 128-lane minor
+    # dimension; trailing-axis padding is 4→8 sublanes, not 4→128 lanes.
+    elems_d = jnp.asarray(np.swapaxes(elems_b, 1, 2), jnp.int32)
+    meas_d = jnp.asarray(meas_b, dtype)
+    WB_d = jnp.asarray(w[:, None] * bary, dtype)
+    bary_d = jnp.asarray(bary, dtype)
+    ids_d = jnp.asarray(ids_b, jnp.int32)
+
     # The mesh arrays travel as jit ARGUMENTS (the `geo` tuple), never as
     # closed-over constants — the CLAUDE.md rule: baked-in device constants
     # (50+ MB of vertex/element/index data at 1025²) risk the measured
     # minutes-long compiles on this backend.
-    geo = (verts, elems, bary_d, WB_d, meas_d, ids_d)
+    geo = (verts, elems_d, bary_d, WB_d, meas_d, ids_d)
 
-    def _pts(verts, elems, bary_d):
+    def _pts_blk(verts, elems_blk, bary_d):
+        """One block's quadrature points, (EB*nq, d), point index e*nq+q."""
         return jnp.einsum(
-            "qi,eid->eqd", bary_d, verts[elems], precision=hp
+            "qi,ied->eqd", bary_d, verts[elems_blk], precision=hp
         ).reshape(-1, mesh.dim)
 
-    def _scatter(fv, k, WB_d, meas_d, ids_d):
-        """(k, ne*nq) point values -> (k, m) interior loads."""
+    def _scatter_blk(fv, k, WB_d, meas_blk, ids_blk, out):
+        """(k, EB*nq) point values accumulated into the (k, m+1) loads."""
         contrib = jnp.matmul(fv.reshape(k, -1, nq), WB_d, precision=hp)
-        contrib = contrib * meas_d[None, :, None]
-        out = jnp.zeros((k, m + 1), dtype)
-        return out.at[:, ids_d].add(contrib.reshape(k, -1))[:, :m]
+        contrib = contrib * meas_blk[None, :, None]
+        return out.at[:, ids_blk].add(contrib.reshape(k, -1))
+
+    def _eval_scatter(tfun, k, verts, elems_d, bary_d, WB_d, meas_d, ids_d):
+        """Scan over element blocks: scatter tfun(points) -> (k, m)."""
+
+        def step(out, blk):
+            elems_blk, meas_blk, ids_blk = blk
+            fv = tfun(_pts_blk(verts, elems_blk, bary_d))
+            return _scatter_blk(fv, k, WB_d, meas_blk, ids_blk, out), None
+
+        out0 = jnp.zeros((k, m + 1), dtype)
+        out, _ = jax.lax.scan(step, out0, (elems_d, meas_d, ids_d))
+        return out[:, :m]
 
     # Chunk bound: the vmapped hessian-of-exact evaluation materializes a
-    # handful of (C, ne*nq) intermediates; cap C·points at ~1.5e8 so the
-    # largest configs stay ~2-3 GB of HBM temp (128 times at 1025² builds
-    # 22 GB and OOMs a 16 GB chip — measured).
-    npts = mesh.elements.shape[0] * nq
-    C = int(min(chunk, 4 * N, max(1, int(1.5e8 // max(npts, 1)))))
+    # handful of (C, block-points) intermediates; cap their product at
+    # ~1.5e8 so the largest configs stay ~2-3 GB of HBM temp (128 times
+    # over all 1025² points builds 22 GB and OOMs a 16 GB chip — measured).
+    C = int(min(chunk, 4 * N, max(1, int(1.5e8 // max(min(npts, EB * nq), 1)))))
 
     @jax.jit
-    def loads_all(ts_chunks, verts, elems, bary_d, WB_d, meas_d, ids_d):
-        """(nc, C) times -> (nc, C, m); lax.map over chunks bounds the
-        autodiff working set to one chunk while keeping the whole
+    def loads_all(ts_chunks, verts, elems_d, bary_d, WB_d, meas_d, ids_d):
+        """(nc, C) times -> (nc, C, m); lax.map over time chunks × scan
+        over element blocks bounds the working set while keeping the whole
         quadrature a SINGLE dispatch (each host->device round trip costs
-        ~170 ms through the tunnel; 1025² needs ~23 chunks)."""
-        pts = _pts(verts, elems, bary_d)
+        ~170 ms through the tunnel)."""
 
         def one(ts):
-            fv = jax.vmap(lambda tt: gfn(tt, pts))(ts)
-            return _scatter(fv, C, WB_d, meas_d, ids_d)
+            tfun = lambda pts: jax.vmap(lambda tt: gfn(tt, pts))(ts)
+            return _eval_scatter(tfun, C, verts, elems_d, bary_d, WB_d, meas_d, ids_d)
 
         return jax.lax.map(one, ts_chunks)
 
     @jax.jit
-    def u0_load(verts, elems, bary_d, WB_d, meas_d, ids_d):
-        pts = _pts(verts, elems, bary_d)
+    def u0_load(verts, elems_d, bary_d, WB_d, meas_d, ids_d):
         zero = jnp.zeros((), dtype)
-        fv = jax.vmap(lambda x: problem.exact(zero, x))(pts)
-        return _scatter(fv[None], 1, WB_d, meas_d, ids_d)[0]
+        tfun = lambda pts: jax.vmap(lambda x: problem.exact(zero, x))(pts)[None]
+        return _eval_scatter(tfun, 1, verts, elems_d, bary_d, WB_d, meas_d, ids_d)[0]
 
     times = tq.reshape(-1)
     pad = (-times.size) % C

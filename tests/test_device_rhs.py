@@ -66,6 +66,24 @@ class TestDeviceLoads:
         np.testing.assert_allclose(d[0], gL, rtol=0, atol=1e-14)
         np.testing.assert_allclose(d[2], u0, rtol=0, atol=1e-14)
 
+    def test_element_blocking_invariant(self, monkeypatch):
+        # Forcing multi-block element scans (incl. a padded tail block)
+        # must reproduce the single-block loads to rounding — the big-3D
+        # path where the unblocked quadrature lane-pads past HBM.
+        from spacetime_tpu.fem import assembly
+
+        p = get_problem("smooth3d")
+        mesh = unit_cube_mesh(6)  # 1080 tets
+        grid = uniform_time_grid(3)
+        a = device_spacetime_loads(p, mesh, grid, jnp.float64)
+        monkeypatch.setattr(assembly, "_POINT_BLOCK", 400)  # 100-elem blocks
+        b = device_spacetime_loads(p, mesh, grid, jnp.float64)
+        gL, gR, u0 = _host(p, mesh, grid)
+        for x, y, h in zip(a, b, (gL, gR, u0)):
+            np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                       rtol=0, atol=1e-15)
+            np.testing.assert_allclose(np.asarray(y), h, rtol=0, atol=1e-14)
+
     def test_chunking_invariant(self):
         # Different chunk sizes (incl. non-dividing -> padded tail) must
         # produce identical loads.
