@@ -394,16 +394,30 @@ def _pick_blocks_mg(T, gs, itemsize):
     TB = min(TB, max(T, 1))
     if TB * (ny + 2) * per_row * lf <= budget:
         return TB, ny
-    TB = min(8, max(T, 1))
-    # Halved in blocked mode (larger live set; see kron_pallas._pick_blocks).
-    yb_fit = (budget // (2 * TB * per_row * lf))
-    # Prefer 16-aligned YB: _fused_supported requires YB % 16 == 0 (coarse
-    # slab alignment), and an 8-only-aligned choice silently dropped the
-    # fused V-cycle kernels at exactly the largest grids (56 -> 48 etc.).
-    YB = yb_fit // 16 * 16
-    if YB == 0:
-        YB = max(_HALO, yb_fit // _HALO * _HALO)
-    return TB, min(YB, ny)
+    # Blocked mode: walk TB down until the blocked live-set estimate fits a
+    # measured-safe cap. In 3D the estimate tracks Mosaic's actual scoped
+    # VMEM closely: at (64,127³) f32 the fixed TB=8 choice estimated 113.5M
+    # and the real smoother request was 117.89M — over the 110M limit
+    # (measured big-3D compile OOM); TB=4 fits with ~2× margin. 2D blocked
+    # shapes sit far below the cap, so their TB=8 choice is unchanged.
+    cap = 64 * 1024 * 1024
+    for TB in (8, 4, 2, 1):
+        if TB > max(T, 1):
+            continue
+        # Halved budget in blocked mode (larger live set; see
+        # kron_pallas._pick_blocks).
+        yb_fit = (budget // (2 * TB * per_row * lf))
+        # Prefer 16-aligned YB: _fused_supported requires YB % 16 == 0
+        # (coarse slab alignment), and an 8-only-aligned choice silently
+        # dropped the fused V-cycle kernels at exactly the largest grids
+        # (56 -> 48 etc.).
+        YB = yb_fit // 16 * 16
+        if YB == 0:
+            YB = max(_HALO, yb_fit // _HALO * _HALO)
+        YB = min(YB, ny)
+        if TB == 1 or TB * (YB + 2) * per_row * lf <= cap:
+            break
+    return TB, YB
 
 
 class MSPallasLevel:
