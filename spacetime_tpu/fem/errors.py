@@ -73,11 +73,38 @@ def device_l2_error_spacetime(
     dtype = U.dtype if dtype is None else dtype
     hp = jax.lax.Precision.HIGHEST
 
+    nq = bary.shape[0]
+
+    # Element blocking (same disease and cure as assembly's device loads):
+    # TPU buffers tile their last two axes to (8, 128), so per-element
+    # intermediates with tiny trailing axes lane-pad catastrophically — at
+    # 129³×64ts the (C+1, ne, nq) interpolated-values buffer materializes
+    # as a 25.8 GB allocation (measured OOM). Scan over element blocks with
+    # the big element axis kept in lane position.
+    from .assembly import _POINT_BLOCK
+
+    ne = mesh.elements.shape[0]
+    EB = ne if ne * nq <= _POINT_BLOCK else max(1, _POINT_BLOCK // nq)
+    nblk = -(-ne // EB)
+    pad_e = nblk * EB - ne
+    elems_np = mesh.elements
+    meas_np = measure
+    if pad_e:
+        # Padded elements point at vertex 0 with measure 0: zero contribution.
+        elems_np = np.concatenate(
+            [elems_np, np.zeros((pad_e, elems_np.shape[1]), elems_np.dtype)]
+        )
+        meas_np = np.concatenate([meas_np, np.zeros(pad_e, meas_np.dtype)])
+
     verts = jnp.asarray(mesh.vertices, dtype)
-    elems = jnp.asarray(mesh.elements, jnp.int32)
+    # (nblk, nloc, EB): element axis minor — trailing-axis padding is
+    # nloc→8 sublanes, not nloc→128 lanes.
+    elems_d = jnp.asarray(
+        np.swapaxes(elems_np.reshape(nblk, EB, -1), 1, 2), jnp.int32
+    )
     bary_d = jnp.asarray(bary, dtype)
     wm = jnp.asarray(w, dtype)
-    meas_d = jnp.asarray(measure, dtype)
+    meas_d = jnp.asarray(meas_np.reshape(nblk, EB), dtype)
     interior = jnp.asarray(mesh.interior, jnp.int32)
     Ufull = (
         jnp.zeros((N + 1, mesh.num_vertices), dtype)
@@ -92,23 +119,36 @@ def device_l2_error_spacetime(
     lam = (0.5 - gq, 0.5 + gq)
 
     # mesh arrays as jit ARGUMENTS, not closed-over constants (CLAUDE.md)
-    geo = (verts, elems, bary_d, wm, meas_d)
+    geo = (verts, elems_d, bary_d, wm, meas_d)
 
     @jax.jit
-    def chunk_err(Uc, tqc, hc, verts, elems, bary_d, wm, meas_d):
+    def chunk_err(Uc, tqc, hc, verts, elems_d, bary_d, wm, meas_d):
         """Uc (C+1, nv) coefficient rows, tqc (C, 2), hc (C,) -> partial sum."""
-        pts = jnp.einsum("qi,eid->eqd", bary_d, verts[elems], precision=hp)
-        flat = pts.reshape(-1, mesh.dim)
-        nodal = Uc[:, elems]  # (C+1, ne, nloc)
-        uq = jnp.einsum("tei,qi->teq", nodal, bary_d, precision=hp)
-        total = jnp.zeros((), dtype)
-        for g in range(2):
-            uh = (1 - lam[g]) * uq[:-1] + lam[g] * uq[1:]
-            ue = jax.vmap(lambda tt: exact_pts(tt, flat))(tqc[:, g])
-            d2 = (uh - ue.reshape(uh.shape)) ** 2
-            total = total + jnp.einsum(
-                "teq,q,e,t->", d2, wm, meas_d, 0.5 * hc, precision=hp
+
+        def step(tot, blk):
+            elems_blk, meas_blk = blk  # (nloc, EB), (EB,)
+            # (nq, EB, d) points, flattened q-major (point index q*EB+e)
+            pts = jnp.einsum(
+                "qi,ied->qed", bary_d, verts[elems_blk], precision=hp
             )
+            flat = pts.reshape(-1, mesh.dim)
+            # interpolated values in (time, quad, element) layout — the big
+            # element axis stays minor throughout
+            uq = jnp.einsum(
+                "qi,tie->tqe", bary_d, Uc[:, elems_blk], precision=hp
+            )
+            for g in range(2):
+                uh = (1 - lam[g]) * uq[:-1] + lam[g] * uq[1:]
+                ue = jax.vmap(lambda tt: exact_pts(tt, flat))(tqc[:, g])
+                d2 = (uh - ue.reshape(uh.shape[0], nq, -1)) ** 2
+                # exact() formulas may promote (x64 consts); the scan carry
+                # type is fixed, so pin the partial sum to the accumulator
+                tot = tot + jnp.einsum(
+                    "tqe,q,e,t->", d2, wm, meas_blk, 0.5 * hc, precision=hp
+                ).astype(tot.dtype)
+            return tot, None
+
+        total, _ = jax.lax.scan(step, jnp.zeros((), dtype), (elems_d, meas_d))
         return total
 
     total = 0.0

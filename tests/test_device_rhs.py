@@ -155,6 +155,26 @@ class TestSolverRhsMode:
         c = device_l2_error_spacetime(p, mesh, grid, U, chunk=5)
         np.testing.assert_allclose(c, a, rtol=1e-12)
 
+    def test_device_error_element_blocking(self, monkeypatch):
+        # Forced multi-block element scans (incl. padded tail block) must
+        # match the host quadrature — the big-3D path where the unblocked
+        # error buffers lane-pad past HBM.
+        from spacetime_tpu.fem import assembly
+        from spacetime_tpu.fem.errors import (
+            device_l2_error_spacetime,
+            l2_error_spacetime,
+        )
+
+        p = get_problem("smooth3d")
+        mesh = unit_cube_mesh(6)  # 1080 tets
+        grid = uniform_time_grid(3)
+        rng = np.random.default_rng(7)
+        U = rng.standard_normal((grid.num_intervals + 1, mesh.num_interior))
+        a = l2_error_spacetime(p, mesh, grid, U)
+        monkeypatch.setattr(assembly, "_POINT_BLOCK", 400)  # 100-elem blocks
+        b = device_l2_error_spacetime(p, mesh, grid, U)
+        np.testing.assert_allclose(b, a, rtol=1e-12)
+
     def test_solve_reports_device_error(self):
         r_dev = self._solver(dtype=jnp.float32, rhs="device").solve(
             tol=1e-5, compute_error=True
