@@ -78,6 +78,24 @@ def test_3d_blocked(monkeypatch):
     _check(3, 16, 4, 2, monkeypatch, budget=16 * 1024)
 
 
+def test_pick_blocks_live_set_cap():
+    """Blocked-mode picks at the measured shapes: the big-3D flagship must
+    NOT get the old fixed TB=8 (whose smoother requested 117.89 MB scoped
+    VMEM vs the 110 MB limit — measured compile OOM); 2D blocked shapes
+    keep their previous choices."""
+    from spacetime_tpu.ops.mg_pallas import _pick_blocks_mg
+
+    assert _pick_blocks_mg(64, (127, 127, 127), 4) == (4, 8)
+    # 2D shapes are unblocked here (the solver's constructor override
+    # blocks them later) — unchanged by the cap.
+    TB, YB = _pick_blocks_mg(128, (1023, 1023), 4)
+    assert YB == 1023
+    # estimate stays under the cap for whatever the chooser returns
+    lf = 24 - 2
+    TB, YB = _pick_blocks_mg(17, (127, 127, 127), 4)
+    assert TB * (YB + 2) * 127 * 127 * 4 * lf <= 64 * 1024 * 1024
+
+
 def test_vcycle_with_pallas_matches_xla():
     """A full multi-shift V-cycle with pallas smoothers at every level must
     match the XLA V-cycle."""
