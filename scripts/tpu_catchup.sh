@@ -2,8 +2,14 @@
 # Unattended TPU measurement session: waits for the axon tunnel, then runs
 # the queued hardware measurements in order, logging to results_tpu/.
 # Launch in the background; every stage is timeout-bounded (the tunnel can
-# die again mid-run). Safe to re-run — stages skip nothing but are cheap
-# when the compile cache is warm.
+# die again mid-run). Safe to re-run — stages are cheap when the compile
+# cache is warm.
+#
+# Round-1 queue history: probe_kron3d (done -> blocked-3D kron enabled at
+# (4,16)), big-3D 129^3x64 solve (done: 15 iters, 8.25 s steady in-process),
+# bench sanity (done: ~65 GDoF/s). Current queue = the regression sanity
+# set: rerun after kernel/solver changes to confirm the recorded BASELINE.md
+# numbers still hold.
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p results_tpu
@@ -14,28 +20,42 @@ log "waiting for tunnel..."
 python scripts/wait_tunnel.py --hours 11 --interval 300 || exit 1
 log "tunnel is up"
 
-# 1. Blocked-3D kron kernel probe (gate-flip measurements for
-#    ops/kron_pallas.supported; DESIGN.md §8 deferred item).
-log "stage 1: probe_kron3d 129^3 x 32"
-timeout 7200 python scripts/probe_kron3d.py --space-n 128 --time-levels 5 \
-    >results_tpu/probe_kron3d.jsonl 2>results_tpu/probe_kron3d.err
+# 1. Headline bench (expected ~65 GDoF/s, vs_baseline ~1.4).
+log "stage 1: bench.py"
+timeout 4800 python bench.py >results_tpu/bench.json 2>results_tpu/bench.err
 log "stage 1 rc=$?"
 
-# 2. Large-3D flagship config: 129^3 x 64 ts = 140 MDoF (cfg3 at scale).
-#    First compile is tens of minutes; steady timing comes from the second
-#    run (compile cache).
-log "stage 2: big-3D solve 129^3 x 64 (compile + steady)"
-for i in 1 2; do
-  timeout 7200 python -m spacetime_tpu.run --backend jax --device tpu \
-      --dtype f32 --inner mg --problem smooth3d --space-n 128 \
-      --time-levels 6 --rhs device --out results_tpu/big3d_run$i.json \
-      >results_tpu/big3d_run$i.log 2>&1
-  log "stage 2 run$i rc=$?"
-done
+# 2. Flagship steady solves, in-process second-solve timing (the honest
+#    "steady" methodology: per-process first execution pays minutes of
+#    device program load that no cache removes — see BASELINE.md).
+#    Expected: 2D 135 MDoF ~3.5 s @17 iters; 3D 133 MDoF ~8.3 s @15 iters.
+log "stage 2: flagship steady solves (2D 1025^2x128, 3D 129^3x64)"
+timeout 7200 python - >results_tpu/flagship_steady.log 2>&1 <<'EOF'
+import sys, time
+sys.path.insert(0, ".")
+from spacetime_tpu.utils import enable_compile_cache
+enable_compile_cache()
+import jax.numpy as jnp
+from spacetime_tpu.fem import (
+    P1System, unit_cube_mesh, unit_square_mesh, uniform_time_grid,
+)
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.solver.heateq import HeatSolver
 
-# 3. Headline bench (sanity: unchanged kernels should reproduce ~65 GDoF/s).
-log "stage 3: bench.py"
-timeout 4800 python bench.py >results_tpu/bench.json 2>results_tpu/bench.err
-log "stage 3 rc=$?"
+for name, mk, n, lv in [
+    ("2D 1025^2x128", unit_square_mesh, 1024, 7),
+    ("3D 129^3x64", unit_cube_mesh, 128, 6),
+]:
+    prob = get_problem("smooth2d" if mk is unit_square_mesh else "smooth3d")
+    s = HeatSolver(prob, P1System.from_mesh(mk(n)), uniform_time_grid(lv),
+                   dtype=jnp.float32, inner="mg", rhs="device")
+    for i in range(2):
+        t0 = time.perf_counter()
+        r = s.solve(tol=1e-6)
+        print(f"{name} solve{i}: {time.perf_counter()-t0:.1f}s wall, "
+              f"solve_seconds={r.solve_seconds:.2f}, iters={r.iterations}",
+              flush=True)
+EOF
+log "stage 2 rc=$?"
 
 log "done"
