@@ -47,6 +47,10 @@ def main():
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--components", default="",
                     help="comma list to restrict (default: all)")
+    ap.add_argument("--vcycle-stages", action="store_true",
+                    help="profile the multi-shift V-cycle's internal stages "
+                         "(fine-level smooths/residual, transfer pair, "
+                         "coarse remainder) instead of the components")
     ap.add_argument("--blocked-kron", default=None, metavar="TB,YB",
                     help="also measure the Pallas kron pair with forced "
                          "(TB, YB) y-blocking")
@@ -141,6 +145,75 @@ def main():
         components["mg_vcycle_kx"] = (
             lambda U, pp: s._ms_solve_kx(U, pp), X_trial
         )
+    if args.vcycle_stages and s.inner == "mg":
+        # Decompose the multi-shift V-cycle (the dominant component at the
+        # 3D flagship — BASELINE.md split) into its stages. Every op below
+        # is linear and shape-preserving so the chained-slope method
+        # applies; fixed second operands (b of smooth/residual) are zeros
+        # threaded through the params pytree (never closed over — README
+        # "Backend notes").
+        lev0 = s.msmg.levels[0]
+        pls = s._ms_pl.get("float32") or []
+        pj = pls[0] if pls else None
+        nc = lev0.n // 2
+        pz = {**p, "_z": jnp.zeros((N + 1,) + gs, jnp.float32)}
+
+        def vc_full(V, pp):
+            return s.msmg.vcycle(
+                V, pp["ms_kx"], lambda bc: s._coarse_by_level(bc, pp),
+                0, pallas=(pls if pj is not None else None))
+
+        def vc_transfer_pair(V, pp):
+            return s.msmg._interp(s.msmg._restrict(V, nc), nc)
+
+        def vc_coarse_rest(V, pp):
+            return s.msmg._interp(
+                s.msmg.vcycle(
+                    s.msmg._restrict(V, nc), pp["ms_kx"],
+                    lambda bc: s._coarse_by_level(bc, pp), 1,
+                    pallas=(pls if pj is not None else None)),
+                nc)
+
+        def vc_op_xla(V, pp):
+            return s.msmg._op(lev0, pp["ms_kx"][0], V)
+
+        def vc_smooth_xla(V, pp):
+            return s.msmg._smooth(lev0, pp["ms_kx"][0], V, pp["_z"])
+
+        stage_components = {
+            "vc_full": (vc_full, X_trial, p),
+            "vc_transfer_pair": (vc_transfer_pair, X_trial, p),
+            "vc_coarse_rest": (vc_coarse_rest, X_trial, p),
+            "vc_op_xla": (vc_op_xla, X_trial, p),
+            "vc_smooth_xla": (vc_smooth_xla, X_trial, pz),
+        }
+        if pj is not None:
+            stage_components.update({
+                "vc_presmooth_pl": (
+                    lambda V, pp: pj.smooth(
+                        None, V, pp["ms_kx"][0]["cols"], zero_init=True),
+                    X_trial, p),
+                "vc_postsmooth_pl": (
+                    lambda V, pp: pj.smooth(
+                        V, pp["_z"], pp["ms_kx"][0]["cols"]),
+                    X_trial, pz),
+                "vc_residual_pl": (
+                    lambda V, pp: pj.residual(
+                        V, pp["_z"], pp["ms_kx"][0]["cols"]),
+                    X_trial, pz),
+            })
+        for name, (op, X, pp) in stage_components.items():
+            log(f"[{name}]")
+            sec = slope(op, X, pp=pp)
+            print(json.dumps({
+                "component": name,
+                "ms_per_apply": round(sec * 1e3, 4),
+                "gdofs": round(X.size / sec / 1e9, 2),
+                "mdof": round((N + 1) * m / 1e6, 2),
+                "space_n": args.space_n,
+            }), flush=True)
+        return
+
     only = {c for c in args.components.split(",") if c}
     for name, (op, X) in components.items():
         if only and name not in only:

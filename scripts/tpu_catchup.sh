@@ -58,4 +58,31 @@ for name, mk, n, lv in [
 EOF
 log "stage 2 rc=$?"
 
+# 3. 3D flagship with the reduced-KX-cycle preset (--mg-cycles-kx 1).
+#    2D measured +1 outer iteration for a ~20% cheaper iteration; this
+#    measures whether the same trade wins at the 3D flagship, where the
+#    multi-shift V-cycles are ~77% of the iteration (BASELINE.md split).
+log "stage 3: 3D flagship 129^3x64 with mg_cycles_kx=1"
+timeout 7200 python - >results_tpu/big3d_kx1.log 2>&1 <<'EOF'
+import sys, time
+sys.path.insert(0, ".")
+from spacetime_tpu.utils import enable_compile_cache
+enable_compile_cache()
+import jax.numpy as jnp
+from spacetime_tpu.fem import P1System, unit_cube_mesh, uniform_time_grid
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.solver.heateq import HeatSolver
+
+s = HeatSolver(get_problem("smooth3d"), P1System.from_mesh(unit_cube_mesh(128)),
+               uniform_time_grid(6), dtype=jnp.float32, inner="mg",
+               rhs="device", mg_cycles_kx=1)
+for i in range(2):
+    t0 = time.perf_counter()
+    r = s.solve(tol=1e-6)
+    print(f"3D kx1 solve{i}: {time.perf_counter()-t0:.1f}s wall, "
+          f"solve_seconds={r.solve_seconds:.2f}, iters={r.iterations}, "
+          f"final_rel={r.residuals[-1]/r.residuals[0]:.3e}", flush=True)
+EOF
+log "stage 3 rc=$?"
+
 log "done"
