@@ -241,14 +241,15 @@ class ExplicitHeatSolver(HeatSolver):
             if self.inner == "mg":
                 from ..ops.mg_pallas import MSPallasLevel
 
-                mk = lambda rows: [
-                    MSPallasLevel(lev.A_st, lev.M_st, rows, dtype, self.mg_nu,
+                mk = lambda rows, nu: [
+                    MSPallasLevel(lev.A_st, lev.M_st, rows, dtype, nu,
                                   interpret=self._pl_interpret)
                     if (lev.n - 1) ** self._mg_dim >= self.mg_pallas_min_points
                     else None
                     for lev in self.msmg.levels
                 ]
-                pls = {"kx": mk(self.R + 1), "ky": mk(self.R)}
+                pls = {"kx": mk(self.R + 1, self.mg_nu_kx),
+                       "ky": mk(self.R, self.mg_nu)}
                 self._e_pl[key] = pls
                 col_spec = {k: P("time", None, None)
                             for k in ("omega", "invD", "invT", "invDel")}
@@ -504,7 +505,7 @@ class ExplicitHeatSolver(HeatSolver):
         if self.inner == "mg":
             X = C.reshape((self.R + 1,) + self.gs)
             pls = self._e_pl_for(X.dtype, "kx")
-            msolve = lambda Z: self.msmg.solve(
+            msolve = lambda Z: self.msmg_kx.solve(
                 Z, ep["ms_kx"], lambda bc: self._coarse_by_level_local(bc, ep),
                 self.mg_cycles_kx, pallas=pls,
             )

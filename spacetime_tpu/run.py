@@ -74,6 +74,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(default 2). 1 halves the dominant per-iteration "
                         "cost at scale for +1-3 PCG iterations (measured; "
                         "see BASELINE.md)")
+    p.add_argument("--mg-nu-kx", type=int, default=None,
+                   help="Chebyshev smoothing steps per V-cycle inside the "
+                        "K_X sandwich only (default: same as K_Y's 2). "
+                        "Pair with --mg-cycles-kx 1: one stronger cycle "
+                        "costs fewer fine-level stencil passes than two "
+                        "default ones (the 3D speed preset)")
     p.add_argument("--cheb-eps", type=float, default=1e-3,
                    help="accuracy of the solution-bearing Chebyshev inverses "
                         "(inner=cheb); lower for tight --tol solves")
@@ -218,7 +224,7 @@ def main(argv=None) -> int:
 
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
         kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
-                      mg_cycles_kx=args.mg_cycles_kx,
+                      mg_cycles_kx=args.mg_cycles_kx, mg_nu_kx=args.mg_nu_kx,
                       spatial_format=args.spatial, pcg_variant=args.pcg,
                       rhs=args.rhs, cheb_eps=args.cheb_eps)
         with timer("setup"):

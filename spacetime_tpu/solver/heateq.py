@@ -96,6 +96,7 @@ class HeatSolver:
         mg_cycles: int = 3,
         mg_cycles_kx: int | None = None,
         mg_nu: int = 2,
+        mg_nu_kx: int | None = None,
         mg_coarse: int | None = None,
         space_n: int | None = None,
         loop: str = "auto",
@@ -260,6 +261,11 @@ class HeatSolver:
                 f"mg_cycles={mg_cycles} / mg_cycles_kx={mg_cycles_kx}: "
                 "V-cycle counts must be >= 1"
             )
+        if mg_nu < 1 or (mg_nu_kx is not None and mg_nu_kx < 1):
+            raise ValueError(
+                f"mg_nu={mg_nu} / mg_nu_kx={mg_nu_kx}: "
+                "smoothing step counts must be >= 1"
+            )
         omegas = [float(self.wt.level_shift[j]) for j in range(self.wt.num_levels + 1)]
         if inner == "dense":
             A_dense = system.A.toarray()
@@ -287,6 +293,7 @@ class HeatSolver:
             self.mg_cycles = mg_cycles
             self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
             self.mg_nu = mg_nu
+            self.mg_nu_kx = mg_nu if mg_nu_kx is None else mg_nu_kx
             self._mg_dim = dim
             self._mg_weighted = True
             # Fused Pallas smoother/residual for the weighted levels
@@ -302,6 +309,13 @@ class HeatSolver:
             self.msmg, (A_c, M_c) = GalerkinMultiShiftMultigrid.build(
                 dim, space_n, system.A, system.M, nu=mg_nu,
                 n_coarse=min(mg_coarse, max(space_n // 2, 4)),
+            )
+            # K_X-only smoothing strength (same levels, different nu): K_Y
+            # sits inside S so its smoother quality is an accuracy choice;
+            # K_X's trades outer iterations for per-cycle cost.
+            self.msmg_kx = (
+                self.msmg if self.mg_nu_kx == self.mg_nu
+                else dataclasses.replace(self.msmg, nu=self.mg_nu_kx)
             )
             self._host["omega_ky"] = np.zeros(self.N)
             self._host["omega_kx"] = np.asarray(
@@ -340,6 +354,7 @@ class HeatSolver:
             # preset (CLI --mg-cycles-kx, BASELINE.md).
             self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
             self.mg_nu = mg_nu
+            self.mg_nu_kx = mg_nu if mg_nu_kx is None else mg_nu_kx
             self._mg_dim = dim
             # Seed the level cache with the caller's finest system — the MG
             # hierarchy's top level is exactly it (nested unit-domain P1
@@ -359,6 +374,10 @@ class HeatSolver:
                 dim, space_n, nu=mg_nu,
                 n_coarse=min(mg_coarse, max(space_n // 2, 4)),
                 _system_cache=cache,
+            )
+            self.msmg_kx = (
+                self.msmg if self.mg_nu_kx == self.mg_nu
+                else dataclasses.replace(self.msmg, nu=self.mg_nu_kx)
             )
             # Per-row shifts: K_Y rows solve with A alone (omega = 0); the
             # wavelet rows solve with the shift of their level.
@@ -452,6 +471,7 @@ class HeatSolver:
         self._pl_interpret = jax.default_backend() == "cpu"
         self._kron: dict = {}
         self._ms_pl: dict = {}
+        self._ms_pl_kx: dict = {}
         self._params_cache: dict = {}
         self._rhs_host = None
         self._rhs_dev: dict = {}
@@ -571,21 +591,27 @@ class HeatSolver:
                 ):
                     from ..ops.mg_pallas import VarMSPallasLevel
 
-                    self._ms_pl[key] = [
+                    mk_var = lambda nu: [
                         VarMSPallasLevel(
-                            lev, self.N + 1, dtype, self.mg_nu,
+                            lev, self.N + 1, dtype, nu,
                             interpret=self._pl_interpret,
                         )
                         if int(np.prod(lev.gs)) >= self.mg_pallas_min_points
                         else None
                         for lev in self.msmg.levels
                     ]
-                    for name, omr in (
-                        ("ms_ky", self._host["omega_ky"]),
-                        ("ms_kx", self._host["omega_kx"]),
+                    self._ms_pl[key] = mk_var(self.mg_nu)
+                    self._ms_pl_kx[key] = (
+                        self._ms_pl[key] if self.mg_nu_kx == self.mg_nu
+                        else mk_var(self.mg_nu_kx)
+                    )
+                    for name, omr, pls in (
+                        ("ms_ky", self._host["omega_ky"], self._ms_pl[key]),
+                        ("ms_kx", self._host["omega_kx"],
+                         self._ms_pl_kx[key]),
                     ):
                         for pj, lp, lev in zip(
-                            self._ms_pl[key], p[name], self.msmg.levels
+                            pls, p[name], self.msmg.levels
                         ):
                             if pj is not None:
                                 lp["cols"] = VarMSPallasLevel.columns(
@@ -602,19 +628,24 @@ class HeatSolver:
                 # Gate (measured): fused 2D levels win from ~40k points
                 # (255² level-1 included at 513²+ solves); smaller levels
                 # stay XLA where launch overhead dominates either way.
-                self._ms_pl[key] = [
+                mk_ms = lambda nu: [
                     MSPallasLevel(lev.A_st, lev.M_st, self.N + 1, dtype,
-                                  self.mg_nu, interpret=self._pl_interpret)
+                                  nu, interpret=self._pl_interpret)
                     if (lev.n - 1) ** self._mg_dim >= self.mg_pallas_min_points
                     else None
                     for lev in self.msmg.levels
                 ]
-                for name, omr in (
-                    ("ms_ky", self._host["omega_ky"]),
-                    ("ms_kx", self._host["omega_kx"]),
+                self._ms_pl[key] = mk_ms(self.mg_nu)
+                self._ms_pl_kx[key] = (
+                    self._ms_pl[key] if self.mg_nu_kx == self.mg_nu
+                    else mk_ms(self.mg_nu_kx)
+                )
+                for name, omr, pls in (
+                    ("ms_ky", self._host["omega_ky"], self._ms_pl[key]),
+                    ("ms_kx", self._host["omega_kx"], self._ms_pl_kx[key]),
                 ):
                     for pj, lp, lev in zip(
-                        self._ms_pl[key], p[name], self.msmg.levels
+                        pls, p[name], self.msmg.levels
                     ):
                         if pj is not None:
                             lp["cols"] = MSPallasLevel.columns(lev, omr, dtype)
@@ -805,10 +836,10 @@ class HeatSolver:
         return flat.reshape(bc.shape)
 
     def _ms_solve_kx(self, X, p):
-        return self.msmg.solve(
+        return self.msmg_kx.solve(
             X, p["ms_kx"], lambda bc: self._coarse_by_level(bc, p),
             self.mg_cycles_kx,
-            pallas=self._ms_pl.get(jnp.dtype(X.dtype).name),
+            pallas=self._ms_pl_kx.get(jnp.dtype(X.dtype).name),
         )
 
     def apply_KX(self, R, p=None):
@@ -821,7 +852,7 @@ class HeatSolver:
             # distinguishes levels.
             X = C.reshape((self.N + 1,) + self.gs)
             X = self._ms_solve_kx(X, p)
-            pls = self._ms_pl.get(jnp.dtype(X.dtype).name)
+            pls = self._ms_pl_kx.get(jnp.dtype(X.dtype).name)
             if pls is not None and pls[0] is not None:
                 if getattr(pls[0], "needs_weights", False):
                     # Weighted kernels read the fine-level tap arrays.

@@ -6,7 +6,7 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
-from spacetime_tpu.fem import P1System, unit_square_mesh
+from spacetime_tpu.fem import P1System, unit_cube_mesh, unit_square_mesh
 from spacetime_tpu.fem.timegrid import uniform_time_grid
 from spacetime_tpu.models import get_problem
 from spacetime_tpu.ops.multigrid import (
@@ -117,6 +117,35 @@ class TestSolverIntegration:
         # must not change the computed solution at this error scale
         assert fast.iterations - ref.iterations <= 3
         assert abs(fast.l2_error - ref.l2_error) < 0.01 * ref.l2_error
+
+    @pytest.mark.parametrize("problem_name,make,n,levels", [
+        ("smooth2d", unit_square_mesh, 16, 4),
+        ("smooth3d", unit_cube_mesh, 8, 3),
+    ])
+    def test_kx_nu_preset(self, problem_name, make, n, levels):
+        """mg_nu_kx strengthens only the K_X sandwich smoother: with one
+        stronger cycle (cycles_kx=1, nu_kx=3) the solve must converge to
+        the SAME discrete solution (K_Y untouched) at near-flat outer
+        iteration counts — the 3D speed preset's correctness contract."""
+        problem = get_problem(problem_name)
+        system = P1System.from_mesh(make(n))
+        grid = uniform_time_grid(levels)
+        ref = HeatSolver(problem, system, grid, inner="mg").solve(tol=1e-6)
+        fast = HeatSolver(
+            problem, system, grid, inner="mg",
+            mg_cycles_kx=1, mg_nu_kx=3,
+        ).solve(tol=1e-6)
+        assert fast.converged
+        assert fast.iterations - ref.iterations <= 2
+        # K_Y (and hence the normal-equations fixed point) is unchanged
+        assert abs(fast.l2_error - ref.l2_error) < 1e-3 * ref.l2_error
+
+    def test_kx_nu_validation(self):
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(8))
+        grid = uniform_time_grid(3)
+        with pytest.raises(ValueError, match="smoothing step"):
+            HeatSolver(problem, system, grid, inner="mg", mg_nu_kx=0)
 
 
 if __name__ == "__main__":
