@@ -8,8 +8,8 @@
 # Round-1 queue history: probe_kron3d (done -> blocked-3D kron enabled at
 # (4,16)), big-3D 129^3x64 solve (done: 15 iters, 8.25 s steady in-process),
 # bench sanity (done: ~65 GDoF/s). Current queue = the regression sanity
-# set: rerun after kernel/solver changes to confirm the recorded BASELINE.md
-# numbers still hold.
+# set after the grid-layout wavelet GEMM change (expected: ~35 ms/iter off
+# the 3D flagship, ~10 ms/iter off 2D; first solves recompile — new HLO).
 set -u
 cd "$(dirname "$0")/.."
 mkdir -p results_tpu
@@ -58,11 +58,9 @@ for name, mk, n, lv in [
 EOF
 log "stage 2 rc=$?"
 
-# 3. 3D flagship with the reduced-KX-cycle preset (--mg-cycles-kx 1).
-#    2D measured +1 outer iteration for a ~20% cheaper iteration; this
-#    measures whether the same trade wins at the 3D flagship, where the
-#    multi-shift V-cycles are ~77% of the iteration (BASELINE.md split).
-log "stage 3: 3D flagship 129^3x64 with mg_cycles_kx=1"
+# 3. 3D flagship with the recorded-best speed preset
+#    (--mg-cycles-kx 1 --mg-nu-kx 3): previous best 7.44 s @ 16 iters.
+log "stage 3: 3D flagship 129^3x64 with mg_cycles_kx=1 mg_nu_kx=3"
 timeout 7200 python - >results_tpu/big3d_kx1.log 2>&1 <<'EOF'
 import sys, time
 sys.path.insert(0, ".")
@@ -75,11 +73,11 @@ from spacetime_tpu.solver.heateq import HeatSolver
 
 s = HeatSolver(get_problem("smooth3d"), P1System.from_mesh(unit_cube_mesh(128)),
                uniform_time_grid(6), dtype=jnp.float32, inner="mg",
-               rhs="device", mg_cycles_kx=1)
+               rhs="device", mg_cycles_kx=1, mg_nu_kx=3)
 for i in range(2):
     t0 = time.perf_counter()
     r = s.solve(tol=1e-6)
-    print(f"3D kx1 solve{i}: {time.perf_counter()-t0:.1f}s wall, "
+    print(f"3D kx1nu3 solve{i}: {time.perf_counter()-t0:.1f}s wall, "
           f"solve_seconds={r.solve_seconds:.2f}, iters={r.iterations}, "
           f"final_rel={r.residuals[-1]/r.residuals[0]:.3e}", flush=True)
 EOF

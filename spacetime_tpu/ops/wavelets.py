@@ -187,13 +187,19 @@ class WaveletTransform:
     @staticmethod
     def _gemm_axis0(Wmat, x):
         """W @ x along axis 0 of (N+1, …) at full f32 accuracy (the MXU's
-        default bf16 passes would perturb the preconditioner by ~1e-3)."""
-        import jax
-        import jax.numpy as jnp
+        default bf16 passes would perturb the preconditioner by ~1e-3).
 
-        flat = x.reshape(x.shape[0], -1)
-        out = jnp.dot(Wmat, flat, precision=jax.lax.Precision.HIGHEST)
-        return out.reshape(x.shape)
+        dot_general on the ORIGINAL layout, never a flattening reshape:
+        collapsing grid axes whose trailing dims aren't lane-multiples
+        (e.g. 127³) forces a physical re-tiling copy — measured 12x slower
+        (25 vs 295 GB/s at the 133-MDoF 3D flagship, scripts/
+        probe_wavelet_gemm.py; HIGHEST costs nothing extra there)."""
+        import jax
+
+        return jax.lax.dot_general(
+            Wmat, x, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
 
     def forward_jax(self, c, wp):
         """Synthesis W along axis 0; solver path (see class jax notes)."""

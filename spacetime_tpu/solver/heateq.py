@@ -844,13 +844,15 @@ class HeatSolver:
 
     def apply_KX(self, R, p=None):
         p = self.params if p is None else p
-        C = self.wt.adjoint_jax(R.reshape(self.N + 1, self.m), p["wavelet"])
-        n_lvl = self.wt.num_levels + 1
         if self.inner == "mg":
             # One multi-shift V-cycle handles every wavelet row at once
             # (shift = the row's level shift); only the coarsest solve
-            # distinguishes levels.
-            X = C.reshape((self.N + 1,) + self.gs)
+            # distinguishes levels. Everything stays in the (N+1,)+gs grid
+            # layout: flattening to (N+1, m) between W'/V-cycle/W forces
+            # lane-padding re-tiling copies (CLAUDE.md) — measured 12x on
+            # the wavelet GEMMs at the 3D flagship.
+            X = self.wt.adjoint_jax(
+                R.reshape((self.N + 1,) + self.gs), p["wavelet"])
             X = self._ms_solve_kx(X, p)
             pls = self._ms_pl_kx.get(jnp.dtype(X.dtype).name)
             if pls is not None and pls[0] is not None:
@@ -862,8 +864,10 @@ class HeatSolver:
             else:
                 X = self._spmv_A(X, p)
             X = self._ms_solve_kx(X, p)
-            C = X.reshape(self.N + 1, self.m)
-        elif self.wt.is_uniform:
+            return self.wt.forward_jax(X, p["wavelet"]).reshape(R.shape)
+        C = self.wt.adjoint_jax(R.reshape(self.N + 1, self.m), p["wavelet"])
+        n_lvl = self.wt.num_levels + 1
+        if self.wt.is_uniform:
             # Level rows are static strided slices: level 0 = rows {0, N},
             # level j = odd multiples of N >> j.
             N = self.N
