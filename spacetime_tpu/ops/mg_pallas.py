@@ -457,6 +457,22 @@ class MSPallasLevel:
                 if cand <= T and cand * per_win * 10 <= 40 * 1024 * 1024:
                     self.TB = max(self.TB, cand)
                     break
+        # Transfer-stage blocks (semi-fused residual+restrict /
+        # prolong+correct): blocked YB must be 16-aligned for the coarse
+        # slab math, so the smoother's VMEM-capped blocked-3D YB=8 pick
+        # rises to 16 here — these kernels hold far fewer live windows
+        # (one stencil application + two banded dots, no nu-sweep); TB
+        # walks down under the same style of live-set estimate.
+        self.TBt, self.YBt = self.TB, self.YB
+        if self.YBt < ny and self.YBt % 16:
+            self.YBt = 16
+        if self.YBt < ny:
+            per_t = (
+                int(np.prod(self.gs[:-2], dtype=int))
+                * (self.YBt + 16) * self.gs[-1] * jnp.dtype(dtype).itemsize
+            )
+            while self.TBt > 1 and self.TBt * per_t * 12 > 64 * 1024 * 1024:
+                self.TBt //= 2
 
     @staticmethod
     def columns(lev, omega_rows: np.ndarray, dtype):
@@ -504,6 +520,33 @@ class MSPallasLevel:
     @property
     def fused_ok(self) -> bool:
         return _fused_supported(self.gs, self.nu, self.YB, self.gs[-2])
+
+    @property
+    def semi_ok(self) -> bool:
+        """Semi-fused transfer stages (residual+restrict, prolong+correct)
+        are available: the V-cycle uses them when the fully fused stages
+        are not (blocked-3D compile wall, or nu outside the fused range)."""
+        if len(self.gs) not in (2, 3):
+            return False
+        ny = self.gs[-2]
+        if self.YBt < ny and (self.YBt % 16 or (self.YBt // 2) % _HALO):
+            return False
+        return True
+
+    def residual_restrict(self, x, b, cols, tx):
+        """r_c = R(b − Op(x)) — the fine residual never touches HBM."""
+        return _residual_restrict_call(
+            x, b, cols["omega"], tx["Ux"], tx["Wx"],
+            groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
+            TB=self.TBt, YB=self.YBt, interpret=self.interpret,
+        )
+
+    def prolong_correct(self, x, ec, tx):
+        """x + P(e_c) — the prolonged field never touches HBM."""
+        return _prolong_correct_call(
+            x, ec, tx["UxT"], tx["WxT"], gs=self.gs, TB=self.TBt,
+            YB=self.YBt, interpret=self.interpret,
+        )
 
     def transfers(self, dtype):
         """Banded 1-D transfer factors as device arrays (params pytree)."""
@@ -1281,6 +1324,197 @@ def _fused_supported(gs, nu: int, YB: int, ny: int) -> bool:
     if YB < ny and (YB % 16 or (YB // 2) % _HALO):
         return False
     return True
+
+
+# ------------------------------------------------ semi-fused V-cycle stages
+#
+# Where the FULLY fused pre/post kernels are compile-prohibitive (blocked-3D:
+# the nu-sweep body x hundreds of grid programs — DESIGN.md §8), the V-cycle
+# falls back to separate smooth/residual kernels plus XLA transfers. The XLA
+# separated-form transfer pair is multi-pass (~6 GB of traffic per fine level
+# at the 3D flagship — measured 19.4 ms of a 51.2 ms cycle, at the copy
+# ceiling but 5x the single-pass minimum). These two kernels fuse just the
+# transfer with its adjacent cheap op — residual+restrict reads (x, b) and
+# writes ONLY the coarse r_c; prolong+correct reads (e_c, x) and writes the
+# corrected fine x — with tiny bodies (one stencil application + two banded
+# dots) that keep Mosaic compile time in the smoother-kernel class.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "interpret"),
+)
+def _residual_restrict_call(
+    x, b, omega, Ux, Wx, *, groups_A, groups_M, gs, TB, YB, interpret=False
+):
+    """r_c = R(b − Op(x)) in one pass: the fine residual never touches HBM.
+
+    Transfer indexing mirrors _fused_pre_call: x-direction on the MXU via
+    the banded 0/1 factors (CP split K = ½(u^d + w^d), u/w chains kept
+    separate across ALL axes), y as sublane pair-sums on a halo-1 residual
+    window, z (3D) as whole-axis pair-sums."""
+    T = b.shape[0]
+    dim = len(gs)
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    restc = tuple((g - 1) // 2 for g in rest)
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    blocked = YB < ny
+    YBc = YB // 2 if blocked else nyc
+    if blocked and (YB % 16 or YBc % _HALO):
+        raise ValueError("residual_restrict needs YB % 16 == 0")
+    n_f = 3 if blocked else 1
+    off = 1 if blocked else 0
+    zeros = (0,) * len(rest)
+
+    def kernel(om_ref, Ux_ref, Wx_ref, *refs):
+        rc_ref = refs[-1]
+        yi = pl.program_id(1)
+        om = _col(om_ref, dim)
+        Xw = _window(refs[:n_f], yi, YB, ny, 2 if blocked else 0, blocked)
+        Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, off, blocked)
+        op = _op_rows(
+            Xw, om, groups_A, groups_M, gs, (YB + 2 * off) if blocked else None
+        )
+        rr = Bw - op  # halo 1 (blocked) / full (unblocked); virtual halo
+        # rows beyond the domain hold garbage but are never paired into a
+        # valid coarse row (chain offsets start at `off` — cf. fused_pre).
+        A = _dot_last(rr, Ux_ref[...])
+        B = _dot_last(rr, Wx_ref[...])
+        A = _pairsum_rows(A, off, YBc)
+        B = _pairsum_rows(B, off + 1, YBc)
+        if rest:
+            A = _pairsum_rows(A, 0, restc[0], axis=-3)
+            B = _pairsum_rows(B, 1, restc[0], axis=-3)
+        rc_ref[...] = 0.5 * (A + B)
+
+    mat_spec = pl.BlockSpec(
+        (nx, nxc), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    specs = (
+        [_col_spec(TB), mat_spec, mat_spec]
+        + _y_specs(TB, YB, gs, blocked)  # x
+        + _y_specs(TB, YB, gs, blocked)  # b
+    )
+    rc_spec = pl.BlockSpec(
+        (TB,) + restc + (YBc, nxc),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        taps = len(groups_A) + len(groups_M)
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * (taps * vol + 2 * vol * nxc),
+                bytes_accessed=b.dtype.itemsize * T * vol * 9 // 4,
+                transcendentals=0,
+            ),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([rc_spec])[0],
+        out_shape=jax.ShapeDtypeStruct(
+            (T,) + restc + (nyc, nxc), b.dtype
+        ),
+        interpret=interpret,
+        **kwargs,
+    )(omega, Ux, Wx, *([x] * n_f), *([b] * n_f))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("gs", "TB", "YB", "interpret"),
+)
+def _prolong_correct_call(x, ec, UxT, WxT, *, gs, TB, YB, interpret=False):
+    """x + P(e_c) in one pass (the coarse-grid correction): the prolonged
+    fine field never touches HBM. Transfer indexing mirrors
+    _fused_post_call with fine halo 0 (no smoother follows in-kernel)."""
+    T = x.shape[0]
+    ny, nx = gs[-2], gs[-1]
+    rest = tuple(gs[:-2])
+    restc = tuple((g - 1) // 2 for g in rest)
+    nyc, nxc = (ny - 1) // 2, (nx - 1) // 2
+    blocked = YB < ny
+    YBc = YB // 2 if blocked else nyc
+    if blocked and (YB % 16 or YBc % _HALO):
+        raise ValueError("prolong_correct needs YB % 16 == 0")
+    n_c = 3 if blocked else 1
+    gsc = restc + (nyc, nxc)
+    zeros = (0,) * len(rest)
+
+    def kernel(UxT_ref, WxT_ref, *refs):
+        out_ref = refs[-1]
+        yi = pl.program_id(1)
+        Xm = refs[0][...]
+        if blocked:
+            Cw = _window(refs[1 : 1 + n_c], yi, YBc, nyc, 2, True)
+        else:
+            Cw = jnp.pad(
+                refs[1][...],
+                [(0, 0)] + [(0, 0)] * len(rest) + [(2, 2), (0, 0)],
+            )
+        A = _dot_last(Cw, UxT_ref[...])
+        B = _dot_last(Cw, WxT_ref[...])
+        if rest:
+            A = _repeat_rows(A, 0, rest[0], axis=-3)
+            B = _repeat_rows(B, -1, rest[0], axis=-3)
+        # Local fine row l is global f = yi·YB + l; its repeat index into
+        # the halo-2 coarse window is l + 2·halo_c = l + 4 (cf. fused_post
+        # with fine halo 0).
+        nrows = YB if blocked else ny
+        P = 0.5 * (
+            _repeat_rows(A, 4, nrows) + _repeat_rows(B, 3, nrows)
+        )
+        out_ref[...] = Xm + P
+
+    matT_spec = pl.BlockSpec(
+        (nxc, nx), lambda ti, yi: (0, 0), memory_space=pltpu.VMEM
+    )
+    x_spec = pl.BlockSpec(
+        (TB,) + rest + (YB, nx),
+        lambda ti, yi: (ti,) + zeros + (yi, 0),
+        memory_space=pltpu.VMEM,
+    )
+    if blocked:
+        c_specs = _y_specs(TB, YBc, gsc, True)
+    else:
+        c_specs = [
+            pl.BlockSpec(
+                (TB,) + restc + (nyc, nxc),
+                lambda ti, yi: (ti,) + zeros + (0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        ]
+    specs = [matT_spec, matT_spec, x_spec] + c_specs
+    kwargs = {}
+    if not interpret:
+        vol = int(np.prod(gs, dtype=int))
+        kwargs = dict(
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            cost_estimate=pl.CostEstimate(
+                flops=2 * T * 2 * vol * nxc,
+                bytes_accessed=x.dtype.itemsize * T * vol * 9 // 4,
+                transcendentals=0,
+            ),
+        )
+    return pl.pallas_call(
+        kernel,
+        grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
+        in_specs=_i32_specs(specs),
+        out_specs=_i32_specs([x_spec])[0],
+        out_shape=jax.ShapeDtypeStruct((T,) + gs, x.dtype),
+        interpret=interpret,
+        **kwargs,
+    )(UxT, WxT, x, *([ec] * n_c))
 
 
 # ------------------------------------- fused V-cycle kernels, weighted forms

@@ -459,6 +459,15 @@ class MultiShiftMultigrid:
             x, rc = pj.fused_pre(b, lp["cols"], lp["tx"])
             ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
             return pj.fused_post(x, b, ec, lp["cols"], lp["tx"])
+        if pj is not None and pj.semi_ok and "tx" in lp:
+            # Semi-fused stages where the fully fused ones are compile-
+            # prohibitive (blocked 3D — DESIGN.md §8): the fine residual
+            # and the prolonged correction never touch HBM.
+            x = pj.smooth(None, b, lp["cols"], zero_init=True)
+            rc = pj.residual_restrict(x, b, lp["cols"], lp["tx"])
+            ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
+            x = pj.prolong_correct(x, ec, lp["tx"])
+            return pj.smooth(x, b, lp["cols"])
         if pj is not None:
             x = pj.smooth(None, b, lp["cols"], zero_init=True)
             r = pj.residual(x, b, lp["cols"])

@@ -649,7 +649,7 @@ class HeatSolver:
                     ):
                         if pj is not None:
                             lp["cols"] = MSPallasLevel.columns(lev, omr, dtype)
-                            if pj.fused_ok:
+                            if pj.fused_ok or pj.semi_ok:
                                 lp["tx"] = pj.transfers(dtype)
         if not self.wt.is_uniform:
             p["perm"] = jnp.asarray(self.wt.perm_by_level)

@@ -190,6 +190,98 @@ def test_fused_vcycle_matches_unfused_f64():
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
 
 
+@pytest.mark.parametrize(
+    "dim,blocked", [(2, False), (2, True), (3, False), (3, True)]
+)
+def test_semi_fused_match_unfused(dim, blocked):
+    """residual_restrict == (residual, restrict) and prolong_correct ==
+    (prolong, correct) — f64 is exact (HIGHEST in-kernel dots)."""
+    n = 32
+    T = 3 if dim == 3 else 5
+    msmg, _ = MultiShiftMultigrid.build(dim, n, nu=2, n_coarse=8)
+    rng = np.random.default_rng(4)
+    omega = np.abs(rng.standard_normal(T)) * 20
+    lps = msmg.row_params(omega, jnp.float64)
+    lev = msmg.levels[0]
+    cols = MSPallasLevel.columns(lev, omega, jnp.float64)
+    gs = (n - 1,) * dim
+    x = jnp.asarray(rng.standard_normal((T,) + gs))
+    b = jnp.asarray(rng.standard_normal((T,) + gs))
+    rc_ref = msmg._restrict(b - msmg._op(lev, lps[0], x), lev.n // 2)
+    ec = jnp.asarray(rng.standard_normal(np.asarray(rc_ref).shape))
+    pc_ref = x + msmg._interp(ec, lev.n // 2)
+
+    pj = MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float64, 2, interpret=True)
+    pj.TBt = 2
+    pj.YBt = 16 if blocked else n - 1
+    assert pj.semi_ok
+    tx = pj.transfers(jnp.float64)
+    rc = pj.residual_restrict(x, b, cols, tx)
+    pc = pj.prolong_correct(x, ec, tx)
+    np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_ref), atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pc), np.asarray(pc_ref), atol=1e-12)
+
+
+def test_semi_fused_f32_blocked():
+    """f32 exercises the bf16x2 transfer-matmul split (~2^-16 relative)."""
+    n, T = 32, 4
+    msmg, _ = MultiShiftMultigrid.build(2, n, nu=2, n_coarse=8)
+    rng = np.random.default_rng(5)
+    omega = np.abs(rng.standard_normal(T)) * 10
+    lps = msmg.row_params(omega, jnp.float32)
+    lev = msmg.levels[0]
+    cols = MSPallasLevel.columns(lev, omega, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((T, n - 1, n - 1)), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T, n - 1, n - 1)), jnp.float32)
+    rc_ref = np.asarray(msmg._restrict(b - msmg._op(lev, lps[0], x), lev.n // 2))
+    ec = jnp.asarray(rng.standard_normal(rc_ref.shape), jnp.float32)
+    pc_ref = np.asarray(x + msmg._interp(ec, lev.n // 2))
+
+    pj = MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float32, 2, interpret=True)
+    pj.TBt, pj.YBt = 2, 16
+    tx = pj.transfers(jnp.float32)
+    sc = np.abs(rc_ref).max()
+    np.testing.assert_allclose(
+        np.asarray(pj.residual_restrict(x, b, cols, tx)), rc_ref,
+        rtol=1e-4, atol=3e-5 * sc,
+    )
+    np.testing.assert_allclose(
+        np.asarray(pj.prolong_correct(x, ec, tx)), pc_ref,
+        rtol=1e-4, atol=3e-5 * np.abs(pc_ref).max(),
+    )
+
+
+def test_semi_vcycle_matches_xla_f64():
+    """The vcycle semi-fused branch (fused_ok False via a non-16-aligned
+    smoother YB — the blocked-3D flagship situation) is exact in f64."""
+    n, T, nu = 32, 4, 2
+    msmg, (A_c, M_c) = MultiShiftMultigrid.build(2, n, nu=nu, n_coarse=8)
+    rng = np.random.default_rng(6)
+    omega = np.abs(rng.standard_normal(T)) * 10
+    lps = msmg.row_params(omega, jnp.float64)
+    coarse_inv = jnp.asarray(np.linalg.inv(A_c + omega.mean() * M_c))
+
+    def coarse(bc):
+        lead = bc.shape[0]
+        return jnp.dot(bc.reshape(lead, -1), coarse_inv).reshape(bc.shape)
+
+    b = jnp.asarray(rng.standard_normal((T, n - 1, n - 1)))
+    ref = np.asarray(msmg.solve(b, lps, coarse, cycles=2))
+    pallas = [
+        MSPallasLevel(lev.A_st, lev.M_st, T, jnp.float64, nu, interpret=True)
+        for lev in msmg.levels
+    ]
+    pallas[0].YB = 8  # fused_ok False (YB % 16) -> semi path
+    pallas[0].TBt, pallas[0].YBt = 2, 16
+    assert not pallas[0].fused_ok and pallas[0].semi_ok
+    for pj, lp, lev in zip(pallas, lps, msmg.levels):
+        lp["cols"] = MSPallasLevel.columns(lev, omega, jnp.float64)
+        if pj.fused_ok or pj.semi_ok:
+            lp["tx"] = pj.transfers(jnp.float64)
+    got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pallas))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+
 def test_fused_pre_post_3d_matches_unfused():
     """3D fused stages (z pair-sum/repeat + y sublane + x matmul) match the
     unfused path in interpret mode, blocked and unblocked."""
