@@ -278,7 +278,16 @@ def test_semi_vcycle_matches_xla_f64():
         lp["cols"] = MSPallasLevel.columns(lev, omega, jnp.float64)
         if pj.fused_ok or pj.semi_ok:
             lp["tx"] = pj.transfers(jnp.float64)
-    got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pallas))
+    calls = []
+    orig = MSPallasLevel.residual_restrict
+    MSPallasLevel.residual_restrict = (
+        lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1]
+    )
+    try:
+        got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pallas))
+    finally:
+        MSPallasLevel.residual_restrict = orig
+    assert calls, "semi-fused branch was not taken"
     np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
 
 
