@@ -25,6 +25,17 @@ log "stage 1: bench.py"
 timeout 4800 python bench.py >results_tpu/bench.json 2>results_tpu/bench.err
 log "stage 1 rc=$?"
 
+# 1b. Semi-fused V-cycle transfer kernels at the 3D flagship fine level:
+#     do the new residual+restrict / prolong+correct Pallas passes beat the
+#     XLA separated pair (19.4 ms/cycle) that they replaced in the solve
+#     path? Expected: pl_pair well under xla_pair (single-pass byte minimum
+#     is ~4 ms); if Mosaic fails to compile at this shape the probe records
+#     it and the solve path must be gated back to XLA transfers.
+log "stage 1b: probe_semi_transfer (3D fine level 127^3, T=65)"
+timeout 4800 python scripts/probe_semi_transfer.py --space-n 128 \
+    >results_tpu/semi_transfer.json 2>results_tpu/semi_transfer.err
+log "stage 1b rc=$?"
+
 # 2. Flagship steady solves, in-process second-solve timing (the honest
 #    "steady" methodology: per-process first execution pays minutes of
 #    device program load that no cache removes — see BASELINE.md).
