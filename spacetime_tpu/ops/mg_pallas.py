@@ -431,6 +431,7 @@ class MSPallasLevel:
         self.groups_A = _weight_groups(A_st.disps, A_st.weights)
         self.groups_M = _weight_groups(M_st.disps, M_st.weights)
         self.nu = nu
+        self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
         self.TB, self.YB = _pick_blocks_mg(T, self.gs, jnp.dtype(dtype).itemsize)
         ny = self.gs[-2]
@@ -525,13 +526,26 @@ class MSPallasLevel:
     def semi_ok(self) -> bool:
         """Semi-fused transfer stages (residual+restrict, prolong+correct)
         are available: the V-cycle uses them when the fully fused stages
-        are not (blocked-3D compile wall, or nu outside the fused range)."""
+        are not (blocked-3D compile wall)."""
         if len(self.gs) not in (2, 3):
             return False
         ny = self.gs[-2]
         if self.YBt < ny and (self.YBt % 16 or (self.YBt // 2) % _HALO):
             return False
-        return True
+        if self.interpret:
+            # CPU interpret mode (tests): exercise both dims and dtypes.
+            return True
+        # Hardware gate: only the configuration the kernels were built for —
+        # blocked-3D f32 levels, where the fully fused stages are compile-
+        # prohibitive (DESIGN.md §8) and the XLA separated transfer pair
+        # costs 5x the single-pass byte minimum. Everything else keeps its
+        # measured path (2D: fully fused or plain+XLA transfers; f64/bf16:
+        # exact XLA forms) until scripts/probe_semi_transfer.py clears it.
+        return (
+            len(self.gs) == 3
+            and self.dtype == jnp.dtype(jnp.float32)
+            and self.YBt < ny
+        )
 
     def residual_restrict(self, x, b, cols, tx):
         """r_c = R(b − Op(x)) — the fine residual never touches HBM."""

@@ -263,7 +263,7 @@ class ExplicitHeatSolver(HeatSolver):
                         if pj is not None:
                             lp["cols"] = MSPallasLevel.columns(lev, omr, dtype)
                             ls["cols"] = col_spec
-                            if pj.fused_ok:
+                            if pj.fused_ok or pj.semi_ok:
                                 lp["tx"] = pj.transfers(dtype)
                                 ls["tx"] = {k: repl for k in lp["tx"]}
 

@@ -64,6 +64,12 @@ def _dot(a, b):
     return jnp.dot(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
+def _nu_variant(msmg, nu):
+    """The same multigrid hierarchy with a different smoothing strength
+    (the K_X-only nu knob — levels and coarse solves are shared)."""
+    return msmg if nu == msmg.nu else dataclasses.replace(msmg, nu=nu)
+
+
 @dataclasses.dataclass
 class SolveResult:
     U: np.ndarray  # (N_t+1, m) flat interior coefficients
@@ -313,10 +319,7 @@ class HeatSolver:
             # K_X-only smoothing strength (same levels, different nu): K_Y
             # sits inside S so its smoother quality is an accuracy choice;
             # K_X's trades outer iterations for per-cycle cost.
-            self.msmg_kx = (
-                self.msmg if self.mg_nu_kx == self.mg_nu
-                else dataclasses.replace(self.msmg, nu=self.mg_nu_kx)
-            )
+            self.msmg_kx = _nu_variant(self.msmg, self.mg_nu_kx)
             self._host["omega_ky"] = np.zeros(self.N)
             self._host["omega_kx"] = np.asarray(
                 [float(self.wt.level_shift[j]) for j in self.wt.node_level]
@@ -375,10 +378,7 @@ class HeatSolver:
                 n_coarse=min(mg_coarse, max(space_n // 2, 4)),
                 _system_cache=cache,
             )
-            self.msmg_kx = (
-                self.msmg if self.mg_nu_kx == self.mg_nu
-                else dataclasses.replace(self.msmg, nu=self.mg_nu_kx)
-            )
+            self.msmg_kx = _nu_variant(self.msmg, self.mg_nu_kx)
             # Per-row shifts: K_Y rows solve with A alone (omega = 0); the
             # wavelet rows solve with the shift of their level.
             self._host["omega_ky"] = np.zeros(self.N)
@@ -600,25 +600,9 @@ class HeatSolver:
                         else None
                         for lev in self.msmg.levels
                     ]
-                    self._ms_pl[key] = mk_var(self.mg_nu)
-                    self._ms_pl_kx[key] = (
-                        self._ms_pl[key] if self.mg_nu_kx == self.mg_nu
-                        else mk_var(self.mg_nu_kx)
+                    self._wire_ms_pallas(
+                        key, p, dtype, mk_var, VarMSPallasLevel.columns
                     )
-                    for name, omr, pls in (
-                        ("ms_ky", self._host["omega_ky"], self._ms_pl[key]),
-                        ("ms_kx", self._host["omega_kx"],
-                         self._ms_pl_kx[key]),
-                    ):
-                        for pj, lp, lev in zip(
-                            pls, p[name], self.msmg.levels
-                        ):
-                            if pj is not None:
-                                lp["cols"] = VarMSPallasLevel.columns(
-                                    lev, omr, dtype
-                                )
-                                if pj.fused_ok:
-                                    lp["tx"] = pj.transfers(dtype)
             # Fused Pallas smoother/residual kernels per level (large levels
             # only — the XLA form wins at small sizes); each level's
             # Chebyshev columns ride in the params pytree.
@@ -635,22 +619,8 @@ class HeatSolver:
                     else None
                     for lev in self.msmg.levels
                 ]
-                self._ms_pl[key] = mk_ms(self.mg_nu)
-                self._ms_pl_kx[key] = (
-                    self._ms_pl[key] if self.mg_nu_kx == self.mg_nu
-                    else mk_ms(self.mg_nu_kx)
-                )
-                for name, omr, pls in (
-                    ("ms_ky", self._host["omega_ky"], self._ms_pl[key]),
-                    ("ms_kx", self._host["omega_kx"], self._ms_pl_kx[key]),
-                ):
-                    for pj, lp, lev in zip(
-                        pls, p[name], self.msmg.levels
-                    ):
-                        if pj is not None:
-                            lp["cols"] = MSPallasLevel.columns(lev, omr, dtype)
-                            if pj.fused_ok or pj.semi_ok:
-                                lp["tx"] = pj.transfers(dtype)
+                self._wire_ms_pallas(key, p, dtype, mk_ms,
+                                     MSPallasLevel.columns)
         if not self.wt.is_uniform:
             p["perm"] = jnp.asarray(self.wt.perm_by_level)
             inv_perm = np.empty_like(self.wt.perm_by_level)
@@ -658,6 +628,28 @@ class HeatSolver:
             p["inv_perm"] = jnp.asarray(inv_perm)
         self._params_cache[key] = p
         return p
+
+    def _wire_ms_pallas(self, key, p, dtype, mk, columns):
+        """Shared K_Y/K_X Pallas-level wiring for both multigrid flavors:
+        build the per-level kernels (separately when mg_nu_kx differs from
+        mg_nu) and attach each level's Chebyshev columns — plus the banded
+        transfer factors where a fused/semi-fused stage will consume them —
+        to the params pytree."""
+        self._ms_pl[key] = mk(self.mg_nu)
+        self._ms_pl_kx[key] = (
+            self._ms_pl[key] if self.mg_nu_kx == self.mg_nu
+            else mk(self.mg_nu_kx)
+        )
+        for name, omr, pls in (
+            ("ms_ky", self._host["omega_ky"], self._ms_pl[key]),
+            ("ms_kx", self._host["omega_kx"], self._ms_pl_kx[key]),
+        ):
+            for pj, lp, lev in zip(pls, p[name], self.msmg.levels):
+                if pj is not None:
+                    lp["cols"] = columns(lev, omr, dtype)
+                    # VarMSPallasLevel has no semi-fused stages (deferred).
+                    if pj.fused_ok or getattr(pj, "semi_ok", False):
+                        lp["tx"] = pj.transfers(dtype)
 
     def _spmv_generic(self, which: str, offsets, U, p):
         """'ell' spatial path: Pallas blocked-ELL SpMM for f32/bf16, DIA for
