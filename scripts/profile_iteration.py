@@ -131,7 +131,13 @@ def main():
         return s.apply_BT(s.apply_B(U, pp), pp)
 
     def wavelet_pair(U, pp):
-        C = s.wt.adjoint_jax(U.reshape(N + 1, m), pp["wavelet"])
+        # Match the solve path's layout: the mg KX keeps the (N+1,)+gs grid
+        # layout through W'/W (flattening to (N+1, m) lane-pads and
+        # re-tiles — measured 12x slower GEMMs at the 3D flagship, and the
+        # old flat-layout form of this component measured 41.0 ms where
+        # the in-solve pair costs ~7 ms).
+        shape = (N + 1,) + gs if s.inner == "mg" else (N + 1, m)
+        C = s.wt.adjoint_jax(U.reshape(shape), pp["wavelet"])
         return s.wt.forward_jax(C, pp["wavelet"]).reshape(U.shape)
 
     components = {
