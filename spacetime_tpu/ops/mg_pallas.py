@@ -141,25 +141,30 @@ def _pair_groups(groups_A, groups_M):
 
 def _op_rows(X, omega, groups_A, groups_M, gs, yb):
     """A(X) + ω·M(X) on the interior rows of a haloed window, with the tap
-    loads shared between the two stencils (see _pair_groups).
+    loads shared between the two stencils (see _pair_groups) and the two
+    weights folded into ONE per-row combined weight per group:
+    (wa + ω·wm)·Σtaps. The fold happens on the (T, 1, …) ω column —
+    negligible — and saves the separate A/M accumulators' full-tile
+    multiply-adds (measured VPU-bound: ~12 → ~7 beyond-tap ops per 3D Op
+    application). Pure 2-term reassociation vs the XLA form (~1 ulp).
 
     ``yb``: number of output rows along the blocked axis; None = unblocked
     (zero-pad the blocked axis like the others)."""
     tap = _kp._tap_fn(X, gs, yb)
-    outA = None
-    outM = None
+    out = None
     for (wa, wm), ds in _pair_groups(groups_A, groups_M):
         acc = None
         for disp in ds:
             t = tap(disp)
             acc = t if acc is None else acc + t
-        if wa != 0.0:
-            outA = wa * acc if outA is None else outA + wa * acc
-        if wm != 0.0:
-            outM = wm * acc if outM is None else outM + wm * acc
-    if outM is None:
-        return outA
-    return outM * omega if outA is None else outA + omega * outM
+        if wm == 0.0:
+            w = wa
+        elif wa == 0.0:
+            w = omega * wm
+        else:
+            w = wa + omega * wm
+        out = w * acc if out is None else out + w * acc
+    return out
 
 
 @functools.partial(

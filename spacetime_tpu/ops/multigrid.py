@@ -417,7 +417,49 @@ class MultiShiftMultigrid:
     # ---------------------------------------------------------------- jax
 
     def _op(self, lev: _MSLevel, lp, x):
-        return lev.A_st.apply(x) + lp["omega"] * lev.M_st.apply(x)
+        """A(x) + ω⊙M(x) with the tap loads shared between the two stencils
+        and the weights folded into ONE per-row combined weight per pair
+        group, (wa + ω·wm)·Σtaps — the same arithmetic order as the Pallas
+        kernels' _op_rows (ops/mg_pallas.py), so the Pallas and XLA V-cycles
+        agree to roundoff (tests/test_mg_pallas.py). Keeps the measured-fast
+        stencil rules (ops/stencil.py): group sums first, one multiply per
+        group, center tap unpadded, ω pre-broadcast to (T, *gs[:-1], 1)."""
+        import jax.numpy as jnp
+
+        from .kron_pallas import _weight_groups
+        from .mg_pallas import _pair_groups
+
+        gs = lev.A_st.grid_shape
+        dim = len(gs)
+        batch = x.ndim - dim
+        center = (0,) * dim
+        omega = lp["omega"]
+        Up = None
+        out = None
+        for (wa, wm), ds in _pair_groups(
+            _weight_groups(lev.A_st.disps, lev.A_st.weights),
+            _weight_groups(lev.M_st.disps, lev.M_st.weights),
+        ):
+            acc = None
+            for disp in ds:
+                if disp == center:
+                    tap = x
+                else:
+                    if Up is None:
+                        Up = jnp.pad(x, [(0, 0)] * batch + [(1, 1)] * dim)
+                    idx = tuple([slice(None)] * batch) + tuple(
+                        slice(1 + d, 1 + d + n) for d, n in zip(disp, gs)
+                    )
+                    tap = Up[idx]
+                acc = tap if acc is None else acc + tap
+            if wm == 0.0:
+                w = wa
+            elif wa == 0.0:
+                w = omega * wm
+            else:
+                w = wa + omega * wm
+            out = w * acc if out is None else out + w * acc
+        return out
 
     def _smooth(self, lev: _MSLevel, lp, x, b):
         sigma = self._SIGMA
