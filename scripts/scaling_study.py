@@ -30,7 +30,13 @@ sys.path.insert(0, ".")
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# Virtual device count must be set before the backend initializes, i.e.
+# before argparse runs — peek at argv (cfg5 names a v5e-16 time mesh, so
+# the study must be able to emulate 16 devices, not just 8).
+_nd = 8
+if "--num-devices" in sys.argv:
+    _nd = int(sys.argv[sys.argv.index("--num-devices") + 1])
+jax.config.update("jax_num_cpu_devices", _nd)
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
@@ -66,6 +72,10 @@ def main():
     ap.add_argument("--levels", type=int, default=5)
     ap.add_argument("--tol", type=float, default=1e-8)
     ap.add_argument("--out", default="scaling_study.jsonl")
+    ap.add_argument("--num-devices", type=int, default=8,
+                    help="virtual CPU device count (also consumed before "
+                    "backend init at module top); device ladder runs "
+                    "powers of two up to this")
     args = ap.parse_args()
 
     problem = get_problem("smooth2d")
@@ -82,7 +92,7 @@ def main():
         print(f"serial/{variant}: {r.iterations} iters")
 
     for backend, cls in (("sharded", ShardedHeatSolver), ("explicit", ExplicitHeatSolver)):
-        for P in (2, 4, 8):
+        for P in [p for p in (2, 4, 8, 16, 32) if p <= args.num_devices]:
             for variant in ("standard", "fused"):
                 solver = cls(
                     problem, system, grid, make_time_mesh(P),
