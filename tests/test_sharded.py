@@ -153,3 +153,22 @@ def test_spacetime_2d_mesh_parity():
     assert r42.converged
     assert r42.iterations == r1.iterations
     np.testing.assert_allclose(r42.residuals, r1.residuals, rtol=1e-9)
+
+
+def test_spacetime_2d_mesh_parity_3d():
+    # cfg5-stretch layout in 3D: 2 time x 4 space devices split the leading
+    # spatial grid axis (nz); history must match the serial solve.
+    from spacetime_tpu.fem import unit_cube_mesh
+    from spacetime_tpu.parallel import make_spacetime_mesh
+
+    problem = get_problem("smooth3d")
+    system = P1System.from_mesh(unit_cube_mesh(8))
+    grid = uniform_time_grid(3)
+    r1 = HeatSolver(problem, system, grid).solve(tol=1e-6, compute_error=False)
+    mesh = make_spacetime_mesh(2, 4)
+    r24 = ShardedHeatSolver(problem, system, grid, mesh).solve(
+        tol=1e-6, compute_error=False
+    )
+    assert r24.converged
+    assert r24.iterations == r1.iterations
+    np.testing.assert_allclose(r24.residuals, r1.residuals, rtol=1e-9)
