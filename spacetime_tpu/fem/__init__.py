@@ -10,7 +10,10 @@ from .mesh import (
     unit_square_mesh,
     unit_cube_mesh,
     l_shape_mesh,
+    nested_interpolation,
+    refine_hierarchy,
     refine_uniform,
+    sort_vertices_lex,
     domain_mesh,
 )
 from .assembly import (
@@ -34,7 +37,10 @@ __all__ = [
     "unit_square_mesh",
     "unit_cube_mesh",
     "l_shape_mesh",
+    "nested_interpolation",
+    "refine_hierarchy",
     "refine_uniform",
+    "sort_vertices_lex",
     "domain_mesh",
     "load_mesh",
     "save_mesh",

@@ -28,6 +28,12 @@ class Mesh:
       interior: (m,) int32 indices of interior (free) vertices.
       grid_shape: per-axis interior node counts for structured meshes
         (used to derive DIA diagonal offsets), or None for unstructured.
+      refined_from: for meshes produced by ``refine_uniform``: the tuple
+        (coarse_mesh, parent_edges) where parent_edges[i] = (a, b) are the
+        COARSE vertex indices whose midpoint is fine vertex i (a == b for
+        inherited vertices). This is the exact nested-P1 embedding record
+        that the unstructured Galerkin multigrid hierarchy is built from
+        (ops/multigrid.NestedMultiShiftMultigrid).
     """
 
     vertices: np.ndarray
@@ -35,6 +41,7 @@ class Mesh:
     boundary: np.ndarray
     interior: np.ndarray
     grid_shape: tuple[int, ...] | None = None
+    refined_from: tuple | None = None
 
     @property
     def dim(self) -> int:
@@ -231,7 +238,89 @@ def refine_uniform(mesh: Mesh) -> Mesh:
 
     on_bdry = _boundary_vertex_mask(vertices.shape[0], elements)
     interior = np.flatnonzero(~on_bdry).astype(np.int32)
-    return Mesh(vertices, elements, on_bdry, interior, grid_shape=None)
+    # Nested-P1 parent record: inherited vertices are their own parents,
+    # new vertices are midpoints of the unique coarse edges.
+    nv = V.shape[0]
+    own = np.stack([np.arange(nv), np.arange(nv)], axis=1)
+    parent_edges = np.concatenate([own, uniq], axis=0).astype(np.int32)
+    return Mesh(vertices, elements, on_bdry, interior, grid_shape=None,
+                refined_from=(mesh, parent_edges))
+
+
+def sort_vertices_lex(mesh: Mesh) -> Mesh:
+    """Reorder vertices lexicographically (last coordinate major, first
+    fastest). ``refine_uniform`` appends midpoints after the inherited
+    vertices, which scatters grid neighbors across the index space — the
+    assembled matrix then has thousands of DIA diagonals (measured 12365 at
+    the refined L-shape n=64 vs 11 lex-sorted). Grid-like meshes recover
+    their banded structure exactly under this sort; parent links
+    (``refined_from``) are row-permuted along."""
+    key = tuple(mesh.vertices[:, d] for d in range(mesh.dim))
+    order = np.lexsort(key)  # last key = major -> here first coord fastest
+    inv = np.empty(order.size, dtype=np.int64)
+    inv[order] = np.arange(order.size)
+    boundary = mesh.boundary[order]
+    refined_from = mesh.refined_from
+    if refined_from is not None:
+        coarse, pe = refined_from
+        refined_from = (coarse, pe[order])
+    return Mesh(
+        mesh.vertices[order],
+        inv[mesh.elements.astype(np.int64)].astype(np.int32),
+        boundary,
+        np.flatnonzero(~boundary).astype(np.int32),
+        grid_shape=None,
+        refined_from=refined_from,
+    )
+
+
+def refine_hierarchy(base: Mesh, refines: int, sort: bool = True) -> Mesh:
+    """Red-refine ``refines`` times, recording the nested-P1 parent chain
+    (``Mesh.refined_from``) that the unstructured Galerkin multigrid walks;
+    each level is lex-sorted (``sort_vertices_lex``) to keep the assembled
+    matrices DIA-banded. This is the multigrid-ready counterpart of calling
+    ``refine_uniform`` in a loop."""
+    mesh = base
+    for _ in range(refines):
+        mesh = refine_uniform(mesh)
+        if sort:
+            mesh = sort_vertices_lex(mesh)
+    return mesh
+
+
+def nested_interpolation(fine: Mesh):
+    """The exact nested-P1 embedding P (interior-fine × interior-coarse,
+    scipy CSR) for a mesh produced by ``refine_uniform``: a fine interior
+    vertex reads its inherited coarse value (weight 1) or the mean of its
+    parent edge's endpoints (weights ½, ½); coarse Dirichlet parents
+    contribute their boundary value 0 and are dropped. Restriction is Pᵀ;
+    Galerkin RAP through this P equals re-assembly on the coarse mesh in
+    exact arithmetic (nested spaces)."""
+    import scipy.sparse as sp
+
+    if fine.refined_from is None:
+        raise ValueError("mesh carries no refinement record (refined_from)")
+    coarse, pe = fine.refined_from
+    c2i = np.full(coarse.num_vertices, -1, dtype=np.int64)
+    c2i[coarse.interior] = np.arange(coarse.num_interior)
+    fi = fine.interior.astype(np.int64)
+    rows, cols, vals = [], [], []
+    for side in (0, 1):
+        parent = pe[fi, side].astype(np.int64)
+        # ½ per edge endpoint; an inherited vertex lists itself twice,
+        # so the duplicate sum below restores its weight 1.
+        w = np.full(fi.size, 0.5)
+        ci = c2i[parent]
+        keep = ci >= 0
+        rows.append(np.arange(fi.size)[keep])
+        cols.append(ci[keep])
+        vals.append(w[keep])
+    P = sp.csr_matrix(
+        (np.concatenate(vals), (np.concatenate(rows), np.concatenate(cols))),
+        shape=(fine.num_interior, coarse.num_interior),
+    )
+    P.sum_duplicates()
+    return P
 
 
 def domain_mesh(domain: str, dim: int, n: int) -> Mesh:

@@ -777,6 +777,233 @@ class GalerkinMultiShiftMultigrid:
         return x
 
 
+def _rap(A, P):
+    """Galerkin RAP Pᵀ A P, symmetrized and pruned of fp noise (for nested
+    P1 this equals re-assembly on the coarse mesh — verified exactly in
+    tests/test_nested_mg.py)."""
+    import scipy.sparse as sp  # noqa: F401  (A @ P needs scipy loaded)
+
+    Ac = (P.T @ A @ P).tocsr()
+    Ac = 0.5 * (Ac + Ac.T)
+    Ac.data[np.abs(Ac.data) < 1e-13 * np.abs(Ac.data).max()] = 0.0
+    Ac.eliminate_zeros()
+    return Ac
+
+
+def _ell_rows(P, pad_width: int | None = None):
+    """CSR rows → fixed-width (idx, w) gather arrays, zero-weight padded
+    (pad index 0 is harmless under weight 0)."""
+    P = P.tocsr()
+    counts = np.diff(P.indptr)
+    K = int(counts.max()) if pad_width is None else pad_width
+    K = max(K, 1)
+    idx = np.zeros((P.shape[0], K), np.int32)
+    w = np.zeros((P.shape[0], K), np.float64)
+    for r in range(P.shape[0]):
+        lo, hi = P.indptr[r], P.indptr[r + 1]
+        idx[r, : hi - lo] = P.indices[lo:hi]
+        w[r, : hi - lo] = P.data[lo:hi]
+    return idx, w
+
+
+@dataclasses.dataclass(frozen=True)
+class _NestedLevel:
+    offA: tuple[int, ...]
+    offM: tuple[int, ...]
+    Av: np.ndarray  # (m, ndiagA) host f64 DIA values
+    Mv: np.ndarray
+    dA: np.ndarray  # (m,) diagonals / |row| sums for Chebyshev bounds
+    dM: np.ndarray
+    rsA: np.ndarray
+    rsM: np.ndarray
+    m: int
+    Pidx: np.ndarray  # (m, ≤2) prolongation gather (coarse dof ids)
+    Pw: np.ndarray
+    Ridx: np.ndarray  # (m_c, K) restriction gather (fine dof ids)
+    Rw: np.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class NestedMultiShiftMultigrid:
+    """Multi-shift V-cycle on UNSTRUCTURED nested-refinement hierarchies.
+
+    The scale-phase inner solver for general domains the reference reached
+    through NGSolve meshes + splu (SURVEY.md §2 "spatial inner solver"):
+    where the mesh records a red-refinement chain (``Mesh.refined_from``,
+    built by ``fem.refine_hierarchy``), the P1 spaces are exactly nested, so
+    Galerkin RAP through the recorded embedding (``fem.nested_interpolation``)
+    equals coarse re-assembly and geometric multigrid applies with NO
+    structured-grid assumption. This replaces the Chebyshev polynomial
+    inverses (`inner="cheb"`) whose degrees grow like h⁻¹ — measured degree
+    935 for the K_Y solve at the L-shape h=1/512 — with a mesh-independent
+    V-cycle cost.
+
+    Same algorithm as :class:`MultiShiftMultigrid` (per-row shifts ω enter
+    as (T, 1) scales; Chebyshev–Jacobi smoothing with exact per-ω Gershgorin
+    bounds), but everything stays in the flat (..., m_l) dof layout:
+
+    - level operators are DIA matvecs (lex-sorted refined meshes keep the
+      P1 matrices banded — 11 diagonals at the L-shape, vs 12365 in raw
+      refinement order: ``fem.sort_vertices_lex``);
+    - transfers are fixed-width gather rows of P (≤2 parents per fine dof)
+      and Pᵀ, zero-weight padded;
+    - the Jacobi diagonal 1/(dA + ω·dM) is formed on the fly per row.
+    """
+
+    levels: tuple[_NestedLevel, ...]
+    nu: int
+
+    _SIGMA = 5.0 / 3.0
+
+    @classmethod
+    def build(
+        cls,
+        fine_mesh,
+        A_fine,
+        M_fine,
+        nu: int = 2,
+        m_coarse: int = 1024,
+        max_levels: int | None = None,
+    ) -> tuple["NestedMultiShiftMultigrid", tuple[np.ndarray, np.ndarray]]:
+        """Walk the mesh's ``refined_from`` chain, Galerkin-coarsening the
+        assembled fine matrices, until the chain ends or the level is at
+        most ``m_coarse`` dofs. Returns (structure, (A_c, M_c) dense for
+        the coarsest solve)."""
+        import scipy.sparse as sp
+
+        from ..fem.mesh import nested_interpolation
+
+        A = sp.csr_matrix(A_fine)
+        M = sp.csr_matrix(M_fine)
+        mesh = fine_mesh
+        levels = []
+        while (
+            mesh.refined_from is not None
+            and A.shape[0] > m_coarse
+            and (max_levels is None or len(levels) < max_levels)
+        ):
+            P = nested_interpolation(mesh)
+            dia_A = DiaMatrix.from_csr(A)
+            dia_M = DiaMatrix.from_csr(M)
+            Pidx, Pw = _ell_rows(P)
+            Ridx, Rw = _ell_rows(P.T.tocsr())
+            levels.append(
+                _NestedLevel(
+                    dia_A.offsets, dia_M.offsets, dia_A.vals, dia_M.vals,
+                    np.asarray(A.diagonal()), np.asarray(M.diagonal()),
+                    np.asarray(np.abs(A).sum(axis=1)).ravel(),
+                    np.asarray(np.abs(M).sum(axis=1)).ravel(),
+                    A.shape[0], Pidx, Pw, Ridx, Rw,
+                )
+            )
+            A = _rap(A, P)
+            M = _rap(M, P)
+            mesh = mesh.refined_from[0]
+        if not levels:
+            raise ValueError(
+                "mesh carries no refinement chain above m_coarse — build it "
+                "with fem.refine_hierarchy(base, refines)"
+            )
+        if A.shape[0] > 8192:
+            raise ValueError(
+                f"coarsest level still has {A.shape[0]} dofs (> 8192): the "
+                "dense coarse inverses would not fit — start from a coarser "
+                "base mesh or refine more"
+            )
+        return cls(tuple(levels), nu), (A.toarray(), M.toarray())
+
+    # ------------------------------------------------------------- params
+
+    def row_params(self, omega_rows: np.ndarray, dtype) -> list[dict]:
+        """Per-level device params for a per-row shift vector (exact
+        Gershgorin Chebyshev bounds at the distinct shift values)."""
+        import jax.numpy as jnp
+
+        omega_rows = np.asarray(omega_rows, np.float64)
+        uniq, inv = np.unique(omega_rows, return_inverse=True)
+        out = []
+        for lev in self.levels:
+            lam_u = np.empty(uniq.size)
+            for k, w in enumerate(uniq):
+                lam_u[k] = ((lev.rsA + w * lev.rsM) / (lev.dA + w * lev.dM)).max()
+            lam = 1.1 * lam_u[inv]
+            col = lambda v: jnp.asarray(v, dtype)[:, None]
+            out.append(
+                {
+                    "omega": col(omega_rows),
+                    "inv_theta": col(1.0 / (0.625 * lam)),
+                    "inv_delta": col(1.0 / (0.375 * lam)),
+                    "Av": jnp.asarray(lev.Av, dtype),
+                    "Mv": jnp.asarray(lev.Mv, dtype),
+                    "dA": jnp.asarray(lev.dA, dtype),
+                    "dM": jnp.asarray(lev.dM, dtype),
+                    "Pidx": jnp.asarray(lev.Pidx),
+                    "Pw": jnp.asarray(lev.Pw, dtype),
+                    "Ridx": jnp.asarray(lev.Ridx),
+                    "Rw": jnp.asarray(lev.Rw, dtype),
+                }
+            )
+        return out
+
+    # ---------------------------------------------------------------- jax
+
+    def _op(self, lev: _NestedLevel, lp, x):
+        from .sparse import dia_matvec
+
+        return dia_matvec(lp["Av"], lev.offA, x) + lp["omega"] * dia_matvec(
+            lp["Mv"], lev.offM, x
+        )
+
+    def _smooth(self, lev: _NestedLevel, lp, x, b, zero_init: bool = False):
+        sigma = self._SIGMA
+        invd = 1.0 / (lp["dA"] + lp["omega"] * lp["dM"])
+        r = invd * (b if zero_init else b - self._op(lev, lp, x))
+        d = r * lp["inv_theta"]
+        x = d if zero_init else x + d
+        rho = 1.0 / sigma
+        for _ in range(self.nu - 1):
+            rho_new = 1.0 / (2.0 * sigma - rho)
+            r = r - invd * self._op(lev, lp, d)
+            d = rho_new * rho * d + (2.0 * rho_new) * lp["inv_delta"] * r
+            x = x + d
+            rho = rho_new
+        return x
+
+    @staticmethod
+    def _gather_apply(w, idx, v):
+        """(..., n_src) -> (..., n_dst): Σ_k w[r, k] · v[..., idx[r, k]]."""
+        import jax.numpy as jnp
+
+        return (w * jnp.take(v, idx, axis=-1)).sum(axis=-1)
+
+    def _restrict(self, r, lp):
+        return self._gather_apply(lp["Rw"], lp["Ridx"], r)
+
+    def _interp(self, e, lp):
+        return self._gather_apply(lp["Pw"], lp["Pidx"], e)
+
+    def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
+        if lvl == len(self.levels):
+            return coarse_solve(b)
+        lev = self.levels[lvl]
+        lp = lps[lvl]
+        x = self._smooth(lev, lp, None, b, zero_init=True)
+        r = b - self._op(lev, lp, x)
+        ec = self.vcycle(self._restrict(r, lp), lps, coarse_solve, lvl + 1)
+        x = x + self._interp(ec, lp)
+        return self._smooth(lev, lp, x, b)
+
+    def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
+        """``b``: (..., m) flat dof layout (``pallas`` accepted for call-
+        signature parity with the structured classes; no kernels here —
+        these are bandwidth-bound gather/DIA passes)."""
+        x = self.vcycle(b, lps, coarse_solve)
+        for _ in range(cycles - 1):
+            r = b - self._op(self.levels[0], lps[0], x)
+            x = x + self.vcycle(r, lps, coarse_solve)
+        return x
+
+
 def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,
                       lmax: float, degree: int):
     """Return fn(b) ≈ Op⁻¹ b by degree-``degree`` Chebyshev–Jacobi iteration.

@@ -190,10 +190,13 @@ def main(argv=None) -> int:
         else:
             mesh = domain_mesh(problem.domain, problem.dim, args.space_n)
         if args.refine > 0:
-            from .fem import refine_uniform
+            # refine_hierarchy (not a bare refine_uniform loop): records the
+            # nested-P1 parent chain so inner='mg' gets a real multigrid
+            # hierarchy on unstructured meshes, and lex-sorts each level to
+            # keep the assembled matrices DIA-banded.
+            from .fem import refine_hierarchy
 
-            for _ in range(args.refine):
-                mesh = refine_uniform(mesh)
+            mesh = refine_hierarchy(mesh, args.refine)
         system = P1System.from_problem(problem, mesh)
         if args.extra_levels > 0:
             grid = graded_time_grid(args.time_levels, args.extra_levels, T=problem.T)

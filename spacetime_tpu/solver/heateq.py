@@ -250,11 +250,19 @@ class HeatSolver:
         if inner == "auto":
             if self.m <= 4096:
                 inner = "dense"
-            elif use_stencil or (weighted and structured_sq):
+            elif (
+                use_stencil
+                or (weighted and structured_sq)
+                or getattr(system.mesh, "refined_from", None) is not None
+            ):
+                # structured grids, weighted structured grids, and
+                # unstructured meshes with a recorded refinement chain
+                # (fem.refine_hierarchy) all have a nested P1 hierarchy.
                 inner = "mg"
             else:
-                # large unstructured meshes: no nested hierarchy for mg and
-                # dense inverses are O(m²) — Chebyshev polynomial inverses
+                # large unstructured meshes without a refinement record: no
+                # hierarchy for mg and dense inverses are O(m²) — Chebyshev
+                # polynomial inverses
                 inner = "cheb"
         self.inner = inner
         self._mg_weighted = False
@@ -283,6 +291,65 @@ class HeatSolver:
                 Sj = np.linalg.inv(A_dense + omega * M_dense)
                 sandwiches.append(Sj @ A_dense @ Sj)
             self._host["sandwich"] = sandwiches
+        elif (
+            inner == "mg"
+            and self.spatial_format in ("dia", "ell")
+            and getattr(system.mesh, "refined_from", None) is not None
+        ):
+            # UNSTRUCTURED meshes with a recorded red-refinement chain
+            # (fem.refine_hierarchy): the P1 spaces are exactly nested, so
+            # Galerkin RAP through the recorded embedding is coarse
+            # re-assembly and geometric multigrid needs no structured grid
+            # (ops/multigrid.NestedMultiShiftMultigrid — flat dof layout,
+            # DIA level matvecs, gather transfers). Replaces the Chebyshev
+            # polynomial inverses whose degrees grow like h⁻¹ (935 for the
+            # K_Y solve at the L-shape h=1/512, BASELINE.md).
+            from ..ops.multigrid import (
+                NestedMultiShiftMultigrid,
+                chebyshev_coefficients,
+                chebyshev_degree,
+                generic_spectral_bounds,
+            )
+
+            self.mg_cycles = mg_cycles
+            self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
+            self.mg_nu = mg_nu
+            self.mg_nu_kx = mg_nu if mg_nu_kx is None else mg_nu_kx
+            self._mg_dim = system.mesh.dim
+            # Same floor rule as the structured builds: always coarsen at
+            # least once when a chain exists (small meshes otherwise fall
+            # under the default coarse cap before building any level).
+            m_coarse = mg_coarse if mg_coarse is not None else 1024
+            self.msmg, (A_c, M_c) = NestedMultiShiftMultigrid.build(
+                system.mesh, system.A, system.M, nu=mg_nu,
+                m_coarse=min(m_coarse, max(self.m // 4, 1)),
+            )
+            self.msmg_kx = _nu_variant(self.msmg, self.mg_nu_kx)
+            self._host["omega_ky"] = np.zeros(self.N)
+            self._host["omega_kx"] = np.asarray(
+                [float(self.wt.level_shift[j]) for j in self.wt.node_level]
+            )
+            self._host["mg_cinv_ky"] = np.linalg.inv(A_c)
+            self._host["mg_cinv"] = [
+                np.linalg.inv(A_c + omega * M_c) for omega in omegas
+            ]
+            # K_H ≈ M⁻¹: generic-bounds Chebyshev in the flat layout (the
+            # same form the cheb inner uses); _mg_weighted routes
+            # _apply_Minv through it and keeps the Pallas MG kernels off
+            # (they assume constant stencils on structured grids).
+            self._mg_weighted = True
+            self.pallas_mg = False
+            dM = np.asarray(system.M.diagonal())
+            rsM = np.asarray(np.abs(system.M).sum(axis=1)).ravel()
+            laM, _ = generic_spectral_bounds(system.M)
+            lmaxM = float((rsM / dM).max())
+            self._cheb_spec = {
+                "M": (laM, lmaxM, chebyshev_degree(laM, lmaxM, 1e-3))
+            }
+            self._host["cheb_invM"] = 1.0 / dM
+            self._host["cheb_coefM"] = chebyshev_coefficients(
+                *self._cheb_spec["M"]
+            )
         elif inner == "mg" and self.spatial_format != "stencil":
             # Coefficient-weighted (or explicitly DIA/ELL-format) operators
             # on structured grids: Galerkin RAP hierarchy off the assembled
@@ -291,7 +358,8 @@ class HeatSolver:
                 raise ValueError(
                     "inner='mg' requires the structured stencil path (or a "
                     "coefficient-weighted system on a structured "
-                    "square/cubic grid)"
+                    "square/cubic grid; unstructured meshes need a "
+                    "refinement chain — fem.refine_hierarchy)"
                 )
             if space_n is None:
                 space_n = gs[0] + 1
