@@ -158,3 +158,25 @@ def test_sharded_parity_nested_mg():
     ).solve(tol=1e-6, compute_error=False)
     assert rP.iterations == r1.iterations
     np.testing.assert_allclose(rP.residuals, r1.residuals, rtol=1e-9)
+
+
+def test_mesh_file_roundtrip_refine_hierarchy(tmp_path):
+    # User-facing combination: an IMPORTED mesh (no refinement record) gains
+    # a nested hierarchy by refining in-framework — run.py --mesh-file
+    # --refine K --inner mg.
+    from spacetime_tpu.fem import load_mesh, save_mesh
+
+    path = str(tmp_path / "lshape.msh")
+    save_mesh(l_shape_mesh(8), path)
+    loaded = load_mesh(path)
+    assert loaded.refined_from is None
+    mesh = refine_hierarchy(loaded, 2)
+    prob = get_problem("lshape2d")
+    s = HeatSolver(
+        prob, P1System.from_problem(prob, mesh), uniform_time_grid(5),
+        inner="mg",
+    )
+    assert type(s.msmg).__name__ == "NestedMultiShiftMultigrid"
+    r = s.solve(tol=1e-6)
+    assert r.converged
+    np.testing.assert_allclose(r.l2_error, 3.2796e-03, rtol=1e-3)
