@@ -1004,6 +1004,261 @@ class NestedMultiShiftMultigrid:
         return x
 
 
+def sa_prolongator(A, theta: float = 0.08):
+    """Smoothed-aggregation prolongator (Vaněk–Mandel–Brezina) for one
+    coarsening step of an SPD operator — the hierarchy builder for meshes
+    with NO refinement record (imported files at native resolution), where
+    neither the structured-grid nor the nested-refinement geometric
+    hierarchies exist (SURVEY.md §2 "spatial inner solver", general-domain
+    regime).
+
+    Standard scalar SA: strength graph |a_ij| ≥ θ·√(a_ii·a_jj); greedy
+    3-pass aggregation (roots with untouched strong neighborhoods, attach
+    stragglers, sweep leftovers); tentative prolongator = the constant
+    near-nullspace vector chopped per aggregate (unit columns); one damped-
+    Jacobi smoothing step P = (I − ω D⁻¹A)·T with ω = 4/(3·λmax(D⁻¹A)),
+    λmax bounded by the Gershgorin row sum (under-relaxing is safe).
+    Returns the (n × n_agg) CSR prolongator.
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    d = np.asarray(A.diagonal())
+    C = A.tocoo()
+    off = C.row != C.col
+    strong = off & (np.abs(C.data) >= theta * np.sqrt(d[C.row] * d[C.col]))
+    S = sp.csr_matrix(
+        (np.ones(int(strong.sum()), np.int8),
+         (C.row[strong], C.col[strong])),
+        shape=A.shape,
+    )
+    indptr, indices = S.indptr, S.indices
+    agg = np.full(n, -1, np.int64)
+    na = 0
+    for i in range(n):  # pass 1: roots with fully unaggregated neighborhoods
+        nbrs = indices[indptr[i] : indptr[i + 1]]
+        if agg[i] == -1 and (agg[nbrs] == -1).all():
+            agg[i] = na
+            agg[nbrs] = na
+            na += 1
+    pass1 = agg.copy()
+    for i in range(n):  # pass 2: attach stragglers to a pass-1 aggregate
+        if pass1[i] != -1:
+            continue
+        hit = pass1[indices[indptr[i] : indptr[i + 1]]]
+        hit = hit[hit != -1]
+        if hit.size:
+            agg[i] = hit[0]
+    for i in range(n):  # pass 3: leftovers form their own aggregates
+        if agg[i] != -1:
+            continue
+        agg[i] = na
+        for j in indices[indptr[i] : indptr[i + 1]]:
+            if agg[j] == -1:
+                agg[j] = na
+        na += 1
+    counts = np.bincount(agg, minlength=na).astype(np.float64)
+    T = sp.csr_matrix(
+        (1.0 / np.sqrt(counts[agg]), (np.arange(n), agg)), shape=(n, na)
+    )
+    # λmax(D⁻¹A) by fixed-seed power iteration (measured: the Gershgorin
+    # bound over-estimates by ~30% on P1 stiffness graphs, under-damping
+    # the prolongator smoother — V-cycle ρ 0.33 → 0.29 with this). The
+    # 1.05 margin only shrinks ω slightly if the iteration undershoots.
+    DinvA = A.multiply((1.0 / d)[:, None]).tocsr()
+    v = np.random.default_rng(1).standard_normal(n)
+    for _ in range(25):
+        v = DinvA @ v
+        v /= np.linalg.norm(v)
+    lmax = 1.05 * float(v @ (DinvA @ v))
+    P = (T - (4.0 / (3.0 * lmax)) * (DinvA @ T)).tocsr()
+    P.data[np.abs(P.data) < 1e-13] = 0.0
+    P.eliminate_zeros()
+    return P
+
+
+@dataclasses.dataclass(frozen=True)
+class _SALevel:
+    m: int
+    fmt: str  # 'dia' | 'ell' level-operator storage
+    offA: tuple[int, ...] | None
+    offM: tuple[int, ...] | None
+    Av: np.ndarray | None  # (m, ndiag) host f64 DIA values
+    Mv: np.ndarray | None
+    eidx: np.ndarray | None  # (m, K) union-pattern ELL column ids
+    ewA: np.ndarray | None  # (m, K) ELL values aligned to eidx
+    ewM: np.ndarray | None
+    dA: np.ndarray  # (m,) diagonals / |row| sums for Chebyshev bounds
+    dM: np.ndarray
+    rsA: np.ndarray
+    rsM: np.ndarray
+    Pidx: np.ndarray  # (m, Kp) prolongation gather (coarse dof ids)
+    Pw: np.ndarray
+    Ridx: np.ndarray  # (m_c, Kr) restriction gather (fine dof ids)
+    Rw: np.ndarray
+
+
+@dataclasses.dataclass(frozen=True)
+class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
+    """Multi-shift V-cycle on a smoothed-aggregation (algebraic) hierarchy.
+
+    The inner solver for unstructured meshes with NO refinement record —
+    imported mesh files at their native resolution — where the Chebyshev
+    polynomial inverses are the only alternative and their degrees grow
+    like h⁻¹ (measured degree 935 for the K_Y solve at the L-shape
+    h=1/512, BASELINE.md). SA needs only the assembled (A, M): coarse
+    spaces come from :func:`sa_prolongator` aggregation of A's graph, and
+    both operators Galerkin-coarsen through the same P, so the shifted
+    operators A_c + ω·M_c are the exact RAP of the fine shifts.
+
+    Same smoother/cycle algorithm as :class:`NestedMultiShiftMultigrid`
+    (inherited); only the level construction and the level operator differ:
+
+    - level 0 keeps the lex-sorted fine matrices' DIA form (banded);
+    - aggregated coarse operators are NOT banded (aggregate numbering
+      scrambles offsets), so coarse levels store the A/M union pattern as
+      fixed-width ELL gather rows, sharing one gather of x between the A
+      and M applications;
+    - transfers are fixed-width gather rows of P and Pᵀ (as in nested mg).
+    """
+
+    # ~9x (2D) coarsening per level; storage rule below picks DIA only when
+    # the diagonal count stays within 4x the nnz footprint.
+    _DIA_MAX_WASTE = 4.0
+
+    @classmethod
+    def build(
+        cls,
+        A_fine,
+        M_fine,
+        nu: int = 2,
+        m_coarse: int = 1024,
+        theta: float = 0.08,
+        max_levels: int | None = None,
+    ) -> tuple["SAMultiShiftMultigrid", tuple[np.ndarray, np.ndarray]]:
+        """Aggregate-coarsen (A, M) until ≤ ``m_coarse`` dofs (or until
+        aggregation stops making progress). Returns (structure, (A_c, M_c)
+        dense for the coarsest solve)."""
+        import scipy.sparse as sp
+
+        A = sp.csr_matrix(A_fine)
+        M = sp.csr_matrix(M_fine)
+        levels = []
+        while A.shape[0] > m_coarse and (
+            max_levels is None or len(levels) < max_levels
+        ):
+            P = sa_prolongator(A, theta)
+            if P.shape[1] >= A.shape[0]:
+                break  # no coarsening progress (pathological graph)
+            levels.append(cls._make_level(A, M, P, first=not levels))
+            A = _rap(A, P)
+            M = _rap(M, P)
+        if not levels:
+            raise ValueError(
+                f"smoothed aggregation built no levels above m_coarse="
+                f"{m_coarse} (m={A.shape[0]})"
+            )
+        if A.shape[0] > 8192:
+            raise ValueError(
+                f"coarsest level still has {A.shape[0]} dofs (> 8192): "
+                "aggregation stalled — lower theta or raise max_levels"
+            )
+        return cls(tuple(levels), nu), (A.toarray(), M.toarray())
+
+    @classmethod
+    def _make_level(cls, A, M, P, first: bool) -> _SALevel:
+        import scipy.sparse as sp
+
+        m = A.shape[0]
+        dia_A = DiaMatrix.from_csr(A)
+        dia_M = DiaMatrix.from_csr(M)
+        ndiag = max(len(dia_A.offsets), len(dia_M.offsets))
+        use_dia = ndiag * m <= cls._DIA_MAX_WASTE * max(A.nnz, M.nnz)
+        if use_dia:
+            op = dict(offA=dia_A.offsets, offM=dia_M.offsets,
+                      Av=dia_A.vals, Mv=dia_M.vals,
+                      eidx=None, ewA=None, ewM=None)
+        else:
+            # Union sparsity pattern so one gather of x serves A and M.
+            # _ell_rows of the all-ones pattern returns the validity mask,
+            # which zeroes the padded slots (pad id 0 would otherwise pick
+            # up the row's column-0 entry).
+            patt = ((A != 0) + (M != 0)).tocsr()
+            eidx, valid = _ell_rows(
+                sp.csr_matrix(
+                    (np.ones(patt.nnz), patt.indices, patt.indptr),
+                    shape=patt.shape,
+                )
+            )
+            rows = np.arange(m)[:, None]
+            dense = lambda W: (
+                np.asarray(W.todense()) if sp.issparse(W) else np.asarray(W)
+            )
+            ewA = dense(A[rows, eidx]) * valid
+            ewM = dense(M[rows, eidx]) * valid
+            op = dict(offA=None, offM=None, Av=None, Mv=None,
+                      eidx=eidx, ewA=ewA, ewM=ewM)
+        Pidx, Pw = _ell_rows(P)
+        Ridx, Rw = _ell_rows(P.T.tocsr())
+        return _SALevel(
+            m=m, fmt="dia" if use_dia else "ell",
+            dA=np.asarray(A.diagonal()), dM=np.asarray(M.diagonal()),
+            rsA=np.asarray(np.abs(A).sum(axis=1)).ravel(),
+            rsM=np.asarray(np.abs(M).sum(axis=1)).ravel(),
+            Pidx=Pidx, Pw=Pw, Ridx=Ridx, Rw=Rw, **op,
+        )
+
+    # ------------------------------------------------------------- params
+
+    def row_params(self, omega_rows: np.ndarray, dtype) -> list[dict]:
+        """Per-level device params (same Chebyshev-bound derivation as the
+        nested hierarchy; operator arrays by level storage format)."""
+        import jax.numpy as jnp
+
+        omega_rows = np.asarray(omega_rows, np.float64)
+        uniq, inv = np.unique(omega_rows, return_inverse=True)
+        out = []
+        for lev in self.levels:
+            lam_u = np.empty(uniq.size)
+            for k, w in enumerate(uniq):
+                lam_u[k] = ((lev.rsA + w * lev.rsM) / (lev.dA + w * lev.dM)).max()
+            lam = 1.1 * lam_u[inv]
+            col = lambda v: jnp.asarray(v, dtype)[:, None]
+            lp = {
+                "omega": col(omega_rows),
+                "inv_theta": col(1.0 / (0.625 * lam)),
+                "inv_delta": col(1.0 / (0.375 * lam)),
+                "dA": jnp.asarray(lev.dA, dtype),
+                "dM": jnp.asarray(lev.dM, dtype),
+                "Pidx": jnp.asarray(lev.Pidx),
+                "Pw": jnp.asarray(lev.Pw, dtype),
+                "Ridx": jnp.asarray(lev.Ridx),
+                "Rw": jnp.asarray(lev.Rw, dtype),
+            }
+            if lev.fmt == "dia":
+                lp["Av"] = jnp.asarray(lev.Av, dtype)
+                lp["Mv"] = jnp.asarray(lev.Mv, dtype)
+            else:
+                lp["eidx"] = jnp.asarray(lev.eidx)
+                lp["ewA"] = jnp.asarray(lev.ewA, dtype)
+                lp["ewM"] = jnp.asarray(lev.ewM, dtype)
+            out.append(lp)
+        return out
+
+    # ---------------------------------------------------------------- jax
+
+    def _op(self, lev: _SALevel, lp, x):
+        if lev.fmt == "dia":
+            return NestedMultiShiftMultigrid._op(self, lev, lp, x)
+        import jax.numpy as jnp
+
+        g = jnp.take(x, lp["eidx"], axis=-1)  # one gather serves A and M
+        return (lp["ewA"] * g).sum(axis=-1) + lp["omega"] * (
+            (lp["ewM"] * g).sum(axis=-1)
+        )
+
+
 def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,
                       lmax: float, degree: int):
     """Return fn(b) ≈ Op⁻¹ b by degree-``degree`` Chebyshev–Jacobi iteration.

@@ -58,12 +58,14 @@ def build_parser() -> argparse.ArgumentParser:
                    default="default",
                    help="platform selection (cpu8 = 8 virtual CPU devices)")
     p.add_argument("--dtype", choices=["f32", "f64"], default="f64")
-    p.add_argument("--inner", choices=["auto", "dense", "mg", "cheb"],
+    p.add_argument("--inner", choices=["auto", "dense", "mg", "cheb", "amg"],
                    default="auto",
                    help="inner spatial solver: dense inverses (parity, "
-                        "m<=4k), geometric multigrid (structured grids), or "
-                        "Chebyshev polynomial inverses (large unstructured "
-                        "meshes)")
+                        "m<=4k), geometric multigrid (structured grids or "
+                        "recorded refinement hierarchies), smoothed-"
+                        "aggregation AMG (unstructured meshes without a "
+                        "hierarchy), or Chebyshev polynomial inverses "
+                        "(generic fallback)")
     p.add_argument("--spatial",
                    choices=["auto", "stencil", "vstencil", "dia", "ell"],
                    default="auto",

@@ -304,12 +304,7 @@ class HeatSolver:
             # DIA level matvecs, gather transfers). Replaces the Chebyshev
             # polynomial inverses whose degrees grow like h⁻¹ (935 for the
             # K_Y solve at the L-shape h=1/512, BASELINE.md).
-            from ..ops.multigrid import (
-                NestedMultiShiftMultigrid,
-                chebyshev_coefficients,
-                chebyshev_degree,
-                generic_spectral_bounds,
-            )
+            from ..ops.multigrid import NestedMultiShiftMultigrid
 
             self.mg_cycles = mg_cycles
             self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
@@ -324,32 +319,39 @@ class HeatSolver:
                 system.mesh, system.A, system.M, nu=mg_nu,
                 m_coarse=min(m_coarse, max(self.m // 4, 1)),
             )
-            self.msmg_kx = _nu_variant(self.msmg, self.mg_nu_kx)
-            self._host["omega_ky"] = np.zeros(self.N)
-            self._host["omega_kx"] = np.asarray(
-                [float(self.wt.level_shift[j]) for j in self.wt.node_level]
+            self._finish_flat_mg(A_c, M_c, omegas, system)
+        elif inner == "amg":
+            # Smoothed-aggregation ALGEBRAIC hierarchy
+            # (ops/multigrid.SAMultiShiftMultigrid): the inner solver for
+            # unstructured meshes with NO refinement record — imported
+            # files at native resolution — where 'cheb' is otherwise the
+            # only scale option and its polynomial degrees grow like h⁻¹
+            # (degree 935 for K_Y at the L-shape h=1/512, BASELINE.md).
+            # Coarse spaces come from aggregation of A's graph alone; both
+            # A and M Galerkin-coarsen through the same prolongator, so
+            # the multi-shift V-cycle machinery applies unchanged.
+            if self.spatial_format not in ("dia", "ell"):
+                raise ValueError(
+                    "inner='amg' runs in the flat dof layout "
+                    "(spatial_format 'dia'/'ell'); structured grids "
+                    "already have geometric multigrid (inner='mg')"
+                )
+            from ..ops.multigrid import SAMultiShiftMultigrid
+
+            self.mg_cycles = mg_cycles
+            self.mg_cycles_kx = 2 if mg_cycles_kx is None else mg_cycles_kx
+            self.mg_nu = mg_nu
+            self.mg_nu_kx = mg_nu if mg_nu_kx is None else mg_nu_kx
+            self._mg_dim = system.mesh.dim
+            m_coarse = mg_coarse if mg_coarse is not None else 1024
+            self.msmg, (A_c, M_c) = SAMultiShiftMultigrid.build(
+                system.A, system.M, nu=mg_nu,
+                m_coarse=min(m_coarse, max(self.m // 4, 1)),
             )
-            self._host["mg_cinv_ky"] = np.linalg.inv(A_c)
-            self._host["mg_cinv"] = [
-                np.linalg.inv(A_c + omega * M_c) for omega in omegas
-            ]
-            # K_H ≈ M⁻¹: generic-bounds Chebyshev in the flat layout (the
-            # same form the cheb inner uses); _mg_weighted routes
-            # _apply_Minv through it and keeps the Pallas MG kernels off
-            # (they assume constant stencils on structured grids).
-            self._mg_weighted = True
-            self.pallas_mg = False
-            dM = np.asarray(system.M.diagonal())
-            rsM = np.asarray(np.abs(system.M).sum(axis=1)).ravel()
-            laM, _ = generic_spectral_bounds(system.M)
-            lmaxM = float((rsM / dM).max())
-            self._cheb_spec = {
-                "M": (laM, lmaxM, chebyshev_degree(laM, lmaxM, 1e-3))
-            }
-            self._host["cheb_invM"] = 1.0 / dM
-            self._host["cheb_coefM"] = chebyshev_coefficients(
-                *self._cheb_spec["M"]
-            )
+            self._finish_flat_mg(A_c, M_c, omegas, system)
+            # Downstream routing (apply_KY/KX, params) treats this as an
+            # mg flavor; `solver.mg_flavor` records what was built.
+            self.inner = "mg"
         elif inner == "mg" and self.spatial_format != "stencil":
             # Coefficient-weighted (or explicitly DIA/ELL-format) operators
             # on structured grids: Galerkin RAP hierarchy off the assembled
@@ -696,6 +698,44 @@ class HeatSolver:
             p["inv_perm"] = jnp.asarray(inv_perm)
         self._params_cache[key] = p
         return p
+
+    def _finish_flat_mg(self, A_c, M_c, omegas, system):
+        """Shared tail of the flat-dof-layout multigrid setups (nested
+        red-refinement hierarchies and smoothed-aggregation AMG): K_X-only
+        nu variant, per-row shift vectors, coarse dense inverses per
+        wavelet shift, and the K_H ≈ M⁻¹ Chebyshev (generic spectral
+        bounds — the same form the cheb inner uses). ``_mg_weighted``
+        routes _apply_Minv through that Chebyshev and keeps the Pallas MG
+        kernels off (they assume constant stencils on structured grids)."""
+        from ..ops.multigrid import (
+            chebyshev_coefficients,
+            chebyshev_degree,
+            generic_spectral_bounds,
+        )
+
+        self.mg_flavor = type(self.msmg).__name__
+        self.msmg_kx = _nu_variant(self.msmg, self.mg_nu_kx)
+        self._host["omega_ky"] = np.zeros(self.N)
+        self._host["omega_kx"] = np.asarray(
+            [float(self.wt.level_shift[j]) for j in self.wt.node_level]
+        )
+        self._host["mg_cinv_ky"] = np.linalg.inv(A_c)
+        self._host["mg_cinv"] = [
+            np.linalg.inv(A_c + omega * M_c) for omega in omegas
+        ]
+        self._mg_weighted = True
+        self.pallas_mg = False
+        dM = np.asarray(system.M.diagonal())
+        rsM = np.asarray(np.abs(system.M).sum(axis=1)).ravel()
+        laM, _ = generic_spectral_bounds(system.M)
+        lmaxM = float((rsM / dM).max())
+        self._cheb_spec = {
+            "M": (laM, lmaxM, chebyshev_degree(laM, lmaxM, 1e-3))
+        }
+        self._host["cheb_invM"] = 1.0 / dM
+        self._host["cheb_coefM"] = chebyshev_coefficients(
+            *self._cheb_spec["M"]
+        )
 
     def _wire_ms_pallas(self, key, p, dtype, mk, columns):
         """Shared K_Y/K_X Pallas-level wiring for both multigrid flavors:
@@ -1353,6 +1393,12 @@ class HeatSolver:
         t0 = _time.perf_counter()
         f = rhs64(gL64, gR64, u064, p64)
         fnorm = float(jnp.linalg.norm(f))
+        # HBM lifetime hygiene for the flagship shapes (135 MDoF: every
+        # (N+1, m) f64 array is ~1.08 GB and the f32 inner solve alone
+        # fills half the 16 GB chip — measured RESOURCE_EXHAUSTED without
+        # these): the staged f64 quadrature loads are consumed by rhs64,
+        # and the f64 residual must not stay alive across the inner solve.
+        del gL64, gR64, u064
         u = jnp.zeros_like(f)
         hist = []
         iters_total = 0
@@ -1365,9 +1411,12 @@ class HeatSolver:
                 converged = True
                 break
             r32 = (r / rnorm).astype(jnp.float32)
+            del r
             out = inner(r32, p32)
+            del r32
             iters_total += int(out.iterations)
             u = u + rnorm * out.U.astype(jnp.float64)
+            del out
         solve_seconds = _time.perf_counter() - t0
 
         U_flat = np.asarray(u).reshape(self.N + 1, self.m)

@@ -1,0 +1,176 @@
+"""Smoothed-aggregation AMG inner solver (the generic-mesh scale path for
+meshes with NO refinement record).
+
+inner='amg' builds an algebraic hierarchy from the assembled (A, M) alone
+(ops/multigrid.sa_prolongator + SAMultiShiftMultigrid) — the TPU-native
+replacement for the reference's factorize-once splu on imported meshes where
+neither the structured-grid nor the nested-refinement geometric hierarchies
+exist, and where the Chebyshev alternative's polynomial degrees grow like
+h⁻¹ (SURVEY.md §2 "spatial inner solver"). These tests pin: the aggregation
+is a partition, the smoothed prolongator and Galerkin RAP are consistent,
+the ELL coarse-level operator is exact, the V-cycle contracts with a
+mesh-independent factor, and the full solve matches the exact-inner solution
+at discretization accuracy.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from spacetime_tpu.fem import P1System, l_shape_mesh
+from spacetime_tpu.fem.timegrid import uniform_time_grid
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.ops.multigrid import SAMultiShiftMultigrid, sa_prolongator
+from spacetime_tpu.solver.heateq import HeatSolver
+
+
+def test_sa_prolongator_partition_and_rap():
+    system = P1System.from_mesh(l_shape_mesh(32))
+    A = sp.csr_matrix(system.A)
+    P = sa_prolongator(A)
+    n, nc = P.shape
+    assert nc < n // 2  # real coarsening
+    # every fine dof interpolates from at least one aggregate
+    counts = np.diff(P.tocsr().indptr)
+    assert (counts >= 1).all()
+    # Galerkin coarse operator stays SPD
+    Ac = (P.T @ A @ P).toarray()
+    np.testing.assert_allclose(Ac, Ac.T, atol=1e-12)
+    w = np.linalg.eigvalsh(Ac)
+    assert w[0] > 0
+
+
+def test_ell_level_operator_exact():
+    # The union-pattern ELL storage of an aggregated coarse level must
+    # reproduce the scipy matvec exactly (incl. the zero-padded slots).
+    system = P1System.from_mesh(l_shape_mesh(64))
+    A = sp.csr_matrix(system.A)
+    M = sp.csr_matrix(system.M)
+    msmg, _ = SAMultiShiftMultigrid.build(A, M, m_coarse=300)
+    ell_levels = [lv for lv in msmg.levels if lv.fmt == "ell"]
+    assert ell_levels, "expected at least one aggregated ELL level"
+    # rebuild the level's scipy matrices by Galerkin RAP to compare
+    Acur, Mcur = A, M
+    for lev in msmg.levels:
+        if lev.fmt == "ell":
+            rng = np.random.default_rng(0)
+            x = rng.standard_normal((3, lev.m))
+            for omega in (0.0, 7.5):
+                lps = msmg.row_params(np.full(3, omega), jnp.float64)
+                lp = lps[msmg.levels.index(lev)]
+                got = np.asarray(msmg._op(lev, lp, jnp.asarray(x)))
+                want = x @ Acur.T + omega * (x @ Mcur.T)
+                np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+        # advance to the next level's matrices
+        Pl = sp.csr_matrix(
+            (lev.Pw.ravel(), (np.repeat(np.arange(lev.m), lev.Pidx.shape[1]),
+                              lev.Pidx.ravel())),
+            shape=(lev.m, lev.Ridx.shape[0]),
+        )
+        Acur = (Pl.T @ Acur @ Pl).tocsr()
+        Mcur = (Pl.T @ Mcur @ Pl).tocsr()
+
+
+@pytest.mark.parametrize("omega", [0.0, 1000.0])
+def test_vcycle_contracts(omega):
+    system = P1System.from_mesh(l_shape_mesh(64))
+    A, M = sp.csr_matrix(system.A), sp.csr_matrix(system.M)
+    msmg, (Ac, Mc) = SAMultiShiftMultigrid.build(A, M, m_coarse=300)
+    Op = (A + omega * M).tocsr()
+    rng = np.random.default_rng(0)
+    x_true = rng.standard_normal(A.shape[0])
+    lps = msmg.row_params(np.array([omega]), jnp.float64)
+    cinv = jnp.asarray(np.linalg.inv(Ac + omega * Mc))
+    coarse = lambda bc: bc @ cinv.T
+    b = jnp.asarray(Op @ x_true)[None, :]
+    x = jnp.zeros_like(b)
+    errs = []
+    for _ in range(5):
+        r = b - msmg._op(msmg.levels[0], lps[0], x)
+        x = x + msmg.vcycle(r, lps, coarse)
+        errs.append(
+            np.linalg.norm(np.asarray(x)[0] - x_true) / np.linalg.norm(x_true)
+        )
+    # per-cycle contraction (measured ~0.29 for omega=0, ~0.1 shifted)
+    assert errs[-1] / errs[0] < 0.4 ** 4
+    assert errs[-1] < 1e-3
+
+
+def test_solve_matches_dense_inner():
+    problem = get_problem("lshape2d")
+    system = P1System.from_mesh(l_shape_mesh(24))
+    grid = uniform_time_grid(5)
+    r_dense = HeatSolver(problem, system, grid, inner="dense").solve(
+        tol=1e-6, compute_error=True
+    )
+    solver = HeatSolver(problem, system, grid, inner="amg")
+    assert solver.mg_flavor == "SAMultiShiftMultigrid"
+    r_amg = solver.solve(tol=1e-6, compute_error=True)
+    assert r_amg.converged
+    # the algebraic hierarchy costs a few outer iterations (measured +2/3
+    # at rho~0.29 cycles) but not the computed solution
+    assert r_amg.iterations <= r_dense.iterations + 5
+    np.testing.assert_allclose(r_amg.l2_error, r_dense.l2_error, rtol=2e-2)
+
+
+def test_solve_f32_and_refined():
+    problem = get_problem("lshape2d")
+    system = P1System.from_mesh(l_shape_mesh(24))
+    grid = uniform_time_grid(4)
+    r32 = HeatSolver(
+        problem, system, grid, dtype=jnp.float32, inner="amg"
+    ).solve(tol=1e-6, compute_error=True)
+    assert r32.converged
+    rr = HeatSolver(problem, system, grid, inner="amg").solve_refined(
+        tol=1e-8
+    )
+    assert rr.converged and rr.residuals[-1] < 1e-8
+
+
+def test_amg_requires_flat_layout():
+    from spacetime_tpu.fem import unit_square_mesh
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(16))
+    with pytest.raises(ValueError, match="flat dof layout"):
+        HeatSolver(problem, system, uniform_time_grid(3), inner="amg")
+
+
+def test_amg_on_forced_dia_structured():
+    # structured mesh forced onto the generic DIA path: amg must work there
+    # too (the layout, not the mesh family, is the requirement)
+    from spacetime_tpu.fem import unit_square_mesh
+
+    problem = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(16))
+    r = HeatSolver(
+        problem, system, uniform_time_grid(4), inner="amg",
+        spatial_format="dia",
+    ).solve(tol=1e-6, compute_error=True)
+    assert r.converged and r.iterations <= 16
+    np.testing.assert_allclose(r.l2_error, 3.6711e-03, rtol=2e-2)
+
+
+def test_amg_3d():
+    # 3D: tetrahedral P1 graphs have ~15 nnz/row and much faster (~27x)
+    # aggregation coarsening than 2D — pin that the hierarchy still
+    # contracts and the solve matches the dense-inner solution (the
+    # imported-3D-mesh regime, e.g. TetGen files at native resolution).
+    from spacetime_tpu.fem import unit_cube_mesh
+
+    problem = get_problem("smooth3d")
+    system = P1System.from_mesh(unit_cube_mesh(12))
+    grid = uniform_time_grid(3)
+    r_dense = HeatSolver(
+        problem, system, grid, inner="dense", spatial_format="dia"
+    ).solve(tol=1e-6, compute_error=True)
+    solver = HeatSolver(
+        problem, system, grid, inner="amg", spatial_format="dia",
+        mg_coarse=256,
+    )
+    assert solver.mg_flavor == "SAMultiShiftMultigrid"
+    r = solver.solve(tol=1e-6, compute_error=True)
+    assert r.converged
+    assert r.iterations <= r_dense.iterations + 5
+    np.testing.assert_allclose(r.l2_error, r_dense.l2_error, rtol=2e-2)
