@@ -1272,7 +1272,9 @@ def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,
     return chebyshev_generic(stencil.apply, inv_diag, lmin, lmax, degree)
 
 
-def generic_spectral_bounds(Op, safety: float = 0.9) -> tuple[float, float]:
+def generic_spectral_bounds(
+    Op, safety: float = 0.9, known_lmin: float | None = None
+) -> tuple[float, float]:
     """(lmin, lmax) of D⁻¹·Op for an arbitrary SPD sparse matrix — the
     calibration step of the generic Chebyshev inner solver (unstructured
     meshes, where no nested grid hierarchy exists for multigrid).
@@ -1292,6 +1294,16 @@ def generic_spectral_bounds(Op, safety: float = 0.9) -> tuple[float, float]:
     s = 1.0 / np.sqrt(d)
     B = sp.csr_matrix(Op).multiply(s[:, None]).multiply(s[None, :]).tocsc()
     gersh = float(np.abs(B).sum(axis=1).max())
+    if known_lmin is not None:
+        # Caller supplies a certified analytic lower bound — skip the
+        # eigensolve (and its splu factorization) entirely. Used for P1
+        # mass matrices, where λmin(D⁻¹M) ≥ 1/2 on ANY simplicial mesh in
+        # any dimension: M = Σ_e M_e with M_e = c_e(I + 1·1ᵀ) (pencil eigs
+        # vs its own diagonal 2c_e·I are {(d+2)/2, 1/2, …, 1/2}), so
+        # xᵀMx ≥ ½·xᵀDx elementwise; Dirichlet restriction preserves it
+        # (zero-extension argument). Measured λmin at the L-shape n=256:
+        # 0.50016 — the bound is tight.
+        return safety * known_lmin, gersh
     try:
         # Loose ARPACK tolerance: the default (tol=0, machine precision) is
         # pathological on clustered spectra — measured 2881 shift-invert

@@ -487,7 +487,9 @@ class HeatSolver:
             rsA = np.asarray(np.abs(system.A).sum(axis=1)).ravel()
             rsM = np.asarray(np.abs(system.M).sum(axis=1)).ravel()
             laA, gaA = generic_spectral_bounds(system.A)
-            laM, gaM = generic_spectral_bounds(system.M)
+            # P1 mass: certified λmin(D⁻¹M) ≥ 1/2 (see
+            # generic_spectral_bounds) — no eigensolve/splu needed.
+            laM, gaM = generic_spectral_bounds(system.M, known_lmin=0.5)
             self._cheb_spec = {
                 "A": (laA, float((rsA / dA).max()),
                       chebyshev_degree(laA, (rsA / dA).max(), cheb_eps)),
@@ -727,7 +729,9 @@ class HeatSolver:
         self.pallas_mg = False
         dM = np.asarray(system.M.diagonal())
         rsM = np.asarray(np.abs(system.M).sum(axis=1)).ravel()
-        laM, _ = generic_spectral_bounds(system.M)
+        # P1 mass: certified λmin(D⁻¹M) ≥ 1/2 (see generic_spectral_bounds)
+        # — skips the splu + shift-invert eigsh that dominated AMG setup.
+        laM, _ = generic_spectral_bounds(system.M, known_lmin=0.5)
         lmaxM = float((rsM / dM).max())
         self._cheb_spec = {
             "M": (laM, lmaxM, chebyshev_degree(laM, lmaxM, 1e-3))
