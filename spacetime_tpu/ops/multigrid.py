@@ -1291,9 +1291,6 @@ def generic_spectral_bounds(
     import scipy.sparse.linalg as spla
 
     d = np.asarray(Op.diagonal())
-    s = 1.0 / np.sqrt(d)
-    B = sp.csr_matrix(Op).multiply(s[:, None]).multiply(s[None, :]).tocsc()
-    gersh = float(np.abs(B).sum(axis=1).max())
     if known_lmin is not None:
         # Caller supplies a certified analytic lower bound — skip the
         # eigensolve (and its splu factorization) entirely. Used for P1
@@ -1303,7 +1300,17 @@ def generic_spectral_bounds(
         # xᵀMx ≥ ½·xᵀDx elementwise; Dirichlet restriction preserves it
         # (zero-extension argument). Measured λmin at the L-shape n=256:
         # 0.50016 — the bound is tight.
-        return safety * known_lmin, gersh
+        # The upper bound here is the D⁻¹-scaled Gershgorin row-sum bound
+        # (spec(D⁻¹Op) = spec(D^-1/2 Op D^-1/2), and Gershgorin on D⁻¹Op
+        # gives max_i rs_i/d_i) — equally safe as B's own row sums but
+        # skips building B entirely: on the 1-core/120-MB/s host this
+        # branch must not pay two O(nnz) sparse multiplies for a value
+        # the production callers discard anyway.
+        rs = np.asarray(np.abs(sp.csr_matrix(Op)).sum(axis=1)).ravel()
+        return safety * known_lmin, float((rs / d).max())
+    s = 1.0 / np.sqrt(d)
+    B = sp.csr_matrix(Op).multiply(s[:, None]).multiply(s[None, :]).tocsc()
+    gersh = float(np.abs(B).sum(axis=1).max())
     try:
         # Loose ARPACK tolerance: the default (tol=0, machine precision) is
         # pathological on clustered spectra — measured 2881 shift-invert
@@ -1325,7 +1332,27 @@ def generic_spectral_bounds(
         resid = float(
             np.linalg.norm(B @ v - lam * v) / max(np.linalg.norm(v), 1e-300)
         )
-        lmin = max(lam - resid, 0.5 * lam)
+        if resid >= 0.5 * lam:
+            # The residual back-off only certifies a useful bound when the
+            # Ritz pair is reasonably converged; here it is not (loose-tol
+            # run on a clustered spectrum). Re-run tighter — tol=1e-4 is
+            # still orders cheaper than ARPACK's tol=0 default — warm-
+            # started from the loose eigenvector.
+            lam, V = spla.eigsh(
+                B, k=1, sigma=0.0, which="LM", tol=1e-4, v0=v
+            )
+            v = V[:, 0]
+            lam = float(lam[0])
+            resid = float(
+                np.linalg.norm(B @ v - lam * v)
+                / max(np.linalg.norm(v), 1e-300)
+            )
+        # lam - resid is a certified lower bound (symmetric eigenvalue
+        # perturbation); if even the tight run leaves resid >= lam/2, fall
+        # back to the same HEURISTIC floor the LOBPCG path uses — an
+        # underestimate costs only Chebyshev degree, and 0.1·lam is far
+        # enough below any plausibly-converged Ritz value.
+        lmin = lam - resid if resid < 0.5 * lam else 0.1 * lam
     except Exception:
         rng = np.random.default_rng(0)
         X = rng.standard_normal((B.shape[0], 1))
