@@ -92,22 +92,31 @@ class ExplicitHeatSolver(HeatSolver):
             raise ValueError("explicit path expects a 1-D ('time',) mesh")
         nP = mesh.shape["time"]
         N = grid.num_intervals
-        if N % nP or (nP & (nP - 1)):
-            raise ValueError(
-                f"need power-of-two device count dividing N_t (got P={nP}, "
-                f"N={N}); use ShardedHeatSolver (GSPMD) otherwise"
-            )
         kwargs["pallas_kron"] = False  # base-class (global-T) kernels unused
         super().__init__(problem, system, grid, **kwargs)
-        if not self.wt.is_uniform:
-            raise ValueError(
-                "explicit path requires the uniform dyadic time grid; "
-                "graded grids are served by ShardedHeatSolver"
-            )
         self.mesh = mesh
         self.P = nP
-        self.R = N // nP
-        self.p_log = nP.bit_length() - 1
+        # Aligned fast path: uniform dyadic grid, power-of-two device count
+        # dividing N_t — every level op is a static strided slice and the
+        # coarse wavelet levels ride ONE all_gather (original design).
+        # Otherwise the generalized layout (parallel/general_layout.py)
+        # serves graded grids, odd device counts, and ragged N_t with
+        # per-level padded index arrays + one small all_gather per
+        # boundary-crossing level.
+        self.aligned = (
+            self.wt.is_uniform and nP & (nP - 1) == 0 and N % nP == 0
+        )
+        if self.aligned:
+            self.R = N // nP
+            self.p_log = nP.bit_length() - 1
+            self.glay = None
+        else:
+            from .general_layout import build_general_layout
+
+            self.glay = build_general_layout(self.wt, nP)
+            self.R = self.glay.R
+            self.p_log = None
+        self.Np = nP * self.R  # padded test-row count (== N when aligned)
         self.J = self.wt.num_levels
         self._fwd = [(d, d + 1) for d in range(nP - 1)]
         self._bwd = [(d + 1, d) for d in range(nP - 1)]
@@ -127,10 +136,13 @@ class ExplicitHeatSolver(HeatSolver):
     @property
     def _dup_index(self) -> np.ndarray:
         """Global-row gather index defining the duplicated layout:
-        device d owns trial rows [dR, dR+R]."""
-        return (
+        device d owns trial rows [dR, dR+R]. On ragged layouts the
+        padding slots are clipped to row N — harmless garbage that every
+        consumer masks (general_layout.m_trial) or ignores."""
+        idx = (
             np.arange(self.P)[:, None] * self.R + np.arange(self.R + 1)[None]
         ).reshape(-1)
+        return np.minimum(idx, self.N)
 
     def _dup_rows(self, a: np.ndarray) -> np.ndarray:
         """(N+1, ...) per-trial-row data -> duplicated layout (P*(R+1), ...)."""
@@ -146,7 +158,9 @@ class ExplicitHeatSolver(HeatSolver):
         from ..ops.stencil import row_scale
 
         cast = lambda x: jnp.asarray(x, dtype)
-        h = self._host["h"]
+        # Padded time steps: identity when aligned; padding entries are 1.0
+        # so 1/h stays finite — the test-row mask keeps padding inert.
+        h = self._host["h"] if self.aligned else self.glay.h_pad
         t_spec = P(*(("time",) + (None,) * len(self.gs)))
         repl = P()
         ep = {
@@ -155,6 +169,15 @@ class ExplicitHeatSolver(HeatSolver):
             "inv_h": row_scale(1.0 / h, self.gs, dtype),
         }
         es = {"h_half": t_spec, "h_stab": t_spec, "inv_h": t_spec}
+        if not self.aligned:
+            ep["mask_test"] = jnp.asarray(
+                self.glay.mask_test, dtype
+            ).reshape((self.Np,) + (1,) * len(self.gs))
+            es["mask_test"] = t_spec
+            ep["w_dot"] = cast(self.glay.w_dot).reshape(
+                (self.P * (self.R + 1),) + (1,) * len(self.gs)
+            )
+            es["w_dot"] = t_spec
         if self.spatial_format == "dia":
             ep["dia_Mv"] = cast(self._dia_host["Mv"])
             ep["dia_Av"] = cast(self._dia_host["Av"])
@@ -171,23 +194,31 @@ class ExplicitHeatSolver(HeatSolver):
                     ep[k] = pbase[k]
                     es[k] = jax.tree.map(lambda _: repl, pbase[k])
 
-        # Level one-hots for the two boundary slots (their wavelet level is
-        # device-dependent, so level selection there is data-driven; interior
-        # slots use device-uniform static slices).
-        lvl = self.wt.node_level
-        n_lvl = self.J + 1
-        bnd_lvl = np.stack(
-            [lvl[np.arange(self.P) * self.R], lvl[np.arange(self.P) * self.R + self.R]],
-            axis=1,
-        ).reshape(-1)  # (2P,) levels of slots [0, R] per device
-        onehot2 = np.zeros((2 * self.P, n_lvl))
-        # Dyadic-grid invariant (relied on by _cheb_levelwise_local's
-        # coarse-only boundary blend): shard-boundary nodes d*R are odd
-        # multiples of N >> j only for j <= log2 P.
-        assert bnd_lvl.max() <= self.p_log
-        onehot2[np.arange(2 * self.P), bnd_lvl] = 1.0
-        ep["onehot2"] = cast(onehot2)
-        es["onehot2"] = P("time", None)
+        if self.aligned:
+            # Level one-hots for the two boundary slots (their wavelet
+            # level is device-dependent, so level selection there is
+            # data-driven; interior slots use device-uniform static
+            # slices).
+            lvl = self.wt.node_level
+            n_lvl = self.J + 1
+            bnd_lvl = np.stack(
+                [lvl[np.arange(self.P) * self.R],
+                 lvl[np.arange(self.P) * self.R + self.R]],
+                axis=1,
+            ).reshape(-1)  # (2P,) levels of slots [0, R] per device
+            onehot2 = np.zeros((2 * self.P, n_lvl))
+            # Dyadic-grid invariant (relied on by _levelwise_local's
+            # coarse-only boundary blend): shard-boundary nodes d*R are odd
+            # multiples of N >> j only for j <= log2 P.
+            assert bnd_lvl.max() <= self.p_log
+            onehot2[np.arange(2 * self.P), bnd_lvl] = 1.0
+            ep["onehot2"] = cast(onehot2)
+            es["onehot2"] = P("time", None)
+        else:
+            # Generalized K_X level selection: per-level padded slot
+            # arrays covering every valid slot (twin copies included).
+            ep["kxl"] = [jnp.asarray(a) for a in self.glay.kx_lvl]
+            es["kxl"] = [P("time", None) for _ in self.glay.kx_lvl]
 
         if self.inner == "dense":
             ep["Kx_inv"] = cast(self._host["Kx_inv"])
@@ -209,7 +240,11 @@ class ExplicitHeatSolver(HeatSolver):
             ep["mg_cinv"] = [cast(S) for S in self._host["mg_cinv"]]
             es["mg_cinv_ky"] = repl
             es["mg_cinv"] = [repl for _ in ep["mg_cinv"]]
-            ep["ms_ky"] = self.msmg.row_params(self._host["omega_ky"], dtype)
+            # Test-row shift vector, padded to the sharded row count
+            # (padding shift 0 — those rows are masked zeros anyway).
+            om_ky = np.zeros(self.Np)
+            om_ky[: self.N] = self._host["omega_ky"]
+            ep["ms_ky"] = self.msmg.row_params(om_ky, dtype)
             ep["ms_kx"] = self.msmg.row_params(
                 self._dup_rows(self._host["omega_kx"]), dtype
             )
@@ -254,7 +289,7 @@ class ExplicitHeatSolver(HeatSolver):
                 col_spec = {k: P("time", None, None)
                             for k in ("omega", "invD", "invT", "invDel")}
                 for name, omr, which in (
-                    ("ms_ky", self._host["omega_ky"], "ky"),
+                    ("ms_ky", om_ky, "ky"),
                     ("ms_kx", self._dup_rows(self._host["omega_kx"]), "kx"),
                 ):
                     for lp, ls, pj, lev in zip(
@@ -267,24 +302,60 @@ class ExplicitHeatSolver(HeatSolver):
                                 lp["tx"] = pj.transfers(dtype)
                                 ls["tx"] = {k: repl for k in lp["tx"]}
 
-        # Wavelet level arrays: fine levels sharded (their node count is a
-        # multiple of P), coarse levels replicated (≤ P/2 nodes).
-        fine, coarse = [], []
-        fine_s, coarse_s = [], []
-        for j, lev in enumerate(self.levels_of_wt(), start=1):
-            d = {
-                "wl": cast(lev.wl[:, None]),
-                "wr": cast(lev.wr[:, None]),
-                "s": cast(lev.s[:, None]),
+        if self.aligned:
+            # Wavelet level arrays: fine levels sharded (their node count
+            # is a multiple of P), coarse levels replicated (≤ P/2 nodes).
+            fine, coarse = [], []
+            fine_s, coarse_s = [], []
+            for j, lev in enumerate(self.levels_of_wt(), start=1):
+                d = {
+                    "wl": cast(lev.wl[:, None]),
+                    "wr": cast(lev.wr[:, None]),
+                    "s": cast(lev.s[:, None]),
+                }
+                if j > self.p_log:
+                    fine.append(d)
+                    fine_s.append({k: P("time", None) for k in d})
+                else:
+                    coarse.append(d)
+                    coarse_s.append({k: repl for k in d})
+            ep["w_fine"], ep["w_coarse"] = fine, coarse
+            es["w_fine"], es["w_coarse"] = fine_s, coarse_s
+        else:
+            # Generalized wavelet structure (parallel/general_layout.py):
+            # per-device padded index/weight arrays sharded over 'time',
+            # gathered-node lists replicated.
+            shard2 = P("time", None)
+            lev_p, lev_s = [], []
+            for gl in self.glay.levels:
+                d, s = {}, {}
+                for k in ("lmid", "lpl", "lpr", "lpl_tgt", "lpr_tgt",
+                          "send_v", "send_c", "set_slot", "set_src",
+                          "add_slot", "add_src"):
+                    d[k] = jnp.asarray(getattr(gl, k))
+                    s[k] = shard2
+                for k in ("lwl", "lwr", "ls", "lpl_i0", "lpl_iR",
+                          "lpr_i0", "lpr_iR"):
+                    d[k] = cast(getattr(gl, k))
+                    s[k] = shard2
+                for k in ("g_mid", "g_pl", "g_pr", "g_c"):
+                    d[k] = jnp.asarray(getattr(gl, k))
+                    s[k] = repl
+                for k in ("g_wl", "g_wr", "g_s"):
+                    d[k] = cast(getattr(gl, k))
+                    s[k] = repl
+                lev_p.append(d)
+                lev_s.append(s)
+            ep["gw"] = {
+                "levels": lev_p,
+                "root_slot": jnp.asarray(self.glay.root_slot),
+                "root_scale": cast(self.glay.root_scale),
             }
-            if j > self.p_log:
-                fine.append(d)
-                fine_s.append({k: P("time", None) for k in d})
-            else:
-                coarse.append(d)
-                coarse_s.append({k: repl for k in d})
-        ep["w_fine"], ep["w_coarse"] = fine, coarse
-        es["w_fine"], es["w_coarse"] = fine_s, coarse_s
+            es["gw"] = {
+                "levels": lev_s,
+                "root_slot": shard2,
+                "root_scale": shard2,
+            }
         self._eparams_cache[key] = (ep, es)
         return ep, es
 
@@ -292,6 +363,13 @@ class ExplicitHeatSolver(HeatSolver):
         return self.wt.levels
 
     # -------------------------------------------------- local collectives
+
+    def _mask_t(self, X, ep):
+        """Zero the padding test rows of the ragged layout (no-op when
+        aligned): garbage on those rows would otherwise flow into valid
+        trial rows through Bᵀ."""
+        m = ep.get("mask_test")
+        return X if m is None else X * m
 
     def _exchange_boundary(self, part):
         """Complete partial trial-row arrays: global row dR = (device d-1's
@@ -302,23 +380,33 @@ class ExplicitHeatSolver(HeatSolver):
         part = part.at[0].set(from_left + part[0])
         return part.at[self.R].set(part[self.R] + from_right)
 
-    def _dot_local(self, a, b):
-        """Global inner product: local rows 0..R-1 everywhere, the
-        duplicated slot R counted on the last device only, then psum."""
+    def _dot_local(self, a, b, ep=None):
+        """Global inner product: every valid row counted exactly once
+        (aligned: rows 0..R-1 everywhere + the duplicated slot R on the
+        last device; general: the 0/1 weight vector of
+        general_layout.w_dot, which also zeroes ragged padding), psum'd
+        over the time axis."""
+        if not self.aligned:
+            s = jnp.vdot(ep["w_dot"] * a, b)
+            return lax.psum(s, "time")
         s = jnp.vdot(a[: self.R], b[: self.R])
         last = (lax.axis_index("time") == self.P - 1).astype(a.dtype)
         return lax.psum(s + last * jnp.vdot(a[self.R], b[self.R]), "time")
 
-    def _dot3_local(self, r, z, t):
+    def _dot3_local(self, r, z, t, ep=None):
         """The pcg_fused reduction: ((r·z), (z·t), (r·r)) as ONE 3-vector
         psum over the time axis (vs three separate psums for the standard
         driver's dots) — the Allreduce-latency half of the single-reduction
         CG variant; the algebraic half lives in solver/pcg.pcg_fused."""
-        last = (lax.axis_index("time") == self.P - 1).astype(r.dtype)
-        loc = lambda a, b: (
-            jnp.vdot(a[: self.R], b[: self.R])
-            + last * jnp.vdot(a[self.R], b[self.R])
-        )
+        if not self.aligned:
+            w = ep["w_dot"]
+            loc = lambda a, b: jnp.vdot(w * a, b)
+        else:
+            last = (lax.axis_index("time") == self.P - 1).astype(r.dtype)
+            loc = lambda a, b: (
+                jnp.vdot(a[: self.R], b[: self.R])
+                + last * jnp.vdot(a[self.R], b[self.R])
+            )
         v = lax.psum(jnp.stack([loc(r, z), loc(z, t), loc(r, r)]), "time")
         return v[0], v[1], v[2]
 
@@ -346,10 +434,130 @@ class ExplicitHeatSolver(HeatSolver):
         right_int = slice(2 * s, self.R, 2 * s)
         return mid, left, right, left_int, right_int
 
+    # ---- generalized transform (graded / odd P / ragged N_t) ----
+    # See parallel/general_layout.py for the structure and the twin-row
+    # consistency argument. Each level: local phase (padded index arrays,
+    # scatter mode='drop', boundary-increment ppermute) + gathered phase
+    # (one small all_gather, redundant compute, per-device scatter-back).
+
+    @staticmethod
+    def _wcol(a, ndim):
+        """(k,) weight row -> (k, 1, ...) broadcastable over grid axes."""
+        return a.reshape(a.shape + (1,) * (ndim - 1))
+
+    def _g_exchange_incs(self, v, inc0, incR):
+        """Add boundary-slot contributions on both twin copies in the
+        same (left, right) order — bitwise twin consistency, mirroring
+        the aligned `_exchange_boundary` ordering."""
+        recvL = lax.ppermute(incR, "time", self._fwd)
+        recvR = lax.ppermute(inc0, "time", self._bwd)
+        v = v.at[0].add(recvL + inc0)
+        return v.at[self.R].add(incR + recvR)
+
+    def _g_gather(self, rows_list):
+        """all_gather the stacked per-device send rows -> flat buffer."""
+        stacked = jnp.concatenate(rows_list, axis=0)
+        buf = lax.all_gather(stacked, "time")  # (P, k, *tail)
+        return buf
+
+    def _wavelet_forward_general(self, C, ep):
+        gw = ep["gw"]
+        R = self.R
+        r = lambda a: self._wcol(a, C.ndim)
+        v = jnp.zeros_like(C)
+        rs = gw["root_slot"][0]
+        v = v.at[rs].set(
+            r(gw["root_scale"][0]) * C[jnp.clip(rs, 0, R)], mode="drop"
+        )
+        for lw, gl in zip(gw["levels"], self.glay.levels):
+            nl, ng = gl.n_local, gl.n_gathered
+            ns, nc = gl.send_v.shape[1], gl.send_c.shape[1]
+            if nl:
+                lmid = lw["lmid"][0]
+                t = r(lw["ls"][0]) * C[jnp.clip(lmid, 0, R)]
+                interp = 0.5 * (v[lw["lpl"][0]] + v[lw["lpr"][0]])
+            if ng:
+                # Send BEFORE any local update: gathered reads must see the
+                # pre-level state, like the serial transform's.
+                buf = self._g_gather([v[lw["send_v"][0]], C[lw["send_c"][0]]])
+                Gv = buf[:, :ns].reshape((self.P * ns,) + C.shape[1:])
+                Gc = buf[:, ns:].reshape((self.P * nc,) + C.shape[1:])
+                tg = r(lw["g_s"]) * Gc[lw["g_c"]]
+                new_mid = tg + 0.5 * (Gv[lw["g_pl"]] + Gv[lw["g_pr"]])
+                adds = jnp.concatenate(
+                    [r(lw["g_wl"]) * tg, r(lw["g_wr"]) * tg], axis=0
+                )
+            if nl:
+                cl = r(lw["lwl"][0]) * t
+                cr = r(lw["lwr"][0]) * t
+                v = v.at[lw["lpl_tgt"][0]].add(cl, mode="drop")
+                v = v.at[lw["lpr_tgt"][0]].add(cr, mode="drop")
+                inc0 = (r(lw["lpl_i0"][0]) * cl + r(lw["lpr_i0"][0]) * cr).sum(0)
+                incR = (r(lw["lpl_iR"][0]) * cl + r(lw["lpr_iR"][0]) * cr).sum(0)
+                v = self._g_exchange_incs(v, inc0, incR)
+                v = v.at[lmid].set(t + interp, mode="drop")
+            if ng:
+                v = v.at[lw["set_slot"][0]].set(
+                    new_mid[lw["set_src"][0]], mode="drop"
+                )
+                v = v.at[lw["add_slot"][0]].add(
+                    adds[lw["add_src"][0]], mode="drop"
+                )
+        return v
+
+    def _wavelet_adjoint_general(self, X, ep):
+        gw = ep["gw"]
+        R = self.R
+        r = lambda a: self._wcol(a, X.ndim)
+        y = jnp.asarray(X)
+        for lw, gl in zip(reversed(gw["levels"]), reversed(self.glay.levels)):
+            nl, ng = gl.n_local, gl.n_gathered
+            ns = gl.send_v.shape[1]
+            if nl:
+                lmid = lw["lmid"][0]
+                t = y[jnp.clip(lmid, 0, R)]
+                a = y[lw["lpl"][0]]
+                b = y[lw["lpr"][0]]
+            if ng:
+                buf = self._g_gather([y[lw["send_v"][0]]])
+                Gv = buf.reshape((self.P * ns,) + X.shape[1:])
+                tg = Gv[lw["g_mid"]]
+                new_mid = r(lw["g_s"]) * (
+                    tg
+                    + r(lw["g_wl"]) * Gv[lw["g_pl"]]
+                    + r(lw["g_wr"]) * Gv[lw["g_pr"]]
+                )
+                htg = 0.5 * tg
+                adds = jnp.concatenate([htg, htg], axis=0)
+            if nl:
+                ht = 0.5 * t
+                y = y.at[lw["lpl_tgt"][0]].add(ht, mode="drop")
+                y = y.at[lw["lpr_tgt"][0]].add(ht, mode="drop")
+                inc0 = (r(lw["lpl_i0"][0] + lw["lpr_i0"][0]) * ht).sum(0)
+                incR = (r(lw["lpl_iR"][0] + lw["lpr_iR"][0]) * ht).sum(0)
+                y = self._g_exchange_incs(y, inc0, incR)
+                y = y.at[lmid].set(
+                    r(lw["ls"][0]) * (t + r(lw["lwl"][0]) * a + r(lw["lwr"][0]) * b),
+                    mode="drop",
+                )
+            if ng:
+                y = y.at[lw["set_slot"][0]].set(
+                    new_mid[lw["set_src"][0]], mode="drop"
+                )
+                y = y.at[lw["add_slot"][0]].add(
+                    adds[lw["add_src"][0]], mode="drop"
+                )
+        rs = gw["root_slot"][0]
+        return y.at[rs].set(
+            r(gw["root_scale"][0]) * y[jnp.clip(rs, 0, R)], mode="drop"
+        )
+
     def _wavelet_forward_local(self, C, ep):
         """Synthesis W on the duplicated local layout ((R+1, m) -> same).
         Mirrors ops/wavelets.forward_jax levelwise; see module docstring for
         the coarse/fine communication split."""
+        if not self.aligned:
+            return self._wavelet_forward_general(C, ep)
         rs0, rs1 = float(self.wt.root_s[0]), float(self.wt.root_s[1])
         # Coarse phase on the gathered boundary rows (redundant per device).
         G = self._gather_boundary(C)
@@ -388,6 +596,8 @@ class ExplicitHeatSolver(HeatSolver):
 
     def _wavelet_adjoint_local(self, X, ep):
         """Transpose W' on the duplicated local layout ((R+1, m) -> same)."""
+        if not self.aligned:
+            return self._wavelet_adjoint_general(X, ep)
         y = jnp.asarray(X)
         for j in range(self.J, self.p_log, -1):
             mid, left, right, left_int, right_int = self._fine_slices(j)
@@ -446,16 +656,30 @@ class ExplicitHeatSolver(HeatSolver):
         )
         return sol * p["inv_h"]
 
+    def apply_stab(self, U, p=None):
+        p = self.params if p is None else p
+        if self.aligned:
+            return super().apply_stab(U, p)
+        D = U[1:] - U[:-1]
+        W = self._mask_t(p["h_stab"] * self._spmv_A(D, p), p)
+        z = self._zrow(U.dtype)
+        return jnp.concatenate([z, W]) - jnp.concatenate([W, z])
+
     def _apply_S_local(self, U, ep):
         kp = self._ekron_for(U.dtype, ep)
         if kp is not None and kp.stab_ok:
             V, W = kp.apply_B_stab(U, ep["kron"])
-            part = kp.apply_BT_stab(self.apply_KY(V, ep), W, ep["kron"])
+            part = kp.apply_BT_stab(
+                self.apply_KY(self._mask_t(V, ep), ep),
+                self._mask_t(W, ep), ep["kron"],
+            )
         elif kp is not None:
-            Vt = self.apply_KY(kp.apply_B(U, ep["kron"]), ep)
+            Vt = self.apply_KY(
+                self._mask_t(kp.apply_B(U, ep["kron"]), ep), ep
+            )
             part = kp.apply_BT(Vt, ep["kron"]) + self.apply_stab(U, ep)
         else:
-            Vt = self.apply_KY(self.apply_B(U, ep), ep)
+            Vt = self.apply_KY(self._mask_t(self.apply_B(U, ep), ep), ep)
             part = self.apply_BT(Vt, ep) + self.apply_stab(U, ep)
         out = self._exchange_boundary(part)
         mask0 = (lax.axis_index("time") == 0).astype(U.dtype)
@@ -463,12 +687,27 @@ class ExplicitHeatSolver(HeatSolver):
 
     def _levelwise_local(self, flat, ep, apply_rows):
         """Apply a per-wavelet-level row operation ``apply_rows(rows, j)``
-        on the duplicated (R+1, k) local layout. Interior slots are
-        device-uniform static strided slices carrying exactly the fine
-        levels: global row dR+i (0<i<R) has level J - tz(i) > log2 P. The
-        two boundary slots have device-dependent COARSE levels (node dR has
-        level p_log - tz(d) <= p_log, asserted at setup), so their one-hot
-        blend loops coarse levels only."""
+        on the duplicated (R+1, k) local layout.
+
+        Aligned: interior slots are device-uniform static strided slices
+        carrying exactly the fine levels: global row dR+i (0<i<R) has
+        level J - tz(i) > log2 P. The two boundary slots have
+        device-dependent COARSE levels (node dR has level
+        p_log - tz(d) <= p_log, asserted at setup), so their one-hot
+        blend loops coarse levels only.
+
+        General: per-level padded slot arrays (general_layout.kx_lvl)
+        cover every valid slot once — twin copies on both devices, so no
+        exchange is needed; padding entries scatter with mode='drop'."""
+        if not self.aligned:
+            out = flat
+            for j, idx2 in enumerate(ep["kxl"]):
+                idx = idx2[0]
+                if idx.shape[0] == 0:
+                    continue
+                rows = flat[jnp.clip(idx, 0, self.R)]
+                out = out.at[idx].set(apply_rows(rows, j), mode="drop")
+            return out
         out = flat
         for j in range(self.p_log + 1, self.J + 1):
             s = self.N >> j
@@ -540,13 +779,27 @@ class ExplicitHeatSolver(HeatSolver):
             raise ValueError("explicit path supports the while-loop driver only")
         return "while"
 
+    def _pad_tests(self, X):
+        """Zero-pad a global (N, ...) test-row array to the sharded row
+        count (no-op on aligned layouts)."""
+        if self.Np == self.N:
+            return X
+        pad = jnp.zeros((self.Np - self.N,) + X.shape[1:], X.dtype)
+        return jnp.concatenate([X, pad])
+
+    def _dot_kwargs(self, p):
+        """pcg dot callbacks bound to the LOCAL params (the general dots
+        read the per-device weight rows from them)."""
+        if self.pcg_variant == "fused":
+            return {"dot3": lambda r, z, t: self._dot3_local(r, z, t, p)}
+        return {"dot": lambda a, b: self._dot_local(a, b, p)}
+
     def _build_solve(self, tol: float, maxiter: int, warm: bool = False):
         ep, es = self.eparams_for(self.dtype)
         gspec = P(*(("time",) + (None,) * len(self.gs)))
 
         fused = self.pcg_variant == "fused"
         drv = pcg_fused if fused else pcg
-        dot_kw = {"dot3": self._dot3_local} if fused else {"dot": self._dot_local}
 
         def local_run(gL, gR, u0_vec, p, x0):
             f = self._rhs_local(gL, gR, u0_vec, p)
@@ -557,7 +810,7 @@ class ExplicitHeatSolver(HeatSolver):
                 tol,
                 maxiter,
                 x0=x0 if warm else None,
-                **dot_kw,
+                **self._dot_kwargs(p),
             )
             # Scalar/history outputs are returned tiled (leading device axis)
             # so no replication annotation is needed; host takes row 0.
@@ -581,7 +834,11 @@ class ExplicitHeatSolver(HeatSolver):
                        P("time")),
             check_vma=False,
         )
-        jitted = jax.jit(mapped)
+        jitted = jax.jit(
+            lambda gL, gR, u0, p, x0: mapped(
+                self._pad_tests(gL), self._pad_tests(gR), u0, p, x0
+            )
+        )
 
         def run(gL, gR, u0_vec, p, x0):
             U, it, res, pres, done = jitted(gL, gR, u0_vec, p, x0)
@@ -614,11 +871,18 @@ class ExplicitHeatSolver(HeatSolver):
         N, R, nP, gs = self.N, self.R, self.P, self.gs
         dup_idx = self._dup_index
 
+        m_trial = (
+            None if self.aligned
+            else jnp.asarray(self.glay.m_trial)[:, None]
+        )
+
         def dup(Ug):
-            """(N+1, *gs) global -> (P*(R+1), *gs) duplicated rows."""
-            return Ug.reshape(N + 1, -1)[dup_idx].reshape(
-                (nP * (R + 1),) + gs
-            )
+            """(N+1, *gs) global -> (P*(R+1), *gs) duplicated rows (ragged
+            padding slots zeroed — the clipped index copies row N)."""
+            D = Ug.reshape(N + 1, -1)[dup_idx]
+            if m_trial is not None:
+                D = D * m_trial.astype(D.dtype)
+            return D.reshape((nP * (R + 1),) + gs)
 
         def flat(Ud):
             """Duplicated rows -> (N+1, *gs) global."""
@@ -634,18 +898,21 @@ class ExplicitHeatSolver(HeatSolver):
             mesh=self.mesh, in_specs=(gspec, es64), out_specs=gspec,
             check_vma=False,
         )
-        rhs64 = jax.jit(lambda a, b, c, p: flat(rhs_local(a, b, c, p)))
+        rhs64 = jax.jit(
+            lambda a, b, c, p: flat(
+                rhs_local(self._pad_tests(a), self._pad_tests(b), c, p)
+            )
+        )
         resid64 = jax.jit(lambda f, u, p: f - flat(S_local(dup(u), p)))
 
         fused = self.pcg_variant == "fused"
         drv = pcg_fused if fused else pcg
-        dot_kw = {"dot3": self._dot3_local} if fused else {"dot": self._dot_local}
 
         def local_inner(fd, p):
             out = drv(
                 lambda U: self._apply_S_local(U, p),
                 lambda Rr: self._apply_KX_local(Rr, p),
-                fd, inner_tol, inner_maxiter, **dot_kw,
+                fd, inner_tol, inner_maxiter, **self._dot_kwargs(p),
             )
             tile = lambda x: x[None]
             return (out.U, tile(out.iterations), tile(out.residuals),
@@ -681,15 +948,20 @@ class ExplicitHeatSolver(HeatSolver):
             # at the large configs
             return jnp.zeros((self.P * (self.R + 1),) + self.gs, self.dtype)
         full = np.asarray(x0, self.dtype).reshape(self.N + 1, self.m)
-        return jnp.asarray(
-            self._dup_rows(full).reshape((self.P * (self.R + 1),) + self.gs)
-        )
+        dup = self._dup_rows(full)
+        if not self.aligned:
+            # Padding slots must start exactly zero (the clipped dup index
+            # copies row N into them) so they stay zero through the solve.
+            dup = dup * self.glay.m_trial[:, None]
+        return jnp.asarray(dup.reshape((self.P * (self.R + 1),) + self.gs))
 
     def _device_iterate_flat(self, U_dev):
         """Drop the duplicated halo slots: (P·(R+1), gs) -> (N+1, m).
         Shared by host postprocessing (via the base _postprocess_U) and
-        on-device analysis."""
+        on-device analysis. The [: N+1] slice drops ragged padding (a
+        no-op on aligned layouts, where P·R == N)."""
         U = U_dev.reshape(self.P, self.R + 1, self.m)
-        return jnp.concatenate(
+        flat = jnp.concatenate(
             [U[:, : self.R].reshape(-1, self.m), U[-1, self.R :]], axis=0
         )
+        return flat[: self.N + 1]
