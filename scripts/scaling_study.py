@@ -66,6 +66,44 @@ def collective_census(solver) -> dict:
     }
 
 
+_DT_BYTES = {"f64": 8, "f32": 4, "bf16": 2, "f16": 2, "s64": 8, "s32": 4,
+             "u32": 4, "u8": 1, "pred": 1}
+
+
+def compiled_collective_stats(solver) -> dict:
+    """Census + payload bytes of the collectives GSPMD actually inserted.
+
+    The pre-partitioning StableHLO of the GSPMD path carries only sharding
+    annotations; the collectives exist in the COMPILED (SPMD-partitioned)
+    module. Each op's result shape is its per-device payload, so summing
+    them gives the bytes-on-ICI model: ops inside the PCG while-loop body
+    appear once in the text but execute once per iteration — on this
+    solver virtually all collective traffic is in-loop, so `bytes` reads
+    as per-iteration per-device ICI bytes (halo planes of the space axis,
+    halo rows of the time axis, psum scalars)."""
+    fn = solver._build_solve(1e-6, 40, warm=False)
+    gL, gR, u0 = solver.assemble_rhs_host()
+    x0 = solver._prepare_x0(None)
+    txt = fn.lower(gL, gR, u0, solver._solve_params(), x0).compile().as_text()
+    import re
+
+    stats = {}
+    for m in re.finditer(
+        r"=\s+(\w+)\[([\d,]*)\][^=]*?\s(all-reduce|collective-permute|"
+        r"all-gather|all-to-all|reduce-scatter)\(",
+        txt,
+    ):
+        dt, shape, op = m.groups()
+        n = 1
+        for s in shape.split(","):
+            if s:
+                n *= int(s)
+        d = stats.setdefault(op, {"count": 0, "bytes": 0})
+        d["count"] += 1
+        d["bytes"] += n * _DT_BYTES.get(dt, 4)
+    return stats
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--space-n", type=int, default=16)
@@ -131,6 +169,52 @@ def main():
                     f"{tag} {backend} P={P} {variant}: {r.iterations} iters"
                     f"{extra}"
                 )
+
+    # 2-D (time, space) mesh (cfg5 stretch): 3D problem with an UNEVEN
+    # space split (gs[0] = 7 over P_s ∈ {2, 4}), parity vs serial plus the
+    # compiled-HLO collective census — the bytes column is the per-device
+    # per-iteration ICI traffic model for the layout (see
+    # compiled_collective_stats).
+    from spacetime_tpu.fem import unit_cube_mesh
+    from spacetime_tpu.parallel import make_spacetime_mesh
+
+    problem3 = get_problem("smooth3d")
+    system3 = P1System.from_mesh(unit_cube_mesh(8))
+    grid3 = uniform_time_grid(3)
+    ref3 = HeatSolver(problem3, system3, grid3).solve(
+        tol=args.tol, compute_error=False
+    )
+    mesh2_records = []
+    for pt, ps in ((4, 2), (2, 4), (2, 2)):
+        if pt * ps > args.num_devices:
+            continue
+        solver = ShardedHeatSolver(
+            problem3, system3, grid3, make_spacetime_mesh(pt, ps)
+        )
+        t0 = time.perf_counter()
+        r = solver.solve(tol=args.tol, compute_error=False)
+        dt = time.perf_counter() - t0
+        match = r.iterations == ref3.iterations and np.allclose(
+            r.residuals, ref3.residuals, rtol=1e-9
+        )
+        rec = {
+            "backend": "sharded-2d",
+            "devices": pt * ps,
+            "mesh": [pt, ps],
+            "pcg": "standard",
+            "iterations": int(r.iterations),
+            "matches_serial": bool(match),
+            "res_sha": hashlib.sha256(
+                np.asarray(r.residuals).tobytes()
+            ).hexdigest()[:12],
+            "wall_s": round(dt, 3),
+            "collectives": compiled_collective_stats(solver),
+        }
+        mesh2_records.append(rec)
+        tag = "OK " if match else "MISMATCH"
+        print(f"{tag} sharded-2d mesh={pt}x{ps}: {r.iterations} iters "
+              f"collectives={rec['collectives']}")
+    records.extend(mesh2_records)
 
     assert all(r["matches_serial"] for r in records), "scaling parity broken"
     with open(args.out, "a") as f:
