@@ -741,6 +741,14 @@ class GalerkinMultiShiftMultigrid:
             x, rc = pj.fused_pre(b, lp["cols"], lp["tx"], lp["Aw"])
             ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
             return pj.fused_post(x, b, ec, lp["cols"], lp["tx"], lp["Aw"])
+        if pj is not None and pj.semi_ok and "tx" in lp:
+            # Semi-fused stages (weighted twin of the constant path): the
+            # fine residual and the prolonged correction never touch HBM.
+            x = pj.smooth(None, b, lp["cols"], lp["Aw"], zero_init=True)
+            rc = pj.residual_restrict(x, b, lp["cols"], lp["tx"], lp["Aw"])
+            ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
+            x = pj.prolong_correct(x, ec, lp["tx"])
+            return pj.smooth(x, b, lp["cols"], lp["Aw"])
         if pj is not None:
             x = pj.smooth(None, b, lp["cols"], lp["Aw"], zero_init=True)
             r = pj.residual(x, b, lp["cols"], lp["Aw"])
@@ -971,10 +979,21 @@ class NestedMultiShiftMultigrid:
 
     @staticmethod
     def _gather_apply(w, idx, v):
-        """(..., n_src) -> (..., n_dst): Σ_k w[r, k] · v[..., idx[r, k]]."""
+        """(..., n_src) -> (..., n_dst): Σ_k w[r, k] · v[..., idx[r, k]].
+
+        Unrolled over the (static, small) K columns: the one-shot
+        ``take(v, idx)`` form materializes a (..., n_dst, K) intermediate
+        whose tiny trailing axis sits in LANE position — on TPU that
+        zero-pads K up to the 128-lane tile (CLAUDE.md: observed 19-26 GB
+        from exactly this shape class). K full-width lane-major gathers
+        fuse into K clean passes instead."""
         import jax.numpy as jnp
 
-        return (w * jnp.take(v, idx, axis=-1)).sum(axis=-1)
+        out = None
+        for k in range(idx.shape[-1]):
+            term = w[..., k] * jnp.take(v, idx[..., k], axis=-1)
+            out = term if out is None else out + term
+        return out
 
     def _restrict(self, r, lp):
         return self._gather_apply(lp["Rw"], lp["Ridx"], r)
@@ -1253,10 +1272,18 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
             return NestedMultiShiftMultigrid._op(self, lev, lp, x)
         import jax.numpy as jnp
 
-        g = jnp.take(x, lp["eidx"], axis=-1)  # one gather serves A and M
-        return (lp["ewA"] * g).sum(axis=-1) + lp["omega"] * (
-            (lp["ewM"] * g).sum(axis=-1)
-        )
+        # Unrolled over the static ELL width: each take is a full-width
+        # lane-major gather that still serves both A and M; the one-shot
+        # (..., m, K) form lane-pads K to the 128-tile on TPU (see
+        # _gather_apply).
+        outA = outM = None
+        for k in range(lp["eidx"].shape[-1]):
+            g = jnp.take(x, lp["eidx"][..., k], axis=-1)
+            tA = lp["ewA"][..., k] * g
+            tM = lp["ewM"][..., k] * g
+            outA = tA if outA is None else outA + tA
+            outM = tM if outM is None else outM + tM
+        return outA + lp["omega"] * outM
 
 
 def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,

@@ -759,8 +759,7 @@ class HeatSolver:
             for pj, lp, lev in zip(pls, p[name], self.msmg.levels):
                 if pj is not None:
                     lp["cols"] = columns(lev, omr, dtype)
-                    # VarMSPallasLevel has no semi-fused stages (deferred).
-                    if pj.fused_ok or getattr(pj, "semi_ok", False):
+                    if pj.fused_ok or pj.semi_ok:
                         lp["tx"] = pj.transfers(dtype)
 
     def _spmv_generic(self, which: str, offsets, U, p):

@@ -275,6 +275,86 @@ def test_varcoef_solve_with_forced_kernels_matches_xla():
     )
 
 
+@pytest.mark.parametrize(
+    "dim,blocked", [(2, False), (2, True), (3, False), (3, True)]
+)
+def test_var_semi_fused_match_unfused(dim, blocked):
+    """Weighted residual_restrict == (residual, restrict); prolong_correct
+    is shared with the constant path — f64 is exact (HIGHEST dots)."""
+    from spacetime_tpu.ops.multigrid import _transfer_fast
+
+    n = 32
+    T = 3
+    msmg, _ = _build(dim, n)
+    lev = msmg.levels[0]
+    rng = np.random.default_rng(7)
+    omega_rows = np.abs(rng.standard_normal(T)) * 10
+    lp = msmg.row_params(omega_rows, jnp.float64)[0]
+    gs = lev.gs
+    x = jnp.asarray(rng.standard_normal((T,) + gs))
+    b = jnp.asarray(rng.standard_normal((T,) + gs))
+    rc_ref = np.asarray(
+        _transfer_fast(b - msmg._op(lev, lp, x), dim, restrict=True)
+    )
+    ec = jnp.asarray(rng.standard_normal(rc_ref.shape))
+    pc_ref = np.asarray(x + _transfer_fast(ec, dim, restrict=False))
+
+    pj = VarMSPallasLevel(lev, T, jnp.float64, msmg.nu, interpret=True)
+    pj.TBt = 2
+    pj.YBt = 16 if blocked else gs[-2]
+    assert pj.semi_ok
+    tx = pj.transfers(jnp.float64)
+    cols = VarMSPallasLevel.columns(lev, omega_rows, jnp.float64)
+    rc = pj.residual_restrict(x, b, cols, tx, lp["Aw"])
+    pc = pj.prolong_correct(x, ec, tx)
+    np.testing.assert_allclose(np.asarray(rc), rc_ref, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(pc), pc_ref, atol=1e-12)
+
+
+def test_var_semi_vcycle_matches_xla():
+    """The weighted vcycle's semi-fused branch (fused_ok off via a
+    non-16-aligned smoother YB — the blocked-3D varcoef situation) matches
+    the XLA vcycle and actually executes."""
+    from spacetime_tpu.ops import mg_pallas
+
+    msmg, (A_c, M_c) = _build(2, 32)
+    T = 4
+    rng = np.random.default_rng(8)
+    omega_rows = np.abs(rng.standard_normal(T)) * 4
+    lps = msmg.row_params(omega_rows, jnp.float64)
+    cinvs = np.stack([np.linalg.inv(A_c + w * M_c) for w in omega_rows])
+
+    def coarse(bc):
+        flat = bc.reshape(bc.shape[0], -1)
+        out = jnp.einsum("tm,tmk->tk", flat, jnp.asarray(cinvs))
+        return out.reshape(bc.shape)
+
+    b = jnp.asarray(rng.standard_normal((T,) + msmg.levels[0].gs))
+    ref = np.asarray(msmg.solve(b, lps, coarse, cycles=2))
+    pls = [
+        VarMSPallasLevel(lev, T, jnp.float64, msmg.nu, interpret=True)
+        for lev in msmg.levels
+    ]
+    pls[0].YB = 8  # fused_ok False (YB % 16) -> semi path
+    pls[0].TBt, pls[0].YBt = 2, 16
+    assert not pls[0].fused_ok and pls[0].semi_ok
+    for pj, lp, lev in zip(pls, lps, msmg.levels):
+        lp["cols"] = VarMSPallasLevel.columns(lev, omega_rows, jnp.float64)
+        if pj.fused_ok or pj.semi_ok:
+            lp["tx"] = pj.transfers(jnp.float64)
+    calls = []
+    orig = VarMSPallasLevel.residual_restrict
+    VarMSPallasLevel.residual_restrict = (
+        lambda self, *a, **k: (calls.append(1), orig(self, *a, **k))[1]
+    )
+    try:
+        got = np.asarray(msmg.solve(b, lps, coarse, cycles=2, pallas=pls))
+    finally:
+        VarMSPallasLevel.residual_restrict = orig
+    assert calls, "semi-fused branch was not taken"
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+
 if __name__ == "__main__":
     import sys
 
