@@ -85,6 +85,7 @@ class ExplicitHeatSolver(HeatSolver):
     """
 
     supports_chunked = False  # single fused shard_map program only
+    _x0_needs_layout = True  # shard_map in_specs need the full dup layout
 
     def __init__(self, problem, system, grid, mesh: Mesh,
                  pallas: bool | str = "auto", **kwargs):
@@ -837,7 +838,8 @@ class ExplicitHeatSolver(HeatSolver):
         jitted = jax.jit(
             lambda gL, gR, u0, p, x0: mapped(
                 self._pad_tests(gL), self._pad_tests(gR), u0, p, x0
-            )
+            ),
+            donate_argnums=(0, 1) if self.donate_rhs else (),
         )
 
         def run(gL, gR, u0_vec, p, x0):

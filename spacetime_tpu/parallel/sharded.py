@@ -86,10 +86,14 @@ class ShardedHeatSolver(HeatSolver):
         )
         g_sh = time_rows if (self.N % P_t == 0 and even_space) else repl
         x_sh = time_rows if ((self.N + 1) % P_t == 0 and even_space) else repl
+        if not warm:
+            x_sh = repl  # cold starts pass a scalar placeholder (heateq)
+        donate = (0, 1) if self.donate_rhs else ()
         return jax.jit(
             run,
             in_shardings=(g_sh, g_sh, repl, params_sh, x_sh),
             out_shardings=None,
+            donate_argnums=donate,
         )
 
     def _build_refined_jits(self, mode: str, inner_tol: float,

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load quadrature: host = NumPy (oracle parity), "
                         "device = jitted on-device (fast at scale); auto = "
                         "device for f32 manufactured problems")
+    p.add_argument("--donate-rhs", action="store_true",
+                   help="donate the staged RHS load buffers to the solve "
+                        "executable (single-chip HBM capacity headroom at "
+                        "cfg5 scales; each solve then re-stages the loads)")
     p.add_argument("--pcg", choices=["standard", "fused"], default="standard",
                    help="fused = single-reduction (Chronopoulos-Gear) PCG: "
                         "one global reduction per iteration instead of three")
@@ -231,7 +235,8 @@ def main(argv=None) -> int:
         kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
                       mg_cycles_kx=args.mg_cycles_kx, mg_nu_kx=args.mg_nu_kx,
                       spatial_format=args.spatial, pcg_variant=args.pcg,
-                      rhs=args.rhs, cheb_eps=args.cheb_eps)
+                      rhs=args.rhs, cheb_eps=args.cheb_eps,
+                      donate_rhs=args.donate_rhs)
         with timer("setup"):
             if args.backend == "sharded":
                 from .parallel import ShardedHeatSolver, make_time_mesh

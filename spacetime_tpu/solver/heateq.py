@@ -90,6 +90,10 @@ class HeatSolver:
     computation."""
 
     supports_chunked = True  # the explicit shard_map subclass opts out
+    # True where the solve signature needs x0 in full device layout even on
+    # cold starts (the explicit shard_map path's in_specs) — disables the
+    # scalar-placeholder capacity optimization in solve().
+    _x0_needs_layout = False
 
     def __init__(
         self,
@@ -111,6 +115,7 @@ class HeatSolver:
         pcg_variant: str = "standard",
         rhs: str = "auto",
         cheb_eps: float = 1e-3,
+        donate_rhs: bool = False,
     ):
         """``inner``: inner spatial solver — 'dense' (exact precomputed
         inverses, parity phase, m ≤ a few thousand) or 'mg' (geometric
@@ -579,6 +584,12 @@ class HeatSolver:
         if rhs == "device" and problem.exact is None:
             raise ValueError("rhs='device' needs a manufactured problem")
         self.rhs_mode = rhs
+        # Capacity lever (single-chip HBM ceiling, BASELINE.md cfg5): donate
+        # the staged RHS load buffers to the solve executable so XLA reuses
+        # them as loop temporaries (~2x(N,m) fields — 2.2 GB at 270 MDoF).
+        # The staged-device cache is invalidated by donation, so each solve
+        # re-stages the loads; keep off for repeated-solve workflows.
+        self.donate_rhs = donate_rhs
         self.loop = loop
         self.chunk = chunk
         self._solve_jit_cache = {}
@@ -1058,7 +1069,8 @@ class HeatSolver:
                 f, tol, maxiter, x0=x0 if warm else None,
             )
 
-        return jax.jit(run)
+        donate = (0, 1) if self.donate_rhs else ()
+        return jax.jit(run, donate_argnums=donate)
 
     def _build_chunked(self, tol: float, maxiter: int, warm: bool):
         def prep(gL, gR, u0_vec, p, x0):
@@ -1213,12 +1225,24 @@ class HeatSolver:
             build = self._build_solve if mode == "while" else self._build_chunked
             self._solve_jit_cache[key] = build(tol, maxiter, x0 is not None)
         gL, gR, u0_vec = self.assemble_rhs_host()
-        x0_dev = self._prepare_x0(x0)
+        if x0 is None and mode == "while" and not self._x0_needs_layout:
+            # Cold start: the warm=False trace ignores x0 entirely, so a
+            # scalar placeholder satisfies the call signature without
+            # staging a full zero field (1+ GB at the cfg5 scales —
+            # capacity headroom for the single-chip HBM ceiling).
+            x0_dev = jnp.zeros((), self.dtype)
+        else:
+            x0_dev = self._prepare_x0(x0)
         params = self._solve_params()
         t0 = _time.perf_counter()
         final_state = None
         if mode == "while":
             out = self._solve_jit_cache[key](gL, gR, u0_vec, params, x0_dev)
+            if self.donate_rhs:
+                # The staged load buffers were donated to the executable —
+                # drop the (now-invalid) device cache; the next solve
+                # re-stages them.
+                self._rhs_dev.clear()
         else:
             cb = None
             if checkpoint_every:

@@ -124,3 +124,36 @@ def test_singular3d_graded_parity():
     assert rj.iterations == ro.iterations <= 20
     np.testing.assert_allclose(rj.residuals, ro.residuals, rtol=1e-9)
     np.testing.assert_allclose(rj.l2_error, ro.l2_error, rtol=1e-10)
+
+
+def test_donate_rhs_and_scalar_x0_placeholder():
+    """Capacity levers (single-chip HBM ceiling, BASELINE.md cfg5): cold
+    starts pass a scalar x0 placeholder instead of staging a zero field,
+    and donate_rhs=True hands the staged load buffers to the executable
+    (re-staged per solve). Histories must be identical to the plain path,
+    including across repeated and warm-started solves."""
+    import jax.numpy as jnp
+
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import uniform_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    prob = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(12))
+    grid = uniform_time_grid(4)
+    ref = HeatSolver(prob, system, grid).solve(tol=1e-6, compute_error=False)
+    s = HeatSolver(prob, system, grid, donate_rhs=True)
+    r1 = s.solve(tol=1e-6, compute_error=False)
+    r2 = s.solve(tol=1e-6, compute_error=False)  # re-staged loads
+    assert r1.iterations == ref.iterations == r2.iterations
+    np.testing.assert_allclose(r1.residuals, ref.residuals, rtol=1e-12)
+    np.testing.assert_allclose(r2.residuals, ref.residuals, rtol=1e-12)
+    part = s.solve(tol=1e-3, compute_error=False)
+    res = s.solve(tol=1e-10, compute_error=False, x0=part.U)
+    assert res.converged and res.iterations < ref.iterations + 10
+    np.testing.assert_allclose(
+        res.U, HeatSolver(prob, system, grid).solve(
+            tol=1e-10, compute_error=False
+        ).U, atol=1e-9,
+    )
