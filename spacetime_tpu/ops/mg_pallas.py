@@ -431,11 +431,16 @@ class MSPallasLevel:
     the same formulas as MultiShiftMultigrid.row_params and live in the
     params pytree."""
 
-    def __init__(self, A_st, M_st, T: int, dtype, nu: int, interpret=False):
+    def __init__(self, A_st, M_st, T: int, dtype, nu: int, interpret=False,
+                 nu_post: int | None = None):
         self.gs = tuple(A_st.grid_shape)
         self.groups_A = _weight_groups(A_st.disps, A_st.weights)
         self.groups_M = _weight_groups(M_st.disps, M_st.weights)
         self.nu = nu
+        # Post-smoothing degree (V(nu, nu_post) cycles — see
+        # ops/multigrid.MultiShiftMultigrid.nu_post). Separate kernel per
+        # degree (the sweep is unrolled in the kernel body).
+        self.nu_post = nu if nu_post is None else nu_post
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
         self.TB, self.YB = _pick_blocks_mg(T, self.gs, jnp.dtype(dtype).itemsize)
@@ -497,12 +502,13 @@ class MSPallasLevel:
         ).copy()
         return {k: to128(v) for k, v in cols.items()}
 
-    def smooth(self, x, b, cols, zero_init=False):
+    def smooth(self, x, b, cols, zero_init=False, post=False):
         return _smooth_call(
             b if zero_init else x, b,
             cols["omega"], cols["invD"], cols["invT"], cols["invDel"],
             groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
-            TB=self.TB, YB=self.YB, nu=self.nu, zero_init=zero_init,
+            TB=self.TB, YB=self.YB,
+            nu=self.nu_post if post else self.nu, zero_init=zero_init,
             interpret=self.interpret,
         )
 
@@ -525,7 +531,11 @@ class MSPallasLevel:
 
     @property
     def fused_ok(self) -> bool:
-        return _fused_supported(self.gs, self.nu, self.YB, self.gs[-2])
+        # The fully fused stages bake ONE nu; asymmetric V(nu, nu_post)
+        # rides the semi/plain paths instead.
+        return self.nu_post == self.nu and _fused_supported(
+            self.gs, self.nu, self.YB, self.gs[-2]
+        )
 
     @property
     def semi_ok(self) -> bool:
@@ -908,13 +918,15 @@ class VarMSPallasLevel:
 
     needs_weights = True
 
-    def __init__(self, lev, T: int, dtype, nu: int, interpret=False):
+    def __init__(self, lev, T: int, dtype, nu: int, interpret=False,
+                 nu_post: int | None = None):
         self.gs = tuple(lev.gs)
         self.disps = tuple(lev.A_vs.disps)
         self.kc = int(lev.kc)
         self.cM = float(lev.cM)
         self.groups_M = _weight_groups(lev.M_st.disps, lev.M_st.weights)
         self.nu = nu
+        self.nu_post = nu if nu_post is None else nu_post
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
         self.TB, self.YB = _pick_blocks_mg(T, self.gs, jnp.dtype(dtype).itemsize)
@@ -956,13 +968,14 @@ class VarMSPallasLevel:
         ).copy()
         return {k: to128(v) for k, v in cols.items()}
 
-    def smooth(self, x, b, cols, W, zero_init=False):
+    def smooth(self, x, b, cols, W, zero_init=False, post=False):
         return _smooth_var_call(
             b if zero_init else x, b, W,
             cols["omega"], cols["invT"], cols["invDel"],
             disps=self.disps, kc=self.kc, cM=self.cM,
             groups_M=self.groups_M, gs=self.gs, TB=self.TB, YB=self.YB,
-            nu=self.nu, zero_init=zero_init, interpret=self.interpret,
+            nu=self.nu_post if post else self.nu, zero_init=zero_init,
+            interpret=self.interpret,
         )
 
     def residual(self, x, b, cols, W):
@@ -984,7 +997,9 @@ class VarMSPallasLevel:
 
     @property
     def fused_ok(self) -> bool:
-        return _fused_supported(self.gs, self.nu, self.YB, self.gs[-2])
+        return self.nu_post == self.nu and _fused_supported(
+            self.gs, self.nu, self.YB, self.gs[-2]
+        )
 
     # Same availability gate as the constant-coefficient levels: the
     # stages exist for 2D/3D in interpret mode (tests) and are

@@ -348,6 +348,12 @@ class MultiShiftMultigrid:
     levels: tuple[_MSLevel, ...]
     nu: int
     n_coarse: int
+    # Post-smoothing degree override (None = nu). V(nu, nu_post) cycles:
+    # measured on the smooth2d/3d ladders, V(2,1) holds the outer PCG
+    # iteration counts (3D: identical; 2D: +1) while halving the
+    # post-smooth sweep — the largest single V-cycle stage at the 3D
+    # flagship (BASELINE.md). V(1,1) degrades badly (14 -> 19 iters 3D).
+    nu_post: int | None = None
 
     _SIGMA = 5.0 / 3.0
 
@@ -461,13 +467,14 @@ class MultiShiftMultigrid:
             out = w * acc if out is None else out + w * acc
         return out
 
-    def _smooth(self, lev: _MSLevel, lp, x, b):
+    def _smooth(self, lev: _MSLevel, lp, x, b, nu: int | None = None):
+        nu = self.nu if nu is None else nu
         sigma = self._SIGMA
         r = lp["inv_diag"] * (b - self._op(lev, lp, x))
         d = r * lp["inv_theta"]
         x = x + d
         rho = 1.0 / sigma
-        for _ in range(self.nu - 1):
+        for _ in range(nu - 1):
             rho_new = 1.0 / (2.0 * sigma - rho)
             r = r - lp["inv_diag"] * self._op(lev, lp, d)
             d = rho_new * rho * d + (2.0 * rho_new) * lp["inv_delta"] * r
@@ -509,7 +516,7 @@ class MultiShiftMultigrid:
             rc = pj.residual_restrict(x, b, lp["cols"], lp["tx"])
             ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
             x = pj.prolong_correct(x, ec, lp["tx"])
-            return pj.smooth(x, b, lp["cols"])
+            return pj.smooth(x, b, lp["cols"], post=True)
         if pj is not None:
             x = pj.smooth(None, b, lp["cols"], zero_init=True)
             r = pj.residual(x, b, lp["cols"])
@@ -520,8 +527,8 @@ class MultiShiftMultigrid:
         ec = self.vcycle(self._restrict(r, nc), lps, coarse_solve, lvl + 1, pallas)
         x = x + self._interp(ec, nc)
         if pj is not None:
-            return pj.smooth(x, b, lp["cols"])
-        return self._smooth(lev, lp, x, b)
+            return pj.smooth(x, b, lp["cols"], post=True)
+        return self._smooth(lev, lp, x, b, nu=self.nu_post)
 
     def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
         x = self.vcycle(b, lps, coarse_solve, pallas=pallas)
@@ -630,6 +637,7 @@ class GalerkinMultiShiftMultigrid:
     levels: tuple[_GMSLevel, ...]
     nu: int
     n_coarse: int
+    nu_post: int | None = None  # see MultiShiftMultigrid.nu_post
 
     _SIGMA = 5.0 / 3.0
 
@@ -706,14 +714,16 @@ class GalerkinMultiShiftMultigrid:
     def _op(self, lev: _GMSLevel, lp, x):
         return lev.A_vs.apply(x, lp["Aw"]) + lp["omega"] * lev.M_st.apply(x)
 
-    def _smooth(self, lev: _GMSLevel, lp, x, b, zero_init: bool = False):
+    def _smooth(self, lev: _GMSLevel, lp, x, b, zero_init: bool = False,
+                nu: int | None = None):
+        nu = self.nu if nu is None else nu
         sigma = self._SIGMA
         invd = 1.0 / (lp["Aw"][lev.kc] + lev.cM * lp["omega"])
         r = invd * (b if zero_init else b - self._op(lev, lp, x))
         d = r * lp["inv_theta"]
         x = d if zero_init else x + d
         rho = 1.0 / sigma
-        for _ in range(self.nu - 1):
+        for _ in range(nu - 1):
             rho_new = 1.0 / (2.0 * sigma - rho)
             r = r - invd * self._op(lev, lp, d)
             d = rho_new * rho * d + (2.0 * rho_new) * lp["inv_delta"] * r
@@ -748,7 +758,7 @@ class GalerkinMultiShiftMultigrid:
             rc = pj.residual_restrict(x, b, lp["cols"], lp["tx"], lp["Aw"])
             ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
             x = pj.prolong_correct(x, ec, lp["tx"])
-            return pj.smooth(x, b, lp["cols"], lp["Aw"])
+            return pj.smooth(x, b, lp["cols"], lp["Aw"], post=True)
         if pj is not None:
             x = pj.smooth(None, b, lp["cols"], lp["Aw"], zero_init=True)
             r = pj.residual(x, b, lp["cols"], lp["Aw"])
@@ -759,8 +769,8 @@ class GalerkinMultiShiftMultigrid:
         ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
         x = x + _transfer_fast(ec, self.dim, restrict=False)
         if pj is not None:
-            return pj.smooth(x, b, lp["cols"], lp["Aw"])
-        return self._smooth(lev, lp, x, b)
+            return pj.smooth(x, b, lp["cols"], lp["Aw"], post=True)
+        return self._smooth(lev, lp, x, b, nu=self.nu_post)
 
     def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
         """``b``: (..., m) flat or (..., *gs) grid layout; grid internally
@@ -860,6 +870,7 @@ class NestedMultiShiftMultigrid:
 
     levels: tuple[_NestedLevel, ...]
     nu: int
+    nu_post: int | None = None  # see MultiShiftMultigrid.nu_post
 
     _SIGMA = 5.0 / 3.0
 
@@ -962,14 +973,16 @@ class NestedMultiShiftMultigrid:
             lp["Mv"], lev.offM, x
         )
 
-    def _smooth(self, lev: _NestedLevel, lp, x, b, zero_init: bool = False):
+    def _smooth(self, lev: _NestedLevel, lp, x, b, zero_init: bool = False,
+                nu: int | None = None):
+        nu = self.nu if nu is None else nu
         sigma = self._SIGMA
         invd = 1.0 / (lp["dA"] + lp["omega"] * lp["dM"])
         r = invd * (b if zero_init else b - self._op(lev, lp, x))
         d = r * lp["inv_theta"]
         x = d if zero_init else x + d
         rho = 1.0 / sigma
-        for _ in range(self.nu - 1):
+        for _ in range(nu - 1):
             rho_new = 1.0 / (2.0 * sigma - rho)
             r = r - invd * self._op(lev, lp, d)
             d = rho_new * rho * d + (2.0 * rho_new) * lp["inv_delta"] * r
@@ -1010,7 +1023,7 @@ class NestedMultiShiftMultigrid:
         r = b - self._op(lev, lp, x)
         ec = self.vcycle(self._restrict(r, lp), lps, coarse_solve, lvl + 1)
         x = x + self._interp(ec, lp)
-        return self._smooth(lev, lp, x, b)
+        return self._smooth(lev, lp, x, b, nu=self.nu_post)
 
     def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
         """``b``: (..., m) flat dof layout (``pallas`` accepted for call-

@@ -279,7 +279,8 @@ class ExplicitHeatSolver(HeatSolver):
 
                 mk = lambda rows, nu: [
                     MSPallasLevel(lev.A_st, lev.M_st, rows, dtype, nu,
-                                  interpret=self._pl_interpret)
+                                  interpret=self._pl_interpret,
+                                  nu_post=self.mg_nu_post)
                     if (lev.n - 1) ** self._mg_dim >= self.mg_pallas_min_points
                     else None
                     for lev in self.msmg.levels

@@ -89,6 +89,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="load quadrature: host = NumPy (oracle parity), "
                         "device = jitted on-device (fast at scale); auto = "
                         "device for f32 manufactured problems")
+    p.add_argument("--mg-nu-post", type=int, default=None,
+                   help="post-smoothing degree override (V(nu, nu_post) "
+                        "cycles); V(2,1) measured iteration-neutral in 3D "
+                        "at ~half the post-smooth cost")
     p.add_argument("--donate-rhs", action="store_true",
                    help="donate the staged RHS load buffers to the solve "
                         "executable (single-chip HBM capacity headroom at "
@@ -234,6 +238,7 @@ def main(argv=None) -> int:
         dtype = jnp.float64 if args.dtype == "f64" else jnp.float32
         kwargs = dict(dtype=dtype, inner=args.inner, mg_cycles=args.mg_cycles,
                       mg_cycles_kx=args.mg_cycles_kx, mg_nu_kx=args.mg_nu_kx,
+                      mg_nu_post=args.mg_nu_post,
                       spatial_format=args.spatial, pcg_variant=args.pcg,
                       rhs=args.rhs, cheb_eps=args.cheb_eps,
                       donate_rhs=args.donate_rhs)

@@ -107,6 +107,7 @@ class HeatSolver:
         mg_cycles_kx: int | None = None,
         mg_nu: int = 2,
         mg_nu_kx: int | None = None,
+        mg_nu_post: int | None = None,
         mg_coarse: int | None = None,
         space_n: int | None = None,
         loop: str = "auto",
@@ -553,6 +554,18 @@ class HeatSolver:
         self._rhs_host = None
         self._rhs_dev: dict = {}
         self.rhs_seconds = 0.0
+        # V(nu, nu_post) cycles (ops/multigrid.MultiShiftMultigrid.nu_post):
+        # measured V(2,1) holds outer iteration counts (3D exactly, 2D +1)
+        # at roughly half the post-smooth cost — the largest single V-cycle
+        # stage at the 3D flagship. Applies to K_Y and K_X alike; K_Y
+        # enters S itself, so accuracy-critical 2D runs should re-check L2
+        # (the known mg_cycles-style caveat).
+        self.mg_nu_post = mg_nu_post
+        if mg_nu_post is not None and getattr(self, "msmg", None) is not None:
+            self.msmg = dataclasses.replace(self.msmg, nu_post=mg_nu_post)
+            self.msmg_kx = dataclasses.replace(
+                self.msmg_kx, nu_post=mg_nu_post
+            )
         self.params = self.params_for(dtype)
         counts = np.asarray(self.wt.level_counts)
         self.level_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
@@ -678,6 +691,7 @@ class HeatSolver:
                         VarMSPallasLevel(
                             lev, self.N + 1, dtype, nu,
                             interpret=self._pl_interpret,
+                            nu_post=self.mg_nu_post,
                         )
                         if int(np.prod(lev.gs)) >= self.mg_pallas_min_points
                         else None
@@ -697,7 +711,8 @@ class HeatSolver:
                 # stay XLA where launch overhead dominates either way.
                 mk_ms = lambda nu: [
                     MSPallasLevel(lev.A_st, lev.M_st, self.N + 1, dtype,
-                                  nu, interpret=self._pl_interpret)
+                                  nu, interpret=self._pl_interpret,
+                                  nu_post=self.mg_nu_post)
                     if (lev.n - 1) ** self._mg_dim >= self.mg_pallas_min_points
                     else None
                     for lev in self.msmg.levels

@@ -180,3 +180,67 @@ def test_conv_transfers_match_scatter_forms():
         np.testing.assert_allclose(
             np.asarray(_restrict3d(F3, nc)), np.asarray(_restrict3d_slices(F3, nc)),
             atol=1e-13)
+
+
+def test_nu_post_asymmetric_cycles():
+    """V(nu, nu_post) cycles: default nu_post=None is bit-identical to the
+    symmetric path; V(2,1) holds outer iteration counts (within +2) with
+    matching solutions — the post-smooth is the largest V-cycle stage at
+    the 3D flagship (BASELINE.md), so this is the measured-iteration-
+    neutral way to cut it."""
+    import jax.numpy as jnp
+
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import uniform_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    prob = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(16))
+    grid = uniform_time_grid(4)
+    kw = dict(dtype=jnp.float32, inner="mg", space_n=16, rhs="device")
+    ref = HeatSolver(prob, system, grid, **kw).solve(
+        tol=1e-6, compute_error=False
+    )
+    same = HeatSolver(prob, system, grid, mg_nu_post=2, **kw).solve(
+        tol=1e-6, compute_error=False
+    )
+    np.testing.assert_array_equal(ref.residuals, same.residuals)
+    v21 = HeatSolver(prob, system, grid, mg_nu_post=1, **kw).solve(
+        tol=1e-6, compute_error=False
+    )
+    assert v21.converged
+    assert v21.iterations <= ref.iterations + 2
+    np.testing.assert_allclose(v21.U, ref.U, atol=1e-4)
+
+
+def test_nu_post_pallas_kernels_match_xla():
+    """Pallas smoothers with a distinct post-degree kernel (interpret
+    mode): same iterations as the XLA V(2,1) path; the fully fused stages
+    must gate themselves off (they bake one nu)."""
+    import jax.numpy as jnp
+
+    from spacetime_tpu.fem import P1System, unit_square_mesh
+    from spacetime_tpu.fem.timegrid import uniform_time_grid
+    from spacetime_tpu.models import get_problem
+    from spacetime_tpu.solver.heateq import HeatSolver
+
+    prob = get_problem("smooth2d")
+    system = P1System.from_mesh(unit_square_mesh(16))
+    grid = uniform_time_grid(4)
+    kw = dict(dtype=jnp.float32, inner="mg", space_n=16, rhs="device",
+              mg_nu_post=1)
+    ref = HeatSolver(prob, system, grid, **kw).solve(
+        tol=1e-6, compute_error=False
+    )
+    s = HeatSolver(prob, system, grid, pallas_kron=True, **kw)
+    s.mg_pallas_min_points = 1
+    s._params_cache.clear()
+    s._ms_pl.clear()
+    s._ms_pl_kx.clear()
+    s.params = s.params_for(jnp.float32)
+    pls = s._ms_pl["float32"]
+    assert any(pj is not None for pj in pls)
+    assert all(pj is None or not pj.fused_ok for pj in pls)
+    out = s.solve(tol=1e-6, compute_error=False)
+    assert abs(out.iterations - ref.iterations) <= 1
