@@ -929,12 +929,31 @@ class VarMSPallasLevel:
         self.nu_post = nu if nu_post is None else nu_post
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
-        self.TB, self.YB = _pick_blocks_mg(T, self.gs, jnp.dtype(dtype).itemsize)
+        itemsize = jnp.dtype(dtype).itemsize
+        self.TB, self.YB = _pick_blocks_mg(T, self.gs, itemsize)
+        ny = self.gs[-2]
+        if self.YB < ny:
+            # The constant-path chooser budgets only the x/b windows; the
+            # weighted kernels also hold the (ntaps, …, YB+slabs, nx)
+            # weight windows, which have no TB axis and dominate at small
+            # TB (measured: varcoef3d 129³ blocked requested 119.7 MB
+            # scoped VMEM vs the 110 MB limit with the constant pick).
+            # Walk TB down under a weight-aware live-set cap.
+            rest = int(np.prod(self.gs[:-2], dtype=int))
+            per_win = rest * (self.YB + 8) * self.gs[-1] * itemsize
+            wbytes = (
+                len(self.disps) * rest * (self.YB + 16) * self.gs[-1]
+                * itemsize
+            )
+            while (
+                self.TB > 1
+                and self.TB * per_win * 10 + wbytes > 64 * 1024 * 1024
+            ):
+                self.TB //= 2
         # Transfer-stage blocks: same 16-alignment + live-set walk as
         # MSPallasLevel (the transfer kernels are coefficient-independent
         # except for one weighted residual, whose weight slabs add ~1
         # window to the live set).
-        ny = self.gs[-2]
         self.TBt, self.YBt = self.TB, self.YB
         if self.YBt < ny and self.YBt % 16:
             self.YBt = 16
