@@ -348,11 +348,16 @@ class MultiShiftMultigrid:
     levels: tuple[_MSLevel, ...]
     nu: int
     n_coarse: int
-    # Post-smoothing degree override (None = nu). V(nu, nu_post) cycles:
-    # measured on the smooth2d/3d ladders, V(2,1) holds the outer PCG
-    # iteration counts (3D: identical; 2D: +1) while halving the
-    # post-smooth sweep — the largest single V-cycle stage at the 3D
-    # flagship (BASELINE.md). V(1,1) degrades badly (14 -> 19 iters 3D).
+    # Post-smoothing degree override (None = nu). CAUTION — asymmetric
+    # V(nu, nu_post) cycles make the cycle operator NON-symmetric (the
+    # symmetric-V identity needs post = adjoint(pre)), so the PCG
+    # preconditioner is no longer SPD. Measured: V(2,1) at >= 2 cycles is
+    # benign (3D ladder iteration counts identical, 2D +1; wall ~neutral
+    # on the fused Pallas smoothers at the 3D flagship), but ONE strongly
+    # asymmetric cycle inside K_X (cycles_kx=1, nu=3, nu_post=1) blew the
+    # outer solve up 17 -> 69 iterations (results_tpu/r2_nupost3d.log).
+    # Keep symmetric defaults for production; treat this as a measured
+    # experiment knob.
     nu_post: int | None = None
 
     _SIGMA = 5.0 / 3.0

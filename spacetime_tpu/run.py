@@ -91,8 +91,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "device for f32 manufactured problems")
     p.add_argument("--mg-nu-post", type=int, default=None,
                    help="post-smoothing degree override (V(nu, nu_post) "
-                        "cycles); V(2,1) measured iteration-neutral in 3D "
-                        "at ~half the post-smooth cost")
+                        "cycles). EXPERIMENTAL: asymmetric cycles are not "
+                        "symmetric preconditioners; V(2,1) at >=2 cycles "
+                        "measured iteration-neutral, but combined with "
+                        "--mg-cycles-kx 1 it diverged (17 -> 69 iters, "
+                        "see ops/multigrid.py nu_post notes)")
     p.add_argument("--donate-rhs", action="store_true",
                    help="donate the staged RHS load buffers to the solve "
                         "executable (single-chip HBM capacity headroom at "

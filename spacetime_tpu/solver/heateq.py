@@ -554,12 +554,10 @@ class HeatSolver:
         self._rhs_host = None
         self._rhs_dev: dict = {}
         self.rhs_seconds = 0.0
-        # V(nu, nu_post) cycles (ops/multigrid.MultiShiftMultigrid.nu_post):
-        # measured V(2,1) holds outer iteration counts (3D exactly, 2D +1)
-        # at roughly half the post-smooth cost — the largest single V-cycle
-        # stage at the 3D flagship. Applies to K_Y and K_X alike; K_Y
-        # enters S itself, so accuracy-critical 2D runs should re-check L2
-        # (the known mg_cycles-style caveat).
+        # V(nu, nu_post) cycles — see ops/multigrid.MultiShiftMultigrid.
+        # nu_post for the measured behavior AND the non-symmetric-
+        # preconditioner caveat (diverges with cycles_kx=1; keep >= 2
+        # cycles when asymmetric).
         self.mg_nu_post = mg_nu_post
         if mg_nu_post is not None and getattr(self, "msmg", None) is not None:
             self.msmg = dataclasses.replace(self.msmg, nu_post=mg_nu_post)
