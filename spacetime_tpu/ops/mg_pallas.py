@@ -935,10 +935,13 @@ class VarMSPallasLevel:
         if self.YB < ny:
             # The constant-path chooser budgets only the x/b windows; the
             # weighted kernels also hold the (ntaps, …, YB+slabs, nx)
-            # weight windows, which have no TB axis and dominate at small
-            # TB (measured: varcoef3d 129³ blocked requested 119.7 MB
-            # scoped VMEM vs the 110 MB limit with the constant pick).
-            # Walk TB down under a weight-aware live-set cap.
+            # weight windows. Mosaic's actual scoped-VMEM request runs
+            # ~2x this model for the var smoother (measured at varcoef3d
+            # 129³ blocked: model 61.5 MiB at the constant pick (4, 8) →
+            # real request 119.69 MB > the 110 MB limit), so the cap is
+            # half the constant path's 64 MiB: this shape walks to TB=2 —
+            # ~272 grid programs, the body class DESIGN.md §8 records as
+            # compiling fine.
             rest = int(np.prod(self.gs[:-2], dtype=int))
             per_win = rest * (self.YB + 8) * self.gs[-1] * itemsize
             wbytes = (
@@ -947,7 +950,7 @@ class VarMSPallasLevel:
             )
             while (
                 self.TB > 1
-                and self.TB * per_win * 10 + wbytes > 64 * 1024 * 1024
+                and self.TB * per_win * 10 + wbytes > 48 * 1024 * 1024
             ):
                 self.TB //= 2
         # Transfer-stage blocks: same 16-alignment + live-set walk as
