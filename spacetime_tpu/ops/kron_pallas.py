@@ -516,24 +516,17 @@ class KronPallas:
         # capped TB=8 chooser: (8,64)/(8,32)/(4,64) all compile, exact vs
         # the XLA forms, and the fused pair at 8.7 ms/iter beats plain pair
         # + separate XLA stab pass at 16.2 ms — the stab pass alone costs
-        # ~7.5 ms at that shape). Blocked 3D: the round-1 (4,16) chooser
-        # pick fails Mosaic compile, but the round-2 probe cleared
-        # (2,16)/(4,8)/(2,8) at 127³×32 f32 (compile + run on hardware,
-        # results_tpu/r2_probe_stab3d.jsonl; numerics interpret-tested) —
-        # force the measured (2,16) family for blocked-3D f32 within the
-        # probed row width.
+        # ~7.5 ms at that shape). Blocked 3D stays OUT — twice measured:
+        # the round-1 (4,16) chooser pick fails Mosaic compile, and the
+        # round-2 probe cleared (2,16)/(4,8)/(2,8) for compile+run
+        # (results_tpu/r2_probe_stab3d.jsonl) but the full-solve A/B at
+        # the 3D flagship came back SLOWER with the (2,16) stab-fused
+        # pair than plain (4,16) + the separate XLA stab pass (4.22 vs
+        # 3.89 s steady, results_tpu/r2_stab3d_flagship.log): the stab
+        # variants' extra W traffic cancels the saved pass and the
+        # smaller blocks cost kernel efficiency. The plain blocked-3D
+        # pair + XLA stab remains the measured best.
         self.stab_ok = self.YBs >= self.gs[-2] or len(self.gs) == 2
-        if (
-            not self.stab_ok
-            and len(self.gs) == 3
-            and jnp.dtype(dtype) == jnp.dtype(jnp.float32)
-            and not interpret
-            and self.T % 2 == 0
-            and int(np.prod(self.gs[:-2], dtype=int)) * self.gs[-1]
-            * itemsize <= 127 * 127 * 4
-        ):
-            self.TBs, self.YBs = 2, 16
-            self.stab_ok = True
         self.params = self.params_for_h(h, dtype)
 
     @staticmethod
