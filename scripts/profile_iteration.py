@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--time-levels", type=int, default=7)
     ap.add_argument("--problem", default="smooth2d")
     ap.add_argument("--inner", default="mg")
+    ap.add_argument("--refine", type=int, default=0,
+                    help="red-refine the mesh K times recording the nested "
+                         "hierarchy (unstructured nested-mg profiling)")
     ap.add_argument("--k1", type=int, default=32)
     ap.add_argument("--k2", type=int, default=160)
     ap.add_argument("--reps", type=int, default=5)
@@ -69,12 +72,15 @@ def main():
 
         use_tpu()
 
-    from spacetime_tpu.fem import P1System, domain_mesh, uniform_time_grid
+    from spacetime_tpu.fem import (P1System, domain_mesh, refine_hierarchy,
+                                   uniform_time_grid)
     from spacetime_tpu.models import get_problem
     from spacetime_tpu.solver.heateq import HeatSolver
 
     problem = get_problem(args.problem)
     mesh = domain_mesh(problem.domain, problem.dim, args.space_n)
+    if args.refine:
+        mesh = refine_hierarchy(mesh, args.refine)
     system = P1System.from_problem(problem, mesh)
     grid = uniform_time_grid(args.time_levels)
     s = HeatSolver(problem, system, grid, dtype=jnp.float32, inner=args.inner)
