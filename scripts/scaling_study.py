@@ -129,8 +129,14 @@ def main():
         ref[variant] = r
         print(f"serial/{variant}: {r.iterations} iters")
 
+    # Odd / non-dividing device counts exercise the explicit backend's
+    # GENERALIZED layout (parallel/general_layout.py, round 2): per-level
+    # padded wavelet index arrays + one small all_gather per
+    # boundary-crossing level instead of the aligned path's single coarse
+    # gather — the census quantifies that comm-structure difference.
     for backend, cls in (("sharded", ShardedHeatSolver), ("explicit", ExplicitHeatSolver)):
-        for P in [p for p in (2, 4, 8, 16, 32) if p <= args.num_devices]:
+        counts = (2, 3, 4, 5, 8, 16, 32) if backend == "explicit" else (2, 4, 8, 16, 32)
+        for P in [p for p in counts if p <= args.num_devices]:
             for variant in ("standard", "fused"):
                 solver = cls(
                     problem, system, grid, make_time_mesh(P),

@@ -59,6 +59,43 @@ class TestCLI:
 
 
 class TestLanczos:
+
+    def test_donate_rhs_and_nu_post_flags(self, tmp_path):
+        """Round-2 flags ride through the CLI: --donate-rhs (capacity
+        lever) and --mg-nu-post (experimental V(nu, nu_post) cycles) both
+        solve to the same convergence on cfg1-small."""
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "jax", "--device", "cpu", "--space-n", "8",
+            "--time-levels", "3", "--donate-rhs", "--no-error",
+            "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        assert rec["converged"]
+        rc = run_main([
+            "--backend", "jax", "--device", "cpu", "--dtype", "f32",
+            "--space-n", "16", "--time-levels", "3", "--inner", "mg",
+            "--mg-nu-post", "1", "--no-error", "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip().splitlines()[-1])
+        assert rec["converged"]
+
+    def test_explicit_graded_cli(self, tmp_path):
+        """The generalized explicit backend drives graded grids from the
+        CLI (round 2; was a ValueError in round 1)."""
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "explicit", "--device", "cpu8",
+            "--problem", "singular2d", "--space-n", "8",
+            "--time-levels", "3", "--extra-levels", "2", "--no-error",
+            "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        assert rec["converged"]
+
     def test_kappa_flat_under_refinement(self):
         from spacetime_tpu.fem import P1System, unit_square_mesh
         from spacetime_tpu.fem.timegrid import uniform_time_grid
