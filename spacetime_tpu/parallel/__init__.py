@@ -10,6 +10,7 @@ recipe), not hand-written point-to-point calls.
 """
 
 from .explicit import ExplicitHeatSolver
+from .explicit2d import Explicit2DHeatSolver
 from .mesh import make_spacetime_mesh, make_time_mesh
 from .sharded import ShardedHeatSolver
 
@@ -18,4 +19,5 @@ __all__ = [
     "make_spacetime_mesh",
     "ShardedHeatSolver",
     "ExplicitHeatSolver",
+    "Explicit2DHeatSolver",
 ]

@@ -86,11 +86,15 @@ class ExplicitHeatSolver(HeatSolver):
 
     supports_chunked = False  # single fused shard_map program only
     _x0_needs_layout = True  # shard_map in_specs need the full dup layout
+    _mesh_axes = ("time",)  # the 2-D subclass adds 'space'
 
     def __init__(self, problem, system, grid, mesh: Mesh,
                  pallas: bool | str = "auto", **kwargs):
-        if tuple(mesh.axis_names) != ("time",):
-            raise ValueError("explicit path expects a 1-D ('time',) mesh")
+        if tuple(mesh.axis_names) != self._mesh_axes:
+            raise ValueError(
+                f"explicit path expects a {self._mesh_axes} mesh, got "
+                f"{tuple(mesh.axis_names)}"
+            )
         nP = mesh.shape["time"]
         N = grid.num_intervals
         kwargs["pallas_kron"] = False  # base-class (global-T) kernels unused

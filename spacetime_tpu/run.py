@@ -49,11 +49,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--tol", type=float, default=1e-6)
     p.add_argument("--maxiter", type=int, default=200)
     p.add_argument("--backend",
-                   choices=["oracle", "jax", "sharded", "explicit"],
+                   choices=["oracle", "jax", "sharded", "explicit",
+                            "explicit2d"],
                    default="jax",
                    help="oracle = NumPy parity reference; jax = jitted "
                         "single-device; sharded = GSPMD time mesh; explicit "
-                        "= shard_map with hand-placed collectives")
+                        "= shard_map with hand-placed collectives; "
+                        "explicit2d = shard_map over a 2-D (time, space) "
+                        "mesh with spatial plane-halo exchanges")
+    p.add_argument("--space-devices", type=int, default=2, metavar="P",
+                   help="space-axis device count of the explicit2d mesh "
+                        "(time gets the remaining devices)")
     p.add_argument("--device", choices=["default", "cpu", "cpu8", "tpu"],
                    default="default",
                    help="platform selection (cpu8 = 8 virtual CPU devices)")
@@ -257,6 +263,27 @@ def main(argv=None) -> int:
 
                 solver = ExplicitHeatSolver(
                     problem, system, grid, make_time_mesh(), **kwargs
+                )
+            elif args.backend == "explicit2d":
+                import jax
+
+                from .parallel import (
+                    Explicit2DHeatSolver,
+                    make_spacetime_mesh,
+                )
+
+                n_space = args.space_devices
+                n_time = len(jax.devices()) // n_space
+                if n_time < 1:
+                    print(
+                        f"--space-devices {n_space} exceeds the "
+                        f"{len(jax.devices())} available devices",
+                        file=sys.stderr,
+                    )
+                    return 2
+                solver = Explicit2DHeatSolver(
+                    problem, system, grid,
+                    make_spacetime_mesh(n_time, n_space), **kwargs
                 )
             else:
                 from .solver.heateq import HeatSolver
