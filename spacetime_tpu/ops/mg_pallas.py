@@ -53,18 +53,21 @@ def _col_spec(TB):
 _col = _hcol  # same (TT, 1, 128) -> (TT, 1, …, 1) column convention
 
 
-def _y_specs(TB, YB, gs, blocked):
+def _y_specs(TB, YB, gs, blocked, t_map=None):
     """BlockSpecs for one spatial field: mid (+ 8-row up/dn slabs when y is
-    blocked). Time axis is aligned TB blocks (no time coupling here)."""
+    blocked). Time axis is aligned TB blocks (no time coupling here).
+    ``t_map``: time index map override (e.g. ``lambda ti: 0`` for a field
+    broadcast over time, like the sharded-slab validity mask)."""
     ny, nx = gs[-2], gs[-1]
     rest = tuple(gs[:-2])
     zeros = (0,) * len(rest)
     nyb8 = pl.cdiv(ny, _HALO)
+    tm = (lambda ti: ti) if t_map is None else t_map
 
     def spec(yb, ymap):
         return pl.BlockSpec(
             (TB,) + rest + (yb, nx),
-            lambda ti, yi, ymap=ymap: (ti,) + zeros + (ymap(yi), 0),
+            lambda ti, yi, ymap=ymap: (tm(ti),) + zeros + (ymap(yi), 0),
             memory_space=pltpu.VMEM,
         )
 
@@ -174,13 +177,21 @@ def _op_rows(X, omega, groups_A, groups_M, gs, yb):
     ),
 )
 def _smooth_call(
-    x, b, omega, invD, invT, invDel, *, groups_A, groups_M, gs, TB, YB, nu,
-    zero_init=False, interpret=False,
+    x, b, omega, invD, invT, invDel, vmask=None, *, groups_A, groups_M, gs,
+    TB, YB, nu, zero_init=False, interpret=False,
 ):
     """One degree-ν Chebyshev–Jacobi sweep: returns the smoothed x.
 
     zero_init=True computes the x = 0 pre-smoother (x operand ignored;
-    callers pass b twice)."""
+    callers pass b twice).
+
+    ``vmask``: optional (1, *gs) 0/1 validity field for SHARDED slabs
+    (parallel/explicit2d): planes marked 0 (grid padding past the physical
+    boundary, halo planes beyond the global domain) get every residual
+    update zeroed — the in-kernel twin of the sharded XLA smoother's
+    zero-scale padding discipline, which is what keeps V-cycle outputs
+    exactly zero there. Costs one elementwise multiply per recurrence step;
+    zero cost when None (the operand is not wired in)."""
     T = b.shape[0]
     dim = len(gs)
     ny, nx = gs[-2], gs[-1]
@@ -193,6 +204,7 @@ def _smooth_call(
     if blocked and G + 1 > _HALO:
         raise ValueError(f"nu={nu} needs {G + 1} halo rows > slab {_HALO}")
     n_f = 3 if blocked else 1
+    has_mask = vmask is not None
 
     def yb_rows(halo):
         """Blocked-axis row count of a window with the given halo."""
@@ -211,6 +223,10 @@ def _smooth_call(
         iT = _col(iT_ref, dim)
         iDel = _col(iDel_ref, dim)
         Bw = _window(refs[n_x : n_x + n_f], yi, YB, ny, G, blocked)
+        Mw = (
+            _window(refs[n_x + n_f : n_x + 2 * n_f], yi, YB, ny, G, blocked)
+            if has_mask else None
+        )
         if zero_init:
             r = iD * Bw
             x_acc = None
@@ -218,6 +234,8 @@ def _smooth_call(
             Xw = _window(refs[:n_f], yi, YB, ny, G + 1, blocked)
             r = iD * (Bw - _op_rows(Xw, om, groups_A, groups_M, gs, yb_rows(G)))
             x_acc = _crop(Xw, 1 if blocked else 0)
+        if has_mask:
+            r = Mw * r
         d = r * iT
         x_acc = d if x_acc is None else x_acc + d
         rho = 1.0 / _SIGMA
@@ -228,6 +246,9 @@ def _smooth_call(
             Opd = _op_rows(d, om, groups_A, groups_M, gs, yb_rows(G - k))
             c = 1 if blocked else 0
             r = _crop(r, c) - iD * Opd
+            if has_mask:
+                Mw = _crop(Mw, c)
+                r = Mw * r
             d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
             x_acc = _crop(x_acc, c) + d
             rho = rho_new
@@ -237,6 +258,10 @@ def _smooth_call(
         [_col_spec(TB)] * 4
         + _y_specs(TB, YB, gs, blocked) * (0 if zero_init else 1)  # x
         + _y_specs(TB, YB, gs, blocked)  # b
+        + (
+            _y_specs(1, YB, gs, blocked, t_map=lambda ti: 0)
+            if has_mask else []
+        )
     )
     out_spec = pl.BlockSpec(
         (TB,) + rest + (YB, nx),
@@ -267,7 +292,10 @@ def _smooth_call(
         out_shape=jax.ShapeDtypeStruct((T,) + gs, b.dtype),
         interpret=interpret,
         **kwargs,
-    )(omega, invD, invT, invDel, *([x] * n_x), *([b] * n_f))
+    )(
+        omega, invD, invT, invDel, *([x] * n_x), *([b] * n_f),
+        *([vmask] * n_f if has_mask else []),
+    )
 
 
 @functools.partial(
@@ -502,10 +530,11 @@ class MSPallasLevel:
         ).copy()
         return {k: to128(v) for k, v in cols.items()}
 
-    def smooth(self, x, b, cols, zero_init=False, post=False):
+    def smooth(self, x, b, cols, zero_init=False, post=False, vmask=None):
         return _smooth_call(
             b if zero_init else x, b,
             cols["omega"], cols["invD"], cols["invT"], cols["invDel"],
+            vmask,
             groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
             TB=self.TB, YB=self.YB,
             nu=self.nu_post if post else self.nu, zero_init=zero_init,

@@ -1019,25 +1019,49 @@ class NestedMultiShiftMultigrid:
     def _interp(self, e, lp):
         return self._gather_apply(lp["Pw"], lp["Pidx"], e)
 
+    def _pj(self, pallas, lps, lvl):
+        """Usable Pallas level (needs its kernel columns + value arrays)."""
+        if pallas is None or lvl >= len(pallas):
+            return None
+        pj = pallas[lvl]
+        return pj if (pj is None or "cols" in lps[lvl]) else None
+
     def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
         if lvl == len(self.levels):
             return coarse_solve(b)
         lev = self.levels[lvl]
         lp = lps[lvl]
-        x = self._smooth(lev, lp, None, b, zero_init=True)
-        r = b - self._op(lev, lp, x)
-        ec = self.vcycle(self._restrict(r, lp), lps, coarse_solve, lvl + 1)
+        pj = self._pj(pallas, lps, lvl)
+        if pj is not None:
+            # Fused banded-DIA smoother/residual kernels
+            # (ops/dia_pallas.DiaPallasLevel) — the flat-layout twin of the
+            # structured MSPallasLevel path; transfers stay gathers.
+            x = pj.smooth(None, b, lp["cols"], lp["plv"], zero_init=True)
+            r = pj.residual(x, b, lp["cols"], lp["plv"])
+        else:
+            x = self._smooth(lev, lp, None, b, zero_init=True)
+            r = b - self._op(lev, lp, x)
+        ec = self.vcycle(
+            self._restrict(r, lp), lps, coarse_solve, lvl + 1, pallas
+        )
         x = x + self._interp(ec, lp)
+        if pj is not None:
+            return pj.smooth(x, b, lp["cols"], lp["plv"], post=True)
         return self._smooth(lev, lp, x, b, nu=self.nu_post)
 
     def solve(self, b, lps, coarse_solve, cycles: int = 2, pallas=None):
-        """``b``: (..., m) flat dof layout (``pallas`` accepted for call-
-        signature parity with the structured classes; no kernels here —
-        these are bandwidth-bound gather/DIA passes)."""
-        x = self.vcycle(b, lps, coarse_solve)
+        """``b``: (..., m) flat dof layout. ``pallas``: optional per-level
+        ops.dia_pallas.DiaPallasLevel list (fused banded smoother/residual
+        kernels on DIA-format levels; level params then carry 'cols' and
+        'plv')."""
+        x = self.vcycle(b, lps, coarse_solve, pallas=pallas)
         for _ in range(cycles - 1):
-            r = b - self._op(self.levels[0], lps[0], x)
-            x = x + self.vcycle(r, lps, coarse_solve)
+            pj = self._pj(pallas, lps, 0)
+            if pj is not None:
+                r = pj.residual(x, b, lps[0]["cols"], lps[0]["plv"])
+            else:
+                r = b - self._op(self.levels[0], lps[0], x)
+            x = x + self.vcycle(r, lps, coarse_solve, pallas=pallas)
         return x
 
 

@@ -804,8 +804,7 @@ class ExplicitHeatSolver(HeatSolver):
         ep, es = self.eparams_for(self.dtype)
         gspec = P(*(("time",) + (None,) * len(self.gs)))
 
-        fused = self.pcg_variant == "fused"
-        drv = pcg_fused if fused else pcg
+        drv = self._pcg_driver()
 
         def local_run(gL, gR, u0_vec, p, x0):
             f = self._rhs_local(gL, gR, u0_vec, p)
@@ -912,34 +911,33 @@ class ExplicitHeatSolver(HeatSolver):
         )
         resid64 = jax.jit(lambda f, u, p: f - flat(S_local(dup(u), p)))
 
-        fused = self.pcg_variant == "fused"
-        drv = pcg_fused if fused else pcg
+        drv = self._pcg_driver()
 
-        def local_inner(fd, p):
+        def local_inner(fd, p, tol32):
             out = drv(
                 lambda U: self._apply_S_local(U, p),
                 lambda Rr: self._apply_KX_local(Rr, p),
-                fd, inner_tol, inner_maxiter, **self._dot_kwargs(p),
+                fd, tol32, inner_maxiter, **self._dot_kwargs(p),
             )
             tile = lambda x: x[None]
             return (out.U, tile(out.iterations), tile(out.residuals),
                     tile(out.precond_residuals), tile(out.converged))
 
         mapped = shard_map(
-            local_inner, mesh=self.mesh, in_specs=(gspec, es32),
+            local_inner, mesh=self.mesh, in_specs=(gspec, es32, P()),
             out_specs=(gspec, P("time"), P("time", None), P("time", None),
                        P("time")),
             check_vma=False,
         )
         inner_j = jax.jit(
-            lambda r32, p: tuple(
+            lambda r32, p, tol32: tuple(
                 flat(o) if i == 0 else o
-                for i, o in enumerate(mapped(dup(r32), p))
+                for i, o in enumerate(mapped(dup(r32), p, tol32))
             )
         )
 
-        def inner(r32, p):
-            U, it, res, pres, done = inner_j(r32, p)
+        def inner(r32, p, tol32):
+            U, it, res, pres, done = inner_j(r32, p, tol32)
             return PCGResult(
                 U=U, iterations=it[0], residuals=res[0],
                 precond_residuals=pres[0], converged=done[0],

@@ -143,6 +143,8 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
         self.epallas = False  # parent-layout kernels stay off
         self._want_pallas = bool(pallas)
         self._ekron2: dict = {}
+        self._e_pl2: dict = {}
+        self._sp_kw: dict = {"ky": 1, "kx": 1}
         # The base __init__ binds _spmv_M/_spmv_A as instance attributes
         # (whole-grid closures) — rebind to the halo-exchanged forms.
         self._spmv_M = lambda U, p=None: self._st_apply_sh(
@@ -323,7 +325,30 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
         G = _transfer_fast(Ce, self._dim, restrict=False)
         return lax.slice_in_dim(G, 2, 2 + 2 * n, axis=ax)
 
-    def _ms_vcycle_sh(self, ms, b, lps, coarse_solve, lvl: int):
+    def _sp_vmask_field(self, lvl: int, k: int, dtype):
+        """(1, Rs_l+2k, …) 0/1 validity field of this device's k-extended
+        slab at level ``lvl``: 0 on grid-padding planes AND on halo planes
+        beyond the global domain (Dirichlet ghosts). Built in-program from
+        axis_index — nothing is closed over."""
+        Rs_l = self.Rs >> lvl
+        e_l = self.msmg.levels[lvl].n - 1
+        s = lax.axis_index("space")
+        gid = s * Rs_l - k + jnp.arange(Rs_l + 2 * k)
+        m = ((gid >= 0) & (gid < e_l)).astype(dtype)
+        col = m.reshape((1, Rs_l + 2 * k) + (1,) * (self._dim - 1))
+        return jnp.broadcast_to(
+            col, (1, Rs_l + 2 * k) + (e_l,) * (self._dim - 1)
+        )
+
+    def _pj_sh(self, pallas, lps, lvl):
+        """Usable per-shard Pallas level (needs its kernel columns)."""
+        if pallas is None or lvl >= len(pallas):
+            return None
+        pj = pallas[lvl]
+        return pj if (pj is None or "cols" in lps[lvl]) else None
+
+    def _ms_vcycle_sh(self, ms, b, lps, coarse_solve, lvl: int,
+                      pallas=None, kw: int = 1):
         if lvl == self._sp_depth:
             if lvl == len(ms.levels):
                 bg = self._sp_gather(b, self._coarse_ext)
@@ -333,23 +358,51 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                 out = ms.vcycle(bg, lps, coarse_solve, lvl)
             return self._sp_scatter(out, self.Rs >> lvl)
         lp = lps[lvl]
-        x = self._ms_smooth_sh(ms, lvl, lp, b * 0.0, b)
-        r = b - self._ms_op_sh(lvl, lp, x)
+        pj = self._pj_sh(pallas, lps, lvl)
+        if pj is not None:
+            vm = self._sp_vmask_field(lvl, kw, b.dtype)
+            be = self._sp_halo(b, kw)
+            x = self._sp_crop(
+                pj.smooth(None, be, lp["cols"], zero_init=True, vmask=vm),
+                kw,
+            )
+            r = self._sp_crop(pj.residual(self._sp_halo(x, kw), be,
+                                          lp["cols"]), kw)
+        else:
+            x = self._ms_smooth_sh(ms, lvl, lp, b * 0.0, b)
+            r = b - self._ms_op_sh(lvl, lp, x)
         rc = self._restrict_sh(r)
-        ec = self._ms_vcycle_sh(ms, rc, lps, coarse_solve, lvl + 1)
+        ec = self._ms_vcycle_sh(ms, rc, lps, coarse_solve, lvl + 1,
+                                pallas, kw)
         x = x + self._interp_sh(ec)
+        if pj is not None:
+            return self._sp_crop(
+                pj.smooth(self._sp_halo(x, kw), be, lp["cols"], post=True,
+                          vmask=vm),
+                kw,
+            )
         return self._ms_smooth_sh(ms, lvl, lp, x, b, nu=ms.nu_post)
 
-    def _ms_solve_sh(self, ms, b, lps, coarse_solve, cycles: int):
+    def _ms_solve_sh(self, ms, b, lps, coarse_solve, cycles: int,
+                     pallas=None, kw: int = 1):
         if self._sp_depth == 0:
             # Grid too small to shard the hierarchy: one gather, the whole
             # replicated solve, scatter back (tests / tiny tails).
             bg = self._sp_gather(b)
             return self._sp_scatter(ms.solve(bg, lps, coarse_solve, cycles))
-        x = self._ms_vcycle_sh(ms, b, lps, coarse_solve, 0)
+        x = self._ms_vcycle_sh(ms, b, lps, coarse_solve, 0, pallas, kw)
         for _ in range(cycles - 1):
-            r = b - self._ms_op_sh(0, lps[0], x)
-            x = x + self._ms_vcycle_sh(ms, r, lps, coarse_solve, 0)
+            pj = self._pj_sh(pallas, lps, 0)
+            if pj is not None:
+                r = self._sp_crop(
+                    pj.residual(self._sp_halo(x, kw), self._sp_halo(b, kw),
+                                lps[0]["cols"]),
+                    kw,
+                )
+            else:
+                r = b - self._ms_op_sh(0, lps[0], x)
+            x = x + self._ms_vcycle_sh(ms, r, lps, coarse_solve, 0,
+                                       pallas, kw)
         return x
 
     # ------------------------------------------------------------- params
@@ -468,6 +521,65 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                 es["kron"] = {
                     k: P("time", None, None) for k in ep["kron"]
                 }
+            # Per-shard smoother/residual kernels on the sharded MG levels:
+            # instances for the k-halo-extended slab; the vmask operand
+            # (built in-program from axis_index) extends the zero-scale
+            # padding discipline into the in-kernel Chebyshev recurrence.
+            if self.inner == "mg" and self._sp_depth > 0:
+                from ..ops.mg_pallas import MSPallasLevel
+
+                col_spec = {k: P("time", None, None)
+                            for k in ("omega", "invD", "invT", "invDel")}
+                mk = lambda rows, nu, kw: [
+                    MSPallasLevel(
+                        dataclasses.replace(
+                            lev.A_st,
+                            grid_shape=(
+                                (self.Rs >> l) + 2 * kw,
+                            ) + lev.A_st.grid_shape[1:],
+                        ),
+                        dataclasses.replace(
+                            lev.M_st,
+                            grid_shape=(
+                                (self.Rs >> l) + 2 * kw,
+                            ) + lev.M_st.grid_shape[1:],
+                        ),
+                        rows, dtype, nu, interpret=self._pl_interpret,
+                        nu_post=self.mg_nu_post,
+                    )
+                    if (
+                        l < self._sp_depth
+                        and (lev.n - 1) ** self._dim
+                        >= self.mg_pallas_min_points
+                    )
+                    else None
+                    for l, lev in enumerate(self.msmg.levels)
+                ]
+                nup = lambda nu: max(
+                    nu, nu if self.mg_nu_post is None else self.mg_nu_post
+                )
+                self._sp_kw = {
+                    "ky": nup(self.mg_nu), "kx": nup(self.mg_nu_kx)
+                }
+                self._e_pl2[key] = {
+                    "ky": mk(self.R, self.mg_nu, self._sp_kw["ky"]),
+                    "kx": mk(self.R + 1, self.mg_nu_kx, self._sp_kw["kx"]),
+                }
+                om_ky_np = np.zeros(self.Np)
+                om_ky_np[: self.N] = self._host["omega_ky"]
+                for name, omr, which in (
+                    ("ms_ky", om_ky_np, "ky"),
+                    ("ms_kx", self._dup_rows(self._host["omega_kx"]), "kx"),
+                ):
+                    for pj, lp, ls, lev in zip(
+                        self._e_pl2[key][which], ep[name], es[name],
+                        self.msmg.levels,
+                    ):
+                        if pj is not None:
+                            lp["cols"] = MSPallasLevel.columns(
+                                lev, omr, dtype
+                            )
+                            ls["cols"] = col_spec
         self._eparams2_cache[key] = (ep, es)
         return ep, es
 
@@ -525,9 +637,15 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                 ).reshape(bc.shape)
 
             sol = self._ms_solve_sh(
-                self.msmg, V, p["ms_ky"], coarse, self.mg_cycles
+                self.msmg, V, p["ms_ky"], coarse, self.mg_cycles,
+                pallas=self._e_pl2_for(V.dtype, "ky"),
+                kw=self._sp_kw["ky"],
             )
         return sol * p["inv_h"]
+
+    def _e_pl2_for(self, dtype, which: str):
+        pls = self._e_pl2.get(jnp.dtype(dtype).name)
+        return None if pls is None else pls[which]
 
     def _apply_S_local(self, U, ep):
         return super()._apply_S_local(U, ep) * ep["sp_mask"]
@@ -538,13 +656,19 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
             Rr.reshape((self.R + 1,) + gsl), ep
         )
         if self.inner == "mg":
+            pls = self._e_pl2_for(C.dtype, "kx")
+            kw = self._sp_kw["kx"]
             msolve = lambda Z: self._ms_solve_sh(
                 self.msmg_kx, Z, ep["ms_kx"],
                 lambda bc: self._coarse_by_level_local(bc, ep),
-                self.mg_cycles_kx,
+                self.mg_cycles_kx, pallas=pls, kw=kw,
             )
             X = msolve(C)
-            X = self._spmv_A(X, ep)
+            pj0 = self._pj_sh(pls, ep["ms_kx"], 0)
+            if pj0 is not None:
+                X = self._sp_crop(pj0.apply_A(self._sp_halo(X, kw)), kw)
+            else:
+                X = self._spmv_A(X, ep)
             C = msolve(X)
         else:
             Cg = self._sp_gather(C)
@@ -629,8 +753,7 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
         ep, es = self.eparams_for(self.dtype)
         gspec = P("time", "space", *([None] * (len(self.gs) - 1)))
 
-        fused = self.pcg_variant == "fused"
-        drv = pcg_fused if fused else pcg
+        drv = self._pcg_driver()
 
         def local_run(gL, gR, u0_vec, p, x0):
             f = self._rhs_local(gL, gR, u0_vec, p)
@@ -723,33 +846,33 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
         )
         resid64 = jax.jit(lambda f, u, p: f - flat(S_local(dup(u), p)))
 
-        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+        drv = self._pcg_driver()
 
-        def local_inner(fd, p):
+        def local_inner(fd, p, tol32):
             out = drv(
                 lambda U: self._apply_S_local(U, p),
                 lambda Rr: self._apply_KX_local(Rr, p),
-                fd, inner_tol, inner_maxiter, **self._dot_kwargs(p),
+                fd, tol32, inner_maxiter, **self._dot_kwargs(p),
             )
             tile = lambda x: x[None]
             return (out.U, tile(out.iterations), tile(out.residuals),
                     tile(out.precond_residuals), tile(out.converged))
 
         mapped = shard_map(
-            local_inner, mesh=self.mesh, in_specs=(gspec, es32),
+            local_inner, mesh=self.mesh, in_specs=(gspec, es32, P()),
             out_specs=(gspec, P("time"), P("time", None), P("time", None),
                        P("time")),
             check_vma=False,
         )
         inner_j = jax.jit(
-            lambda r32, p: tuple(
+            lambda r32, p, tol32: tuple(
                 flat(o) if i == 0 else o
-                for i, o in enumerate(mapped(dup(r32), p))
+                for i, o in enumerate(mapped(dup(r32), p, tol32))
             )
         )
 
-        def inner(r32, p):
-            U, it, res, pres, done = inner_j(r32, p)
+        def inner(r32, p, tol32):
+            U, it, res, pres, done = inner_j(r32, p, tol32)
             return PCGResult(
                 U=U, iterations=it[0], residuals=res[0],
                 precond_residuals=pres[0], converged=done[0],

@@ -21,7 +21,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..solver.heateq import HeatSolver
-from ..solver.pcg import pcg, pcg_fused
+from ..solver.pcg import pcg, pcg_fused  # noqa: F401 (re-export compat)
 
 
 class ShardedHeatSolver(HeatSolver):
@@ -60,7 +60,7 @@ class ShardedHeatSolver(HeatSolver):
         # 'fused' merges the three per-iteration dot reductions into one;
         # under GSPMD the local partial-sums are inferred, and the three
         # scalars reduce in a single all-reduce.
-        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+        drv = self._pcg_driver()
 
         def run(gL, gR, u0_vec, p, x0):
             f = self.rhs_device(gL, gR, u0_vec, p)
@@ -102,7 +102,7 @@ class ShardedHeatSolver(HeatSolver):
         residual loop's arrays and the f32 inner PCG state stay
         time-sharded (inputs committed by in_shardings; everything
         downstream propagates)."""
-        from ..solver.pcg import pcg, pcg_fused
+        from ..solver.pcg import pcg, pcg_fused  # noqa: F401 (re-export compat)
 
         time_rows, repl = self._shardings()
         # prefix sharding: one entry replicates the whole params subtree
@@ -125,16 +125,16 @@ class ShardedHeatSolver(HeatSolver):
             lambda f, u, p: f - self.apply_S(u, p),
             in_shardings=(x_sh, x_sh, params_sh),
         )
-        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+        drv = self._pcg_driver()
         inner = jax.jit(
-            lambda r32, p: drv(
+            lambda r32, p, tol32: drv(
                 lambda U: self.apply_S(U, p),
                 lambda R: self.apply_KX(R, p),
                 r32,
-                inner_tol,
+                tol32,
                 inner_maxiter,
             ),
-            in_shardings=(x_sh, params_sh),
+            in_shardings=(x_sh, params_sh, repl),
         )
         return rhs64, resid64, inner
 

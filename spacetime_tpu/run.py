@@ -106,9 +106,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="donate the staged RHS load buffers to the solve "
                         "executable (single-chip HBM capacity headroom at "
                         "cfg5 scales; each solve then re-stages the loads)")
-    p.add_argument("--pcg", choices=["standard", "fused"], default="standard",
+    p.add_argument("--pcg", choices=["standard", "fused", "flex"],
+                   default="standard",
                    help="fused = single-reduction (Chronopoulos-Gear) PCG: "
-                        "one global reduction per iteration instead of three")
+                        "one global reduction per iteration instead of "
+                        "three; flex = Polak-Ribiere flexible CG, tolerant "
+                        "of non-symmetric preconditioners (pairs with the "
+                        "asymmetric --mg-nu-post cycles)")
     p.add_argument("--refined", action="store_true",
                    help="mixed-precision iterative refinement (f32 inner PCG "
                         "+ f64 residuals; any device backend, pairs with "

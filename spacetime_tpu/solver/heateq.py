@@ -54,7 +54,7 @@ from ..ops.multigrid import (
 from ..ops.sparse import DiaMatrix, dia_matvec
 from ..ops.stencil import StencilOperator, row_scale
 from ..ops.wavelets import build_wavelet_transform
-from .pcg import PCGResult, pcg, pcg_chunk, pcg_fused, pcg_init
+from .pcg import PCGResult, pcg, pcg_chunk, pcg_flex, pcg_fused, pcg_init
 
 
 def _dot(a, b):
@@ -536,6 +536,14 @@ class HeatSolver:
         # only — pallas_call does not auto-partition under GSPMD (the
         # sharded subclass forces this off), and f64 is not supported in
         # Pallas (the f64 parity path keeps the XLA stencils).
+        # Banded-DIA Pallas smoother/residual kernels for the flat-dof
+        # multigrid flavors (nested red-refinement / SA hierarchies on
+        # lex-sorted meshes — ops/dia_pallas.py): engaged per DIA level by
+        # size in params_for. Explicit pallas_kron=True runs them in
+        # interpret mode on CPU (tests).
+        self.pallas_dia = pallas_kron is True or (
+            pallas_kron == "auto" and jax.default_backend() not in ("cpu",)
+        )
         if pallas_kron == "auto":
             # Size gate (measured): at 127² the XLA stencil fusion is
             # launch-bound and slightly faster (0.50 vs 0.72 ms/iter); at
@@ -568,10 +576,13 @@ class HeatSolver:
         counts = np.asarray(self.wt.level_counts)
         self.level_bounds = np.concatenate([[0], np.cumsum(counts)]).astype(int)
 
-        if pcg_variant not in ("standard", "fused"):
+        if pcg_variant not in ("standard", "fused", "flex"):
             raise ValueError(f"unknown pcg_variant {pcg_variant!r}")
-        if pcg_variant == "fused" and loop == "chunked":
-            raise ValueError("pcg_variant='fused' supports the while-loop driver only")
+        if pcg_variant != "standard" and loop == "chunked":
+            raise ValueError(
+                f"pcg_variant={pcg_variant!r} supports the while-loop "
+                "driver only"
+            )
         # 'fused' = single-reduction (Chronopoulos–Gear) PCG: one global
         # reduction per iteration instead of three — see solver/pcg.py.
         # 'standard' keeps the oracle's arithmetic (bitwise parity path).
@@ -605,6 +616,16 @@ class HeatSolver:
         self.chunk = chunk
         self._solve_jit_cache = {}
         self.setup_seconds = _time.perf_counter() - t0
+
+    def _pcg_driver(self):
+        """The while-loop PCG variant this solver runs: standard (oracle
+        arithmetic, bitwise parity), fused (single-reduction
+        Chronopoulos-Gear), or flex (Polak-Ribiere flexible CG, tolerant of
+        non-symmetric preconditioners like asymmetric V(nu, nu_post)
+        cycles — see solver/pcg.pcg_flex)."""
+        return {"standard": pcg, "fused": pcg_fused, "flex": pcg_flex}[
+            self.pcg_variant
+        ]
 
     def _loop_mode(self) -> str:
         """'while' = one fused lax.while_loop dispatch — the default and the
@@ -698,6 +719,46 @@ class HeatSolver:
                     self._wire_ms_pallas(
                         key, p, dtype, mk_var, VarMSPallasLevel.columns
                     )
+            # Banded-DIA kernels for the flat-dof flavors (nested/SA):
+            # engage on large DIA-format levels; the measured ~93%-V-cycle
+            # iteration at the 25 MDoF L-shape is exactly these smoother
+            # passes (BASELINE.md, results_tpu/r2_profile_lshape_nested).
+            if (
+                getattr(self, "mg_flavor", "")
+                in ("NestedMultiShiftMultigrid", "SAMultiShiftMultigrid")
+                and self.pallas_dia
+                and jnp.dtype(dtype) != jnp.dtype(jnp.float64)
+            ):
+                from ..ops.dia_pallas import DiaPallasLevel
+
+                mk_dia = lambda nu: [
+                    DiaPallasLevel(
+                        lev, self.N + 1, dtype, nu,
+                        interpret=self._pl_interpret,
+                        nu_post=self.mg_nu_post,
+                    )
+                    if (
+                        getattr(lev, "fmt", "dia") == "dia"
+                        and int(lev.dA.shape[0]) >= self.mg_pallas_min_points
+                    )
+                    else None
+                    for lev in self.msmg.levels
+                ]
+                self._ms_pl[key] = mk_dia(self.mg_nu)
+                self._ms_pl_kx[key] = (
+                    self._ms_pl[key] if self.mg_nu_kx == self.mg_nu
+                    else mk_dia(self.mg_nu_kx)
+                )
+                for name, omr, pls in (
+                    ("ms_ky", self._host["omega_ky"], self._ms_pl[key]),
+                    ("ms_kx", self._host["omega_kx"], self._ms_pl_kx[key]),
+                ):
+                    for pj, lp, lev in zip(pls, p[name], self.msmg.levels):
+                        if pj is not None:
+                            lp["cols"] = DiaPallasLevel.columns(
+                                lev, omr, dtype
+                            )
+                            lp["plv"] = pj.values(lev, dtype)
             # Fused Pallas smoother/residual kernels per level (large levels
             # only — the XLA form wins at small sizes); each level's
             # Chebyshev columns ride in the params pytree.
@@ -986,6 +1047,9 @@ class HeatSolver:
                 if getattr(pls[0], "needs_weights", False):
                     # Weighted kernels read the fine-level tap arrays.
                     X = pls[0].apply_A(X, p["ms_kx"][0]["Aw"])
+                elif getattr(pls[0], "flat_dia", False):
+                    # Banded-DIA kernels read their union-layout values.
+                    X = pls[0].apply_A(X, p["ms_kx"][0]["plv"])
                 else:
                     X = pls[0].apply_A(X)  # fused pass (ops/mg_pallas.py)
             else:
@@ -1073,7 +1137,7 @@ class HeatSolver:
     # -------------------------------------------------------------- solve
 
     def _build_solve(self, tol: float, maxiter: int, warm: bool):
-        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+        drv = self._pcg_driver()
 
         def run(gL, gR, u0_vec, p, x0):
             f = self.rhs_device(gL, gR, u0_vec, p)
@@ -1225,7 +1289,7 @@ class HeatSolver:
         if checkpoint_every is not None or resume_state is not None:
             if checkpoint_every is not None and checkpoint_path is None:
                 raise ValueError("checkpoint_every needs checkpoint_path")
-            if self.pcg_variant == "fused" or not self.supports_chunked:
+            if self.pcg_variant != "standard" or not self.supports_chunked:
                 raise ValueError(
                     "periodic checkpointing / exact resume uses the chunked "
                     "driver (standard PCG, single-program solvers only)"
@@ -1353,14 +1417,17 @@ class HeatSolver:
         overridden by the GSPMD subclass to attach mesh shardings."""
         rhs64 = jax.jit(lambda a, b, c, p: self.rhs_device(a, b, c, p))
         resid64 = jax.jit(lambda f, u, p: f - self.apply_S(u, p))
-        drv = pcg_fused if self.pcg_variant == "fused" else pcg
+        drv = self._pcg_driver()
         if mode == "while":
+            # tol rides as a TRACED scalar so solve_refined can loosen the
+            # last round's inner solve (round-schedule tuning) without a
+            # recompile; it only enters the convergence comparisons.
             inner = jax.jit(
-                lambda r32, p: drv(
+                lambda r32, p, tol32: drv(
                     lambda U: self.apply_S(U, p),
                     lambda R: self.apply_KX(R, p),
                     r32,
-                    inner_tol,
+                    tol32,
                     inner_maxiter,
                 )
             )
@@ -1380,7 +1447,10 @@ class HeatSolver:
                 )
             )
 
-            def inner(r32, p):
+            def inner(r32, p, tol32):
+                # Chunked driver: tol is baked into step32 (host-controlled
+                # loop); the round schedule's loosening is while-mode only.
+                del tol32
                 st = prep32(r32, p)
                 while int(st.it) < inner_maxiter and not bool(st.done):
                     st = step32(st, p)
@@ -1443,16 +1513,29 @@ class HeatSolver:
         hist = []
         iters_total = 0
         converged = False
-        for _ in range(max_rounds):
-            r = resid64(f, u, p64)
-            rnorm = float(jnp.linalg.norm(r))
+        for k in range(max_rounds):
+            if k == 0:
+                # u = 0 exactly, so r = f − S·0 = f bitwise — skip the
+                # full f64 apply_S leg (the costliest round-1 op at scale;
+                # emulated f64 on TPU).
+                r, rnorm = f, fnorm
+            else:
+                r = resid64(f, u, p64)
+                rnorm = float(jnp.linalg.norm(r))
             hist.append(rnorm)
             if rnorm <= tol * fnorm:
                 converged = True
                 break
+            # Round schedule: solve each correction no tighter than the
+            # outer target needs (0.3 safety for the f32 correction's own
+            # rounding) — with a fixed inner_tol the LAST round overshoots
+            # the remaining gap by ~inner_tol (measured 49 total inner
+            # iterations at 135 MDoF; the final round alone can shed ~half).
+            tol_k = max(inner_tol, 0.3 * tol * fnorm / rnorm)
             r32 = (r / rnorm).astype(jnp.float32)
-            del r
-            out = inner(r32, p32)
+            if k > 0:
+                del r
+            out = inner(r32, p32, jnp.float32(tol_k))
             del r32
             iters_total += int(out.iterations)
             u = u + rnorm * out.U.astype(jnp.float64)

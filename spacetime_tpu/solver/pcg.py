@@ -97,6 +97,81 @@ def pcg(
     )
 
 
+def pcg_flex(
+    apply_S: Callable,
+    apply_KX: Callable,
+    f: jax.Array,
+    tol: float,
+    maxiter: int,
+    x0: jax.Array | None = None,
+    dot: Callable | None = None,
+) -> PCGResult:
+    """Flexible PCG (Polak–Ribière beta): solve S u = f with a possibly
+    NON-symmetric / iteration-varying preconditioner.
+
+    Standard PCG's Fletcher–Reeves beta = (r⁺·z⁺)/(r·z) assumes K_X is a
+    fixed SPD operator; an asymmetric multigrid cycle (V(nu, nu_post) with
+    nu_post ≠ nu — the measured 17→69-iteration blowup of
+    results_tpu/r2_nupost3d.log) breaks that. The flexible variant replaces
+    it with beta = z⁺·(r⁺ − r)/(r·z) — for a fixed SPD preconditioner
+    z⁺·r = 0 in exact arithmetic, so histories match pcg() to rounding
+    (tested), while for varying/nonsymmetric preconditioners it restores
+    local conjugacy (Notay's flexible CG). Cost: one extra dot product and
+    one extra live field per iteration.
+
+    ``dot``: global-inner-product override for shard_map callers (see pcg).
+    """
+    dtype = f.dtype
+    nan = jnp.array(jnp.nan, dtype)
+    if dot is None:
+        dot = jnp.vdot
+        norm = jnp.linalg.norm
+    else:
+        norm = lambda x: jnp.sqrt(dot(x, x))
+
+    U0 = jnp.zeros_like(f) if x0 is None else x0
+    R0 = f - apply_S(U0)
+    Z0 = apply_KX(R0)
+    P0 = Z0
+    rz0 = dot(R0, Z0)
+    fnorm = norm(f)
+    rnorm0 = norm(R0)
+    res0 = jnp.full((maxiter + 1,), nan).at[0].set(rnorm0)
+    pres0 = jnp.full((maxiter + 1,), nan).at[0].set(
+        jnp.sqrt(jnp.maximum(rz0, 0.0))
+    )
+    done0 = rnorm0 <= tol * fnorm
+
+    def cond(state):
+        it, U, R, P, rz, res, pres, done = state
+        return jnp.logical_and(it < maxiter, jnp.logical_not(done))
+
+    def body(state):
+        it, U, R, P, rz, res, pres, done = state
+        SP = apply_S(P)
+        alpha = rz / dot(P, SP)
+        U = U + alpha * P
+        R_new = R - alpha * SP
+        rnorm = norm(R_new)
+        res = res.at[it + 1].set(rnorm)
+        Z = apply_KX(R_new)
+        rz_new = dot(R_new, Z)
+        # Polak–Ribière: subtract the stale-residual overlap z⁺·r.
+        beta = (rz_new - dot(R, Z)) / rz
+        pres = pres.at[it + 1].set(jnp.sqrt(jnp.maximum(rz_new, 0.0)))
+        done = rnorm <= tol * fnorm
+        P = Z + beta * P
+        return (it + 1, U, R_new, P, rz_new, res, pres, done)
+
+    it, U, R, P, rz, res, pres, done = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), U0, R0, P0, rz0, res0, pres0, done0)
+    )
+    return PCGResult(
+        U=U, iterations=it, residuals=res, precond_residuals=pres,
+        converged=done,
+    )
+
+
 # ------------------------------------------------- single-reduction PCG
 #
 # Chronopoulos–Gear recombined PCG: per iteration the three inner products

@@ -1,0 +1,133 @@
+"""Banded-DIA Pallas smoother kernels (ops/dia_pallas.py) — the flat-dof
+twin of the structured MSPallasLevel kernels, for the unstructured
+nested-refinement / SA multigrid levels (VERDICT round-2 item 2: the
+L-shape iteration is measured ~93% V-cycles on XLA DIA passes).
+
+Interpret mode on CPU: kernels must match the XLA smoother/residual to f32
+roundoff in both the whole-axis and the lane-blocked layouts, and the
+end-to-end solves must reproduce the XLA path's histories.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetime_tpu.fem import P1System, l_shape_mesh, refine_hierarchy
+from spacetime_tpu.fem.timegrid import uniform_time_grid
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.ops.dia_pallas import DiaPallasLevel
+from spacetime_tpu.ops.multigrid import NestedMultiShiftMultigrid
+from spacetime_tpu.solver.heateq import HeatSolver
+
+
+@pytest.fixture(scope="module")
+def level():
+    mesh = refine_hierarchy(l_shape_mesh(8), 2)
+    sys_ = P1System.from_mesh(mesh)
+    ms, _ = NestedMultiShiftMultigrid.build(
+        mesh, sys_.A, sys_.M, nu=2, m_coarse=64
+    )
+    lev = ms.levels[0]
+    T = 8
+    omega = np.abs(np.random.default_rng(0).standard_normal(T)) * 3.0
+    lps = ms.row_params(omega, jnp.float32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((T, lev.dA.shape[0])), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T, lev.dA.shape[0])), jnp.float32)
+    return ms, lev, omega, lps, x, b
+
+
+def _mk(lev, T, blocked):
+    pj = DiaPallasLevel(lev, T, jnp.float32, nu=2, interpret=True)
+    if blocked:
+        pj.MB = 2 * pj.HS  # force the halo-slab layout on the tiny mesh
+        assert pj.MB < pj.m
+    return pj
+
+
+@pytest.mark.parametrize("blocked", [False, True])
+class TestKernels:
+    def _parts(self, level, blocked):
+        ms, lev, omega, lps, x, b = level
+        pj = _mk(lev, x.shape[0], blocked)
+        cols = DiaPallasLevel.columns(lev, omega, jnp.float32)
+        vals = pj.values(lev, jnp.float32)
+        return ms, lev, lps, x, b, pj, cols, vals
+
+    def _close(self, out, ref):
+        scale = float(jnp.abs(ref).max())
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=3e-6 * scale
+        )
+
+    def test_presmooth(self, level, blocked):
+        ms, lev, lps, x, b, pj, cols, vals = self._parts(level, blocked)
+        self._close(
+            pj.smooth(None, b, cols, vals, zero_init=True),
+            ms._smooth(lev, lps[0], None, b, zero_init=True),
+        )
+
+    def test_postsmooth(self, level, blocked):
+        ms, lev, lps, x, b, pj, cols, vals = self._parts(level, blocked)
+        self._close(
+            pj.smooth(x, b, cols, vals), ms._smooth(lev, lps[0], x, b)
+        )
+
+    def test_residual(self, level, blocked):
+        ms, lev, lps, x, b, pj, cols, vals = self._parts(level, blocked)
+        self._close(
+            pj.residual(x, b, cols, vals), b - ms._op(lev, lps[0], x)
+        )
+
+    def test_apply_A(self, level, blocked):
+        from spacetime_tpu.ops.sparse import dia_matvec
+
+        ms, lev, lps, x, b, pj, cols, vals = self._parts(level, blocked)
+        ref = dia_matvec(lps[0]["Av"], lev.offA, x)
+        self._close(pj.apply_A(x, vals), ref)
+
+
+def _solve_pair(problem_name, system, grid, **kw):
+    problem = get_problem(problem_name)
+    r0 = HeatSolver(
+        problem, system, grid, pallas_kron=False, dtype=jnp.float32, **kw
+    ).solve(tol=1e-5, compute_error=False)
+    s = HeatSolver(
+        problem, system, grid, pallas_kron=True, dtype=jnp.float32, **kw
+    )
+    s.mg_pallas_min_points = 1
+    s._params_cache.clear()
+    s.params = s.params_for(s.dtype)
+    r1 = s.solve(tol=1e-5, compute_error=False)
+    pls = s._ms_pl.get("float32")
+    assert pls is not None and any(p is not None for p in pls), (
+        "dia kernels not built"
+    )
+    assert r1.iterations == r0.iterations
+    k = r0.iterations + 1
+    np.testing.assert_allclose(r1.residuals[:k], r0.residuals[:k], rtol=1e-3)
+
+
+def test_nested_solve_matches_xla():
+    mesh = refine_hierarchy(l_shape_mesh(8), 2)
+    _solve_pair(
+        "lshape2d", P1System.from_mesh(mesh), uniform_time_grid(4),
+        inner="mg",
+    )
+
+
+def test_amg_solve_matches_xla():
+    # SA hierarchy: the banded fine level takes the kernels; aggregated
+    # (ELL) coarse levels stay XLA.
+    mesh = l_shape_mesh(16)
+    _solve_pair(
+        "lshape2d", P1System.from_mesh(mesh), uniform_time_grid(4),
+        inner="amg", mg_coarse=64,
+    )
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))

@@ -166,6 +166,34 @@ class TestExplicit2D:
             r1.residuals[:k], r0.residuals[:k], rtol=1e-3
         )
 
+    def test_pallas_mg_per_shard(self):
+        # Masked per-shard smoother/residual kernels on the sharded MG
+        # levels (interpret mode; gate lowered so the CI grid uses them):
+        # the vmask operand must reproduce the zero-scale padding
+        # discipline inside the in-kernel Chebyshev recurrence.
+        import jax.numpy as jnp
+
+        problem = get_problem("smooth2d")
+        system = P1System.from_mesh(unit_square_mesh(16))
+        grid = uniform_time_grid(5)
+        mesh = make_spacetime_mesh(4, 2)
+        kw = dict(dtype=jnp.float32, inner="mg", space_n=16)
+        r0 = Explicit2DHeatSolver(
+            problem, system, grid, mesh, pallas=False, **kw
+        ).solve(tol=1e-5, compute_error=False)
+        ex = Explicit2DHeatSolver(
+            problem, system, grid, mesh, pallas=True, **kw
+        )
+        ex.mg_pallas_min_points = 1
+        r1 = ex.solve(tol=1e-5, compute_error=False)
+        pls = ex._e_pl2_for(jnp.float32, "kx")
+        assert pls is not None and any(p is not None for p in pls)
+        assert r1.iterations == r0.iterations
+        k = r0.iterations + 1
+        np.testing.assert_allclose(
+            r1.residuals[:k], r0.residuals[:k], rtol=1e-3
+        )
+
     def test_rejects_unsupported(self):
         system = P1System.from_mesh(unit_square_mesh(8))
         grid = uniform_time_grid(3)
