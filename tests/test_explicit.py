@@ -289,7 +289,10 @@ class TestExplicit:
             tol=1e-10, compute_error=False
         )
         assert r.residuals[-1] < 1e-8
-        np.testing.assert_allclose(r.U, r64.U, atol=1e-9)
+        # atol tracks the tol=1e-8 contract: the adaptive round schedule
+        # solves the last correction to what the target needs instead of
+        # overshooting it by ~inner_tol (solver/heateq.solve_refined).
+        np.testing.assert_allclose(r.U, r64.U, atol=1e-8)
 
 
 if __name__ == "__main__":
