@@ -52,6 +52,14 @@ def load():
                 ctypes.POINTER(ctypes.c_double),
                 ctypes.POINTER(ctypes.c_double),
             ]
+        agf = lib.sa_aggregate
+        agf.restype = ctypes.c_int64
+        agf.argtypes = [
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
         _lib = lib
     except Exception as e:  # missing compiler, build failure, ...
         _load_error = f"{type(e).__name__}: {e}"
@@ -99,3 +107,24 @@ def assemble_p1_native(
     fn(c_d(V), c_i(T), ctypes.c_int64(ne), kv_c, cv_c,
        c_i(rows), c_i(cols), c_d(mass), c_d(stiff))
     return rows, cols, mass, stiff
+
+
+def sa_aggregate_native(indptr, indices, agg) -> int | None:
+    """Greedy SA aggregation passes via the C++ core — bit-exact mirror of
+    the Python loops in ops/multigrid.sa_prolongator (same visit order and
+    tie-breaks, verified in tests/test_native.py). ``agg`` is the (n,)
+    int64 work array pre-filled with -1, modified in place; returns the
+    aggregate count, or None when the native library is unavailable (the
+    caller then runs the Python reference)."""
+    lib = load()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, np.int32)
+    indices = np.ascontiguousarray(indices, np.int32)
+    if agg.dtype != np.int64 or not agg.flags.c_contiguous:
+        raise ValueError("agg must be a contiguous int64 array")
+    c_i = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    return int(lib.sa_aggregate(
+        c_i(indptr), c_i(indices), ctypes.c_int64(agg.shape[0]),
+        agg.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    ))

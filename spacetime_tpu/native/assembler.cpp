@@ -112,4 +112,49 @@ void assemble_p1_tet(const double* V, const int32_t* T, int64_t ne,
     }
 }
 
+// Greedy smoothed-aggregation passes over a CSR strength graph —
+// bit-exact mirror of the Python reference in ops/multigrid.sa_prolongator
+// (same visit order, same tie-breaks), which is three Python loops over
+// all nodes and dominated the AMG setup on the 1-core host. Inherently
+// sequential (greedy), so no OpenMP here; the C loop is ~100x the Python
+// one. agg must arrive filled with -1; returns the aggregate count.
+int64_t sa_aggregate(const int32_t* indptr, const int32_t* indices,
+                     int64_t n, int64_t* agg) {
+    int64_t na = 0;
+    // pass 1: roots whose strong neighborhood is fully unaggregated
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg[i] != -1) continue;
+        bool clean = true;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            if (agg[indices[p]] != -1) { clean = false; break; }
+        if (!clean) continue;
+        agg[i] = na;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            agg[indices[p]] = na;
+        ++na;
+    }
+    // pass 2: attach stragglers to the FIRST pass-1 aggregate among their
+    // neighbors (pass1 snapshot == agg here: pass 2 only writes nodes that
+    // are -1 in the snapshot, and reads via the snapshot values).
+    int64_t* pass1 = new int64_t[n];
+    for (int64_t i = 0; i < n; ++i) pass1[i] = agg[i];
+    for (int64_t i = 0; i < n; ++i) {
+        if (pass1[i] != -1) continue;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p) {
+            const int64_t h = pass1[indices[p]];
+            if (h != -1) { agg[i] = h; break; }
+        }
+    }
+    delete[] pass1;
+    // pass 3: leftovers form their own aggregates
+    for (int64_t i = 0; i < n; ++i) {
+        if (agg[i] != -1) continue;
+        agg[i] = na;
+        for (int32_t p = indptr[i]; p < indptr[i + 1]; ++p)
+            if (agg[indices[p]] == -1) agg[indices[p]] = na;
+        ++na;
+    }
+    return na;
+}
+
 }  // extern "C"

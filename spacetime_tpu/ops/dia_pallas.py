@@ -365,22 +365,22 @@ def _dia_apply_call(
 
 
 def _pick_blocks_dia(T, m, HS, itemsize, ndu):
-    """(TB, MB): MB a multiple of the aligned halo HS (or the whole lane
-    axis when that fits), sized so the live set (≈5 field windows × TB rows
-    + value windows × 2·ndu rows) stays well under the scoped-VMEM cap."""
-    cap = 48 * 1024 * 1024
-    for TB in (8, 4, 2, 1):
-        if TB > max(T, 1):
-            continue
-        rows = 5 * TB + 2 * ndu + 4
-        # Whole-axis block if it fits (plus in-register halo pad).
-        mp = -(-m // _LANE) * _LANE
-        if rows * (mp + 2 * HS) * itemsize <= cap:
-            return TB, mp
-        MB = (cap // (rows * itemsize) - 2 * HS) // HS * HS
-        if MB >= HS:
-            return TB, min(MB, mp)
-    return 1, HS
+    """(TB, MB) — hardware-measured (results_tpu/r3_probe_dia.jsonl, real
+    v5e at the L-shape fine level m=195585, T=129, HS=1024):
+
+    - TB must be sublane-aligned: Mosaic requires 2-D block rows divisible
+      by 8 (TB=4 fails lowering; TB=8 compiles). T < 8 uses TB=T (block
+      equal to the array dimension is the other legal case).
+    - MB=16384: 3.49 ms/fine-stage = 1.79x the XLA stage (MB=8192: 1.63x;
+      the giant near-whole-axis window crashed the remote compile helper).
+      MB stays a multiple of HS (the halo-slab index maps tile MB by HS).
+    """
+    TB = 8 if T >= 8 else max(T, 1)
+    mp = -(-m // _LANE) * _LANE
+    target = 16384
+    if mp <= target + 2 * HS:
+        return TB, mp  # whole axis in one block (in-register halo pad)
+    return TB, max(HS, (target // HS) * HS)
 
 
 class DiaPallasLevel:

@@ -815,17 +815,22 @@ def _rap(A, P):
 
 def _ell_rows(P, pad_width: int | None = None):
     """CSR rows → fixed-width (idx, w) gather arrays, zero-weight padded
-    (pad index 0 is harmless under weight 0)."""
+    (pad index 0 is harmless under weight 0). Vectorized scatter — the
+    per-row Python loop cost ~0.3 s of the AMG setup at 195k dofs on the
+    1-core host (round-3 profile)."""
     P = P.tocsr()
+    n = P.shape[0]
     counts = np.diff(P.indptr)
-    K = int(counts.max()) if pad_width is None else pad_width
+    K = int(counts.max()) if counts.size else 0
+    if pad_width is not None:
+        K = pad_width
     K = max(K, 1)
-    idx = np.zeros((P.shape[0], K), np.int32)
-    w = np.zeros((P.shape[0], K), np.float64)
-    for r in range(P.shape[0]):
-        lo, hi = P.indptr[r], P.indptr[r + 1]
-        idx[r, : hi - lo] = P.indices[lo:hi]
-        w[r, : hi - lo] = P.data[lo:hi]
+    idx = np.zeros((n, K), np.int32)
+    w = np.zeros((n, K), np.float64)
+    rows = np.repeat(np.arange(n), counts)
+    pos = np.arange(P.nnz) - np.repeat(P.indptr[:-1], counts)
+    idx[rows, pos] = P.indices
+    w[rows, pos] = P.data
     return idx, w
 
 
@@ -1096,29 +1101,33 @@ def sa_prolongator(A, theta: float = 0.08):
     )
     indptr, indices = S.indptr, S.indices
     agg = np.full(n, -1, np.int64)
-    na = 0
-    for i in range(n):  # pass 1: roots with fully unaggregated neighborhoods
-        nbrs = indices[indptr[i] : indptr[i + 1]]
-        if agg[i] == -1 and (agg[nbrs] == -1).all():
+    from ..native import sa_aggregate_native
+
+    na = sa_aggregate_native(indptr, indices, agg)
+    if na is None:  # no compiler: Python reference (bit-identical output)
+        na = 0
+        for i in range(n):  # pass 1: roots, fully unaggregated neighborhoods
+            nbrs = indices[indptr[i] : indptr[i + 1]]
+            if agg[i] == -1 and (agg[nbrs] == -1).all():
+                agg[i] = na
+                agg[nbrs] = na
+                na += 1
+        pass1 = agg.copy()
+        for i in range(n):  # pass 2: attach stragglers to a pass-1 aggregate
+            if pass1[i] != -1:
+                continue
+            hit = pass1[indices[indptr[i] : indptr[i + 1]]]
+            hit = hit[hit != -1]
+            if hit.size:
+                agg[i] = hit[0]
+        for i in range(n):  # pass 3: leftovers form their own aggregates
+            if agg[i] != -1:
+                continue
             agg[i] = na
-            agg[nbrs] = na
+            for j in indices[indptr[i] : indptr[i + 1]]:
+                if agg[j] == -1:
+                    agg[j] = na
             na += 1
-    pass1 = agg.copy()
-    for i in range(n):  # pass 2: attach stragglers to a pass-1 aggregate
-        if pass1[i] != -1:
-            continue
-        hit = pass1[indices[indptr[i] : indptr[i + 1]]]
-        hit = hit[hit != -1]
-        if hit.size:
-            agg[i] = hit[0]
-    for i in range(n):  # pass 3: leftovers form their own aggregates
-        if agg[i] != -1:
-            continue
-        agg[i] = na
-        for j in indices[indptr[i] : indptr[i + 1]]:
-            if agg[j] == -1:
-                agg[j] = na
-        na += 1
     counts = np.bincount(agg, minlength=na).astype(np.float64)
     T = sp.csr_matrix(
         (1.0 / np.sqrt(counts[agg]), (np.arange(n), agg)), shape=(n, na)

@@ -423,8 +423,24 @@ def main(argv=None) -> int:
         shape = (grid.num_intervals + 1,) + getattr(
             solver, "gs", (system.m,)
         )
+        apply_S, apply_KX = solver.apply_S, solver.apply_KX
+        lz_dtype = np.float64
+        if args.backend in ("jax", "sharded", "explicit"):
+            # At-scale estimation (the BASELINE.md hardware-κ rows): jit
+            # the operator applications — 30 eager Lanczos steps at the
+            # flagship shapes would dispatch thousands of ops through the
+            # tunnel. Params ride as ARGUMENTS (closed-over device
+            # constants are pathological on this backend — CLAUDE.md).
+            import jax as _jax
+
+            p_lz = solver.params
+            S_j = _jax.jit(lambda U, p: solver.apply_S(U, p))
+            K_j = _jax.jit(lambda R, p: solver.apply_KX(R, p))
+            apply_S = lambda U: S_j(U, p_lz)
+            apply_KX = lambda R: K_j(R, p_lz)
+            lz_dtype = solver.dtype
         with timer("lanczos"):
-            est = lanczos_condition(solver.apply_S, solver.apply_KX, shape)
+            est = lanczos_condition(apply_S, apply_KX, shape, dtype=lz_dtype)
         print(
             f"Lanczos: lambda in [{est.lam_min:.3g}, {est.lam_max:.3g}], "
             f"kappa(K_X S) ~= {est.condition:.2f}"
