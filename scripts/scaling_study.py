@@ -222,6 +222,50 @@ def main():
               f"collectives={rec['collectives']}")
     records.extend(mesh2_records)
 
+    # Explicit 2-D ('time','space') mesh (round 3): hand-placed plane-halo
+    # ppermutes around every stencil op + sharded V-cycle levels + one
+    # all_gather at the gather level — the census pins that structure
+    # (each spatial stencil application contributes exactly one
+    # collective-permute pair; dots psum over both axes). 2D problem so
+    # the mg hierarchy actually shards (gs 15 planes over P_s = 2).
+    from spacetime_tpu.parallel import Explicit2DHeatSolver
+
+    ref2d = HeatSolver(
+        problem, system, grid, inner="mg", space_n=args.space_n
+    ).solve(tol=args.tol, compute_error=False)
+    for pt, ps in ((4, 2), (2, 4), (2, 2)):
+        if pt * ps > args.num_devices:
+            continue
+        solver = Explicit2DHeatSolver(
+            problem, system, grid, make_spacetime_mesh(pt, ps),
+            inner="mg", space_n=args.space_n,
+        )
+        t0 = time.perf_counter()
+        r = solver.solve(tol=args.tol, compute_error=False)
+        dt = time.perf_counter() - t0
+        match = r.iterations == ref2d.iterations and np.allclose(
+            r.residuals, ref2d.residuals, rtol=1e-9
+        )
+        rec = {
+            "backend": "explicit-2d",
+            "devices": pt * ps,
+            "mesh": [pt, ps],
+            "sp_depth": solver._sp_depth,
+            "pcg": "standard",
+            "iterations": int(r.iterations),
+            "matches_serial": bool(match),
+            "res_sha": hashlib.sha256(
+                np.asarray(r.residuals).tobytes()
+            ).hexdigest()[:12],
+            "wall_s": round(dt, 3),
+            "collectives": collective_census(solver),
+            "compiled": compiled_collective_stats(solver),
+        }
+        records.append(rec)
+        tag = "OK " if match else "MISMATCH"
+        print(f"{tag} explicit-2d mesh={pt}x{ps} D={solver._sp_depth}: "
+              f"{r.iterations} iters collectives={rec['collectives']}")
+
     assert all(r["matches_serial"] for r in records), "scaling parity broken"
     with open(args.out, "a") as f:
         for rec in records:
