@@ -84,6 +84,8 @@ def compiled_collective_stats(solver) -> dict:
     fn = solver._build_solve(1e-6, 40, warm=False)
     gL, gR, u0 = solver.assemble_rhs_host()
     x0 = solver._prepare_x0(None)
+    if not hasattr(fn, "lower"):  # explicit backends wrap the jitted callable
+        fn = fn.__closure__[0].cell_contents
     txt = fn.lower(gL, gR, u0, solver._solve_params(), x0).compile().as_text()
     import re
 
