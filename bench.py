@@ -172,6 +172,17 @@ def run_kron(out_path):
     per_xla = slope(xla_chain, (U, hh))
     log(f"pallas: {per_pallas*1e3:.4f} ms/apply; xla: {per_xla*1e3:.4f} ms/apply")
     per_apply = min(per_pallas, per_xla)
+    # In-session drift bracket (BASELINE.md notes ~10% steady-time drift
+    # ACROSS sessions with tunnel conditions; this quantifies the
+    # within-session repeatability of the reported number — re-measure the
+    # winning implementation's slope once, compiled functions cache-hit).
+    win = (chain, (U, kp.params)) if per_pallas <= per_xla else (
+        xla_chain, (U, hh)
+    )
+    per_repeat = slope(*win)
+    drift_pct = abs(per_repeat - per_apply) / per_apply * 100.0
+    log(f"repeat slope: {per_repeat*1e3:.4f} ms/apply "
+        f"(in-session drift {drift_pct:.1f}%)")
     gdofs = N * m / per_apply / 1e9
 
     bytes_per_apply = 4 * ((N + 1) * m + N * m + 14 * m)
@@ -188,6 +199,7 @@ def run_kron(out_path):
                 "value": round(float(gdofs), 2),
                 "unit": "GDoF/s",
                 "vs_baseline": round(float(gdofs / target), 3),
+                "in_session_drift_pct": round(float(drift_pct), 1),
             },
             f,
         )
