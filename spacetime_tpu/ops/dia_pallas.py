@@ -364,7 +364,7 @@ def _dia_apply_call(
     )(*([x] * n_f), *([vA] * n_f))
 
 
-def _pick_blocks_dia(T, m, HS, itemsize, ndu):
+def _pick_blocks_dia(T, m, HS):
     """(TB, MB) — hardware-measured (results_tpu/r3_probe_dia.jsonl, real
     v5e at the L-shape fine level m=195585, T=129, HS=1024):
 
@@ -414,9 +414,7 @@ class DiaPallasLevel:
         self.HS = max(self.nu, self.nu_post) * self.step
         self.dtype = jnp.dtype(dtype)
         self.interpret = interpret
-        self.TB, self.MB = _pick_blocks_dia(
-            T, self.m, self.HS, self.dtype.itemsize, len(union)
-        )
+        self.TB, self.MB = _pick_blocks_dia(T, self.m, self.HS)
 
     @property
     def needs_weights(self) -> bool:

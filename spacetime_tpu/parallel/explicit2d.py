@@ -549,6 +549,9 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                     )
                     if (
                         l < self._sp_depth
+                        # the kernel halo must fit the per-device slab
+                        # (deep levels keep only Rs >> l planes)
+                        and (self.Rs >> l) >= kw
                         and (lev.n - 1) ** self._dim
                         >= self.mg_pallas_min_points
                     )

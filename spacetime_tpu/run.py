@@ -277,6 +277,10 @@ def main(argv=None) -> int:
                 )
 
                 n_space = args.space_devices
+                if n_space < 1:
+                    print(f"--space-devices must be >= 1 (got {n_space})",
+                          file=sys.stderr)
+                    return 2
                 n_time = len(jax.devices()) // n_space
                 if n_time < 1:
                     print(
@@ -327,7 +331,7 @@ def main(argv=None) -> int:
 
             if has_pcg_state(args.resume_from) and getattr(
                 solver, "supports_chunked", False
-            ) and args.pcg != "fused":
+            ) and args.pcg == "standard":
                 resume_state, ck_meta = load_pcg_state(args.resume_from)
                 kind = "exact PCG state"
             else:
@@ -417,7 +421,15 @@ def main(argv=None) -> int:
         "timestamp": time.time(),
     }
 
-    if args.estimate_condition:
+    if args.estimate_condition and args.backend == "explicit2d":
+        # The 2-D explicit solver's operators are local-layout shard_map
+        # bodies (space-axis collectives) — not callable as a global-layout
+        # pencil. Estimate kappa on the jax/sharded backend at the same
+        # config instead (the spectrum is backend-independent).
+        print("kappa estimation is not supported on the explicit2d "
+              "backend (local-layout operators); use --backend "
+              "jax/sharded at the same config", file=sys.stderr)
+    elif args.estimate_condition:
         from .solver.lanczos import lanczos_condition
 
         shape = (grid.num_intervals + 1,) + getattr(

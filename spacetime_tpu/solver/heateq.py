@@ -749,16 +749,25 @@ class HeatSolver:
                     self._ms_pl[key] if self.mg_nu_kx == self.mg_nu
                     else mk_dia(self.mg_nu_kx)
                 )
+                # The kernel value arrays are shift-independent — build
+                # once per level and share between the ms_ky and ms_kx
+                # subtrees (at the 25 MDoF L-shape fine level they are
+                # ~17 MB; duplicating would double the HBM + upload).
+                plvs: dict = {}
                 for name, omr, pls in (
                     ("ms_ky", self._host["omega_ky"], self._ms_pl[key]),
                     ("ms_kx", self._host["omega_kx"], self._ms_pl_kx[key]),
                 ):
-                    for pj, lp, lev in zip(pls, p[name], self.msmg.levels):
+                    for li, (pj, lp, lev) in enumerate(
+                        zip(pls, p[name], self.msmg.levels)
+                    ):
                         if pj is not None:
                             lp["cols"] = DiaPallasLevel.columns(
                                 lev, omr, dtype
                             )
-                            lp["plv"] = pj.values(lev, dtype)
+                            if li not in plvs:
+                                plvs[li] = pj.values(lev, dtype)
+                            lp["plv"] = plvs[li]
             # Fused Pallas smoother/residual kernels per level (large levels
             # only — the XLA form wins at small sizes); each level's
             # Chebyshev columns ride in the params pytree.
