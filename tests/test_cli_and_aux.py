@@ -564,3 +564,65 @@ def test_explicit_refined_with_error():
     ).solve_refined(tol=1e-8)
     assert r2.l2_error is not None and np.isfinite(r2.l2_error)
     assert np.isclose(r2.l2_error, r1.l2_error, rtol=1e-6)
+
+
+class TestRound3CLI:
+    def test_pcg_flex_flag(self, tmp_path):
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "jax", "--space-n", "8", "--time-levels", "3",
+            "--pcg", "flex", "--no-error", "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        assert rec["converged"] and rec["pcg"] == "flex"
+
+    def test_explicit2d_backend(self, tmp_path):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "explicit2d", "--device", "cpu8",
+            "--space-devices", "2", "--space-n", "8", "--time-levels", "3",
+            "--no-error", "--out", str(out),
+        ])
+        assert rc == 0
+        rec = json.loads(out.read_text().strip())
+        assert rec["converged"]
+
+    def test_explicit2d_bad_space_devices(self):
+        assert run_main([
+            "--backend", "explicit2d", "--space-devices", "0",
+            "--space-n", "8", "--time-levels", "3",
+        ]) == 2
+
+    def test_explicit2d_condition_skips_gracefully(self, tmp_path, capsys):
+        import jax
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs virtual devices")
+        out = tmp_path / "res.jsonl"
+        rc = run_main([
+            "--backend", "explicit2d", "--device", "cpu8",
+            "--space-devices", "2", "--space-n", "8", "--time-levels", "3",
+            "--no-error", "--estimate-condition", "--out", str(out),
+        ])
+        assert rc == 0  # solve completes; kappa is skipped with a message
+        rec = json.loads(out.read_text().strip())
+        assert "kappa_estimate" not in rec
+
+    def test_flex_resume_falls_back_to_restart(self, tmp_path):
+        ck = str(tmp_path / "ck")
+        rc = run_main([
+            "--backend", "jax", "--space-n", "8", "--time-levels", "3",
+            "--tol", "1e-3", "--no-error", "--checkpoint", ck,
+            "--checkpoint-every", "3", "--out", "",
+        ])
+        assert rc == 0
+        rc = run_main([
+            "--backend", "jax", "--space-n", "8", "--time-levels", "3",
+            "--pcg", "flex", "--resume-from", ck, "--no-error", "--out", "",
+        ])
+        assert rc == 0
