@@ -1470,9 +1470,9 @@ class HeatSolver:
     def solve_refined(
         self,
         tol: float = 1e-8,
-        inner_tol: float = 1e-6,
+        inner_tol: float = 1e-5,
         inner_maxiter: int = 60,
-        max_rounds: int = 5,
+        max_rounds: int = 6,
         compute_error: bool = True,
     ) -> SolveResult:
         """Iterative-refinement solve to tight tolerances on TPU.
@@ -1522,6 +1522,8 @@ class HeatSolver:
         hist = []
         iters_total = 0
         converged = False
+        rnorm_prev = None
+        f_real = None
         for k in range(max_rounds):
             if k == 0:
                 # u = 0 exactly, so r = f − S·0 = f bitwise — skip the
@@ -1531,16 +1533,25 @@ class HeatSolver:
             else:
                 r = resid64(f, u, p64)
                 rnorm = float(jnp.linalg.norm(r))
+                # Realized per-round reduction of the TRUE (f64) residual.
+                # The f32 inner recurrence diverges from it at a scale-
+                # dependent floor (~7e-5 at 64², ~1e-4 at 135 MDoF —
+                # accumulated f32 operator noise), so iterations the inner
+                # solve spends below that floor are pure waste.
+                f_real = rnorm / rnorm_prev
+            rnorm_prev = rnorm
             hist.append(rnorm)
             if rnorm <= tol * fnorm:
                 converged = True
                 break
             # Round schedule: solve each correction no tighter than the
-            # outer target needs (0.3 safety for the f32 correction's own
-            # rounding) — with a fixed inner_tol the LAST round overshoots
-            # the remaining gap by ~inner_tol (measured 49 total inner
-            # iterations at 135 MDoF; the final round alone can shed ~half).
+            # outer target needs (0.3 safety), never tighter than half the
+            # realized floor of the previous round, and never looser than
+            # 0.3 (a ~0-iteration round would stall the refinement).
             tol_k = max(inner_tol, 0.3 * tol * fnorm / rnorm)
+            if f_real is not None and np.isfinite(f_real):
+                tol_k = max(tol_k, 0.5 * f_real)
+            tol_k = min(tol_k, 0.3)
             r32 = (r / rnorm).astype(jnp.float32)
             if k > 0:
                 del r
