@@ -22,8 +22,12 @@ import os
 import signal
 import time
 
-LOCK_PATH = os.path.join(os.path.dirname(__file__), "..", "..", ".tpu.lock")
-LOCK_PATH = os.path.abspath(LOCK_PATH)
+# Overridable for hermetic tests: running the suite while a real queued
+# TPU job holds the repo lock must neither fail the tests nor let their
+# cleanup delete the live lock file.
+LOCK_PATH = os.environ.get("SPACETIME_TPU_LOCK") or os.path.abspath(
+    os.path.join(os.path.dirname(__file__), "..", "..", ".tpu.lock")
+)
 
 
 def _read() -> dict | None:

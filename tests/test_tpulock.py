@@ -10,9 +10,21 @@ import os
 import signal
 import subprocess
 import sys
+import tempfile
 import time
 
-from spacetime_tpu.utils import tpulock
+from spacetime_tpu.utils import tpulock  # noqa: E402
+
+# Hermetic lock path: the repo's real .tpu.lock may be legitimately held
+# by a queued TPU job while the suite runs, and these tests must never
+# fail on it — let alone delete it. The env var covers the lockrun
+# subprocesses below; the attribute patch covers this process regardless
+# of import order.
+_TEST_LOCK = os.path.join(
+    tempfile.gettempdir(), f"tpulock_test_{os.getpid()}.lock"
+)
+os.environ["SPACETIME_TPU_LOCK"] = _TEST_LOCK
+tpulock.LOCK_PATH = _TEST_LOCK
 
 
 def _cleanup():
