@@ -119,6 +119,11 @@ def sa_aggregate_native(indptr, indices, agg) -> int | None:
     lib = load()
     if lib is None:
         return None
+    if np.asarray(indptr)[-1] > np.iinfo(np.int32).max:
+        # The C ABI takes int32 CSR indices; a >=2^31-nnz strength graph
+        # would wrap negative in the cast below and the C++ loops would
+        # read out of bounds. Fall back to the bit-identical Python path.
+        return None
     indptr = np.ascontiguousarray(indptr, np.int32)
     indices = np.ascontiguousarray(indices, np.int32)
     if agg.dtype != np.int64 or not agg.flags.c_contiguous:

@@ -452,13 +452,26 @@ class DiaPallasLevel:
             "dM2": jnp.asarray(lev.dM, dtype)[None, :],
         }
 
+    def _tb_for(self, T_actual: int) -> int:
+        """Per-call time block: the constructor's T is N+1, but K_Y arrays
+        have N time rows — when N+1 < 8 the cached TB=N+1 is neither
+        divisible by 8 nor equal to the actual array dim, which fails
+        Mosaic lowering (the measured sublane rule, _pick_blocks_dia).
+        Keeps the configured TB when it is legal for the array actually
+        being tiled (the probe script sweeps TB directly); clamps
+        otherwise."""
+        tb = self.TB
+        if tb <= T_actual and (tb % 8 == 0 or tb == T_actual):
+            return tb
+        return 8 if T_actual >= 8 else max(T_actual, 1)
+
     def smooth(self, x, b, cols, vals, zero_init=False, post=False):
         return _dia_smooth_call(
             b if zero_init else x, b, vals["vA"], vals["vM"],
             vals["dA2"], vals["dM2"],
             cols["omega"], cols["invT"], cols["invDel"],
-            offsets=self.offsets, m=self.m, TB=self.TB, MB=self.MB,
-            HS=self.HS, step=self.step,
+            offsets=self.offsets, m=self.m, TB=self._tb_for(b.shape[0]),
+            MB=self.MB, HS=self.HS, step=self.step,
             nu=self.nu_post if post else self.nu, zero_init=zero_init,
             interpret=self.interpret,
         )
@@ -466,8 +479,8 @@ class DiaPallasLevel:
     def residual(self, x, b, cols, vals):
         return _dia_residual_call(
             x, b, vals["vA"], vals["vM"], cols["omega"],
-            offsets=self.offsets, m=self.m, TB=self.TB, MB=self.MB,
-            HS=self.HS, interpret=self.interpret,
+            offsets=self.offsets, m=self.m, TB=self._tb_for(b.shape[0]),
+            MB=self.MB, HS=self.HS, interpret=self.interpret,
         )
 
     def apply_A(self, x, vals):
@@ -475,6 +488,6 @@ class DiaPallasLevel:
         sandwich) as one fused banded pass."""
         return _dia_apply_call(
             x, vals["vA"],
-            offsets=self.offsets, m=self.m, TB=self.TB, MB=self.MB,
-            HS=self.HS, interpret=self.interpret,
+            offsets=self.offsets, m=self.m, TB=self._tb_for(x.shape[0]),
+            MB=self.MB, HS=self.HS, interpret=self.interpret,
         )

@@ -281,11 +281,23 @@ def main(argv=None) -> int:
                     print(f"--space-devices must be >= 1 (got {n_space})",
                           file=sys.stderr)
                     return 2
-                n_time = len(jax.devices()) // n_space
+                n_dev = len(jax.devices())
+                n_time = n_dev // n_space
                 if n_time < 1:
                     print(
                         f"--space-devices {n_space} exceeds the "
-                        f"{len(jax.devices())} available devices",
+                        f"{n_dev} available devices",
+                        file=sys.stderr,
+                    )
+                    return 2
+                if n_dev % n_space:
+                    # Floor division would silently strand devices (8
+                    # devices with --space-devices 3 → a 2x3 mesh on 6
+                    # chips); require an exact factorization.
+                    print(
+                        f"--space-devices {n_space} does not divide the "
+                        f"{n_dev} available devices (a {n_time}x{n_space} "
+                        f"mesh would strand {n_dev - n_time * n_space})",
                         file=sys.stderr,
                     )
                     return 2

@@ -1496,10 +1496,16 @@ class HeatSolver:
         gL64, gR64, u064 = self.assemble_rhs_host(jnp.float64)
 
         mode = self._loop_mode()
-        # Keyed like solve()'s jit cache: inner_tol/inner_maxiter are baked
-        # into the inner executable as closure constants, so a second call
-        # with different values must not reuse the first call's binaries.
-        ir_key = (mode, inner_tol, inner_maxiter)
+        # Keyed like solve()'s jit cache: inner_maxiter is baked into the
+        # inner executable as a closure constant. In while mode the
+        # tolerance rides as a TRACED scalar (round-schedule loosening), so
+        # it must NOT key the cache — re-keying on it forced a full rebuild
+        # (minutes at flagship shapes) for a value the executable never
+        # bakes in. Chunked mode still bakes inner_tol into step32.
+        ir_key = (
+            (mode, inner_maxiter) if mode == "while"
+            else (mode, inner_tol, inner_maxiter)
+        )
         if self.__dict__.get("_ir_key") != ir_key:
             self.__dict__.pop("_ir_jits", None)
             self._ir_key = ir_key

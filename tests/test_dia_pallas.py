@@ -117,6 +117,29 @@ def test_nested_solve_matches_xla():
     )
 
 
+def test_small_time_axis_clamps_tb(level):
+    # The solver constructs DiaPallasLevel with T=N+1, but K_Y smoother
+    # arrays carry N time rows: with N+1 < 8 the cached TB=N+1 is neither
+    # sublane-aligned nor equal to the actual time dim (the measured
+    # Mosaic lowering rule). The per-call TB must come from the array
+    # actually tiled.
+    ms, lev, omega, lps, x, b = level
+    pj = _mk(lev, 5, blocked=False)  # N=4 -> constructor T=N+1=5
+    assert pj.TB == 5
+    assert pj._tb_for(4) == 4        # K_Y arrays: N=4 rows
+    assert pj._tb_for(5) == 5
+    assert pj._tb_for(129) == 8      # large T stays sublane-aligned
+    cols = DiaPallasLevel.columns(lev, omega[:4], jnp.float32)
+    vals = pj.values(lev, jnp.float32)
+    lps4 = ms.row_params(omega[:4], jnp.float32)
+    out = pj.smooth(None, b[:4], cols, vals, zero_init=True)
+    ref = ms._smooth(lev, lps4[0], None, b[:4], zero_init=True)
+    scale = float(jnp.abs(ref).max())
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), atol=3e-6 * scale
+    )
+
+
 def test_amg_solve_matches_xla():
     # SA hierarchy: the banded fine level takes the kernels; aggregated
     # (ELL) coarse levels stay XLA.
