@@ -117,6 +117,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mixed-precision iterative refinement (f32 inner PCG "
                         "+ f64 residuals; any device backend, pairs with "
                         "--dtype f32 and tight --tol like 1e-8)")
+    p.add_argument("--refine-legs", choices=["auto", "ds", "f64"],
+                   default="auto",
+                   help="residual-leg arithmetic for --refined: ds = "
+                        "double-single compensated f32 (same operator to "
+                        "~1e-10 relative, ~3x faster legs at flagship "
+                        "scale), f64 = emulated float64, auto = ds where "
+                        "supported (structured constant-stencil mg on the "
+                        "single-device backend)")
     p.add_argument("--no-error", action="store_true",
                    help="skip L2 error computation")
     p.add_argument("--estimate-condition", action="store_true",
@@ -356,6 +364,7 @@ def main(argv=None) -> int:
             if args.refined:
                 res = solver.solve_refined(
                     tol=args.tol, compute_error=not args.no_error,
+                    legs=args.refine_legs,
                 )
             else:
                 res = solver.solve(

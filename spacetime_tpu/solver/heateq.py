@@ -1467,6 +1467,38 @@ class HeatSolver:
 
         return rhs64, resid64, inner
 
+    def _ds_resid(self):
+        """Jitted double-single residual leg (solver/ds_legs.py) — the
+        same S chain the f64 legs evaluate, in compensated f32 (operator
+        error ~1e-10 relative, measured) at a fraction of emulated-f64
+        cost. None where unsupported: non-structured regimes and the
+        parallel subclasses (their resid64 jits carry explicit
+        shardings) keep the f64 legs."""
+        if "_ds_jit" not in self.__dict__:
+            from .ds_legs import DSResidual
+
+            if type(self) is not HeatSolver or not DSResidual.supported(
+                self
+            ):
+                self._ds_jit = None
+            else:
+                dsr = DSResidual(self)
+                # Four executables: the leg proper stays pure DS; the
+                # f64 boundary (split/norm/normalize) lives in tiny
+                # separate jits — one graph mixing both made XLA push
+                # the output convert through the whole chain (438 s
+                # compile at a toy size, ds_legs.resid_pair docstring).
+                self._ds_jit = {
+                    "leg": jax.jit(
+                        lambda fp, u, p: dsr.resid_pair(fp, u, p)
+                    ),
+                    "split": jax.jit(DSResidual.split_f),
+                    "norm": jax.jit(DSResidual.norm),
+                    "norm32": jax.jit(DSResidual.normalize32),
+                    "params": dsr.params(),
+                }
+        return self._ds_jit
+
     def solve_refined(
         self,
         tol: float = 1e-8,
@@ -1474,6 +1506,7 @@ class HeatSolver:
         inner_maxiter: int = 60,
         max_rounds: int = 6,
         compute_error: bool = True,
+        legs: str = "auto",
     ) -> SolveResult:
         """Iterative-refinement solve to tight tolerances on TPU.
 
@@ -1482,7 +1515,21 @@ class HeatSolver:
         residual loop — the classical mixed-precision refinement. Each round
         multiplies the residual by ~inner_tol, so tol=1e-8 typically takes
         2 rounds. Requires jax_enable_x64.
+
+        ``legs``: how the true-residual legs r = f − S·u are evaluated.
+        'f64' = emulated f64 (the reference arithmetic); 'ds' =
+        double-single compensated f32 (solver/ds_legs.py — same operator
+        to ~1e-10 relative, ~3x faster at the 135-MDoF flagship where the
+        three legs are ~5–6 s of the solve); 'auto' = ds where supported.
         """
+        if legs not in ("auto", "ds", "f64"):
+            raise ValueError(f"unknown legs mode {legs!r}")
+        ds_jit = self._ds_resid() if legs in ("auto", "ds") else None
+        if legs == "ds" and ds_jit is None:
+            raise ValueError(
+                "legs='ds' needs the structured constant-stencil mg "
+                "regime on the single-device solver"
+            )
         if not jax.config.jax_enable_x64:
             # Without x64 the "f64" residual loop silently truncates to f32
             # and refinement stalls at ~1e-4 relative (measured) — fail loud.
@@ -1530,20 +1577,31 @@ class HeatSolver:
         converged = False
         rnorm_prev = None
         f_real = None
+        f_pair = None
+        if ds_jit is not None:
+            # The DS legs keep the residual as an (hi, lo) f32 pair; the
+            # f64 ↔ DS boundary lives in the tiny split/norm/norm32 jits
+            # (ds_legs.resid_pair docstring). f itself is only consumed
+            # through its pair from here on.
+            f_pair = ds_jit["split"](f)
+            del f
         for k in range(max_rounds):
             if k == 0:
                 # u = 0 exactly, so r = f − S·0 = f bitwise — skip the
-                # full f64 apply_S leg (the costliest round-1 op at scale;
-                # emulated f64 on TPU).
-                r, rnorm = f, fnorm
-            else:
-                r = resid64(f, u, p64)
-                rnorm = float(jnp.linalg.norm(r))
-                # Realized per-round reduction of the TRUE (f64) residual.
+                # full residual leg (the costliest round-1 op at scale).
+                r, rnorm = (f_pair if ds_jit is not None else f), fnorm
+            elif ds_jit is not None:
+                r = ds_jit["leg"](f_pair, u, ds_jit["params"])
+                rnorm = float(ds_jit["norm"](r))
+                # Realized per-round reduction of the TRUE residual.
                 # The f32 inner recurrence diverges from it at a scale-
                 # dependent floor (~7e-5 at 64², ~1e-4 at 135 MDoF —
                 # accumulated f32 operator noise), so iterations the inner
                 # solve spends below that floor are pure waste.
+                f_real = rnorm / rnorm_prev
+            else:
+                r = resid64(f, u, p64)
+                rnorm = float(jnp.linalg.norm(r))
                 f_real = rnorm / rnorm_prev
             rnorm_prev = rnorm
             hist.append(rnorm)
@@ -1561,7 +1619,10 @@ class HeatSolver:
             if f_real is not None and np.isfinite(f_real):
                 tol_k = max(tol_k, 0.05 * f_real)
             tol_k = min(tol_k, 0.3)
-            r32 = (r / rnorm).astype(jnp.float32)
+            if ds_jit is not None:
+                r32 = ds_jit["norm32"](r, jnp.float64(rnorm))
+            else:
+                r32 = (r / rnorm).astype(jnp.float32)
             if k > 0:
                 del r
             out = inner(r32, p32, jnp.float32(tol_k))

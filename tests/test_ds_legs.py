@@ -1,0 +1,161 @@
+"""Double-single residual legs (ops/ds.py + solver/ds_legs.py).
+
+The DS legs must evaluate the SAME operator the f64 legs define, to
+~1e-10 relative — including under jit, where two failure modes were
+measured and are regression-locked here: FMA contraction corrupting the
+classical Dekker product error (ds.two_prod docstring), and XLA pushing
+an output f64 convert backward through the chain (ds_legs.resid_pair
+docstring — a compile-TIME pathology, covered by keeping the leg jit
+pure-DS).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spacetime_tpu.fem import P1System, domain_mesh
+from spacetime_tpu.fem.timegrid import graded_time_grid, uniform_time_grid
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.ops import ds
+from spacetime_tpu.solver.heateq import HeatSolver
+from spacetime_tpu.solver.ds_legs import DSResidual
+
+
+# ------------------------------------------------------------ primitives
+
+
+def test_primitives_jitted():
+    rng = np.random.default_rng(0)
+    x64 = rng.standard_normal(4096)
+    y64 = rng.standard_normal(4096)
+    xds = ds.from_f64(jnp.asarray(x64))
+    yds = ds.from_f64(jnp.asarray(y64))
+    # from_f64 rounds at ~2^-49 relative (DS carries ~49 mantissa bits)
+    assert float(jnp.abs(ds.to_f64(xds) - x64).max()) < 1e-14
+
+    # jitted DS ops track f64 to ~eps32^2 * |x| — the bar is far below
+    # plain f32 (6e-8); FMA contraction regressions show up at ~1e-8.
+    e = np.abs(
+        np.asarray(ds.to_f64(jax.jit(ds.add)(xds, yds))) - (x64 + y64)
+    ).max()
+    assert e < 1e-13
+    e = np.abs(
+        np.asarray(ds.to_f64(jax.jit(ds.mul)(xds, yds))) - x64 * y64
+    ).max()
+    assert e < 1e-13
+    w = ds.split_scalar(1.0 / 3.0)
+    e = np.abs(
+        np.asarray(ds.to_f64(jax.jit(lambda d: ds.scale(d, w))(xds)))
+        - x64 / 3.0
+    ).max()
+    assert e < 1e-13
+    # power-of-two scale is exact (relative to the pair's own value)
+    w2 = ds.split_scalar(0.25)
+    assert w2.pow2
+    e = np.abs(
+        np.asarray(ds.to_f64(jax.jit(lambda d: ds.scale(d, w2))(xds)))
+        - np.asarray(ds.to_f64(xds)) / 4.0
+    ).max()
+    assert e == 0.0
+
+
+def test_two_prod_jitted_exact():
+    rng = np.random.default_rng(1)
+    a = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    b = jnp.asarray(rng.standard_normal(4096), jnp.float32)
+    p, e = jax.jit(ds.two_prod)(a, b)
+    exact = np.asarray(a, np.float64) * np.asarray(b, np.float64)
+    err = np.abs(
+        np.asarray(p, np.float64) + np.asarray(e, np.float64) - exact
+    )
+    # partial products of 12-bit halves are exact; only the two error-
+    # channel adds round
+    assert err.max() < 1e-13
+
+
+# --------------------------------------------------------- operator parity
+
+
+def _solver(dim=2, n=32, levels=5, graded=0, **kw):
+    pr = get_problem("smooth2d" if dim == 2 else "smooth3d")
+    sysm = P1System.from_mesh(domain_mesh(pr.domain, pr.dim, n))
+    grid = (
+        graded_time_grid(levels, graded, T=pr.T)
+        if graded
+        else uniform_time_grid(levels, T=pr.T)
+    )
+    return HeatSolver(
+        pr, sysm, grid, dtype=jnp.float32, inner="mg", **kw
+    )
+
+
+@pytest.mark.parametrize(
+    "dim,n,levels,graded",
+    [(2, 32, 4, 0), (2, 32, 3, 2), (3, 16, 3, 0)],
+)
+def test_resid_matches_f64(dim, n, levels, graded):
+    s = _solver(dim, n, levels, graded)
+    assert DSResidual.supported(s)
+    p64 = s.params_for(jnp.float64)
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal((s.N + 1,) + s.gs), jnp.float64)
+    f = jnp.asarray(rng.standard_normal((s.N + 1,) + s.gs), jnp.float64)
+    r64 = f - s.apply_S(u, p64)
+
+    dsr = DSResidual(s)
+    pds = dsr.params()
+    fp = jax.jit(DSResidual.split_f)(f)
+    r_pair = jax.jit(lambda fp, u, p: dsr.resid_pair(fp, u, p))(fp, u, pds)
+    r_ds = ds.to_f64(r_pair)
+    scale = float(jnp.linalg.norm(s.apply_S(u, p64)))
+    rel = float(jnp.linalg.norm(r_ds - r64)) / scale
+    # plain f32 evaluation sits at ~1e-7 relative here (measured); DS
+    # must be orders of magnitude tighter than the 1e-9 requirement
+    assert rel < 1e-11, rel
+    # the norm boundary jit agrees with the f64 norm of the pair
+    n_ds = float(jax.jit(DSResidual.norm)(r_pair))
+    assert abs(n_ds - float(jnp.linalg.norm(r_ds))) <= 1e-12 * n_ds
+
+
+# ------------------------------------------------------------- end-to-end
+
+
+def test_solve_refined_ds_matches_f64():
+    sf = _solver(2, 32, 4)
+    rf = sf.solve_refined(tol=1e-8, legs="f64")
+    sd = _solver(2, 32, 4)
+    assert sd._ds_resid() is not None
+    rd = sd.solve_refined(tol=1e-8, legs="ds")
+    assert len(rd.residuals) == len(rf.residuals)
+    assert rd.converged and rf.converged
+    assert rd.l2_error == pytest.approx(rf.l2_error, rel=1e-9)
+    assert np.linalg.norm(rd.U - rf.U) <= 1e-8 * np.linalg.norm(rf.U)
+    # the DS residual history tracks the f64 one (not bitwise — the DS
+    # operator differs at ~1e-10 relative)
+    np.testing.assert_allclose(
+        rd.residuals[:2], rf.residuals[:2], rtol=1e-2
+    )
+
+
+def test_legs_fallback_and_errors():
+    # dense inner: unsupported -> auto falls back to f64 legs, explicit
+    # 'ds' raises
+    pr = get_problem("smooth2d")
+    sysm = P1System.from_mesh(domain_mesh(pr.domain, pr.dim, 16))
+    s = HeatSolver(
+        pr, sysm, uniform_time_grid(3), dtype=jnp.float32, inner="dense"
+    )
+    assert s._ds_resid() is None
+    with pytest.raises(ValueError):
+        s.solve_refined(tol=1e-8, legs="ds")
+    r = s.solve_refined(tol=1e-8, legs="auto")
+    assert r.converged
+    with pytest.raises(ValueError):
+        s.solve_refined(tol=1e-8, legs="nope")
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(pytest.main([__file__, "-q"]))
