@@ -1070,7 +1070,7 @@ class NestedMultiShiftMultigrid:
         return x
 
 
-def sa_prolongator(A, theta: float = 0.08):
+def sa_prolongator(A, theta: float = 0.08, return_parts: bool = False):
     """Smoothed-aggregation prolongator (Vaněk–Mandel–Brezina) for one
     coarsening step of an SPD operator — the hierarchy builder for meshes
     with NO refinement record (imported files at native resolution), where
@@ -1145,6 +1145,14 @@ def sa_prolongator(A, theta: float = 0.08):
     P = (T - (4.0 / (3.0 * lmax)) * (DinvA @ T)).tocsr()
     P.data[np.abs(P.data) < 1e-13] = 0.0
     P.eliminate_zeros()
+    if return_parts:
+        # Factored-transfer ingredients (see _SALevel): P = (I − ωD⁻¹A)·T
+        # with T[i, agg[i]] = 1/√count — P·e and Pᵀ·r can then ride ONE
+        # banded operator matvec plus K=1 / aggregate-member gathers
+        # instead of K-wide unrolled gather passes.
+        tw = 1.0 / np.sqrt(counts[agg])
+        wd = (4.0 / (3.0 * lmax)) / d
+        return P, agg, tw, wd
     return P
 
 
@@ -1167,6 +1175,17 @@ class _SALevel:
     Pw: np.ndarray
     Ridx: np.ndarray  # (m_c, Kr) restriction gather (fine dof ids)
     Rw: np.ndarray
+    # Factored-transfer arrays (P = (I − ωD⁻¹A)·T, see sa_prolongator):
+    # present on DIA-format levels, where P·e / Pᵀ·r evaluate as one
+    # BANDED A matvec (the fast dia_pallas kernel on hardware) plus a K=1
+    # parent gather / a ≤Kmax member-sum — replacing the Kp/Kr-wide
+    # unrolled gather passes (Kr=31 at the 1.05M-dof L-shape fine level,
+    # the measured ~99%-V-cycle AMG regime of r3_profile_amg1m).
+    agg: np.ndarray | None = None  # (m,) parent aggregate id
+    tw: np.ndarray | None = None  # (m,) tentative weight 1/√count
+    wd: np.ndarray | None = None  # (m,) ω/diag(A)
+    mem_idx: np.ndarray | None = None  # (m_c, Kmax) member fine ids
+    mem_w: np.ndarray | None = None  # (m_c, Kmax) 0/1 validity
 
 
 @dataclasses.dataclass(frozen=True)
@@ -1218,10 +1237,13 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         while A.shape[0] > m_coarse and (
             max_levels is None or len(levels) < max_levels
         ):
-            P = sa_prolongator(A, theta)
+            P, agg, tw, wd = sa_prolongator(A, theta, return_parts=True)
             if P.shape[1] >= A.shape[0]:
                 break  # no coarsening progress (pathological graph)
-            levels.append(cls._make_level(A, M, P, first=not levels))
+            levels.append(
+                cls._make_level(A, M, P, first=not levels,
+                                parts=(agg, tw, wd))
+            )
             A = _rap(A, P)
             M = _rap(M, P)
         if not levels:
@@ -1237,7 +1259,7 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         return cls(tuple(levels), nu), (A.toarray(), M.toarray())
 
     @classmethod
-    def _make_level(cls, A, M, P, first: bool) -> _SALevel:
+    def _make_level(cls, A, M, P, first: bool, parts=None) -> _SALevel:
         import scipy.sparse as sp
 
         m = A.shape[0]
@@ -1271,12 +1293,31 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
                       eidx=eidx, ewA=ewA, ewM=ewM)
         Pidx, Pw = _ell_rows(P)
         Ridx, Rw = _ell_rows(P.T.tocsr())
+        fact: dict = {}
+        if parts is not None and use_dia:
+            # Factored-transfer arrays (DIA levels only — where the banded
+            # A matvec is fast; ELL levels keep the gather transfers).
+            agg, tw, wd = parts
+            mc = P.shape[1]
+            counts = np.bincount(agg, minlength=mc)
+            Kmax = max(int(counts.max()), 1)
+            order = np.argsort(agg, kind="stable")
+            starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+            pos = np.arange(m) - np.repeat(starts, counts)
+            mem_idx = np.zeros((mc, Kmax), np.int32)
+            mem_w = np.zeros((mc, Kmax), np.float64)
+            mem_idx[agg[order], pos] = order
+            mem_w[agg[order], pos] = 1.0
+            fact = dict(
+                agg=agg.astype(np.int32), tw=tw, wd=wd,
+                mem_idx=mem_idx, mem_w=mem_w,
+            )
         return _SALevel(
             m=m, fmt="dia" if use_dia else "ell",
             dA=np.asarray(A.diagonal()), dM=np.asarray(M.diagonal()),
             rsA=np.asarray(np.abs(A).sum(axis=1)).ravel(),
             rsM=np.asarray(np.abs(M).sum(axis=1)).ravel(),
-            Pidx=Pidx, Pw=Pw, Ridx=Ridx, Rw=Rw, **op,
+            Pidx=Pidx, Pw=Pw, Ridx=Ridx, Rw=Rw, **op, **fact,
         )
 
     # ------------------------------------------------------------- params
@@ -1309,6 +1350,12 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
             if lev.fmt == "dia":
                 lp["Av"] = jnp.asarray(lev.Av, dtype)
                 lp["Mv"] = jnp.asarray(lev.Mv, dtype)
+                if lev.agg is not None:
+                    lp["agg"] = jnp.asarray(lev.agg)
+                    lp["tw"] = jnp.asarray(lev.tw, dtype)
+                    lp["wd"] = jnp.asarray(lev.wd, dtype)
+                    lp["mem_idx"] = jnp.asarray(lev.mem_idx)
+                    lp["mem_w"] = jnp.asarray(lev.mem_w, dtype)
             else:
                 lp["eidx"] = jnp.asarray(lev.eidx)
                 lp["ewA"] = jnp.asarray(lev.ewA, dtype)
@@ -1335,6 +1382,69 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
             outA = tA if outA is None else outA + tA
             outM = tM if outM is None else outM + tM
         return outA + lp["omega"] * outM
+
+    # -------------------------------------------- factored transfers (DIA)
+
+    @staticmethod
+    def _apply_A_fact(lev: _SALevel, lp, pj, v):
+        """Plain stiffness matvec for the factored transfers: the fused
+        banded Pallas kernel where it is wired (hardware), the XLA DIA
+        form otherwise (CPU/tests)."""
+        if pj is not None:
+            return pj.apply_A(v, lp["plv"])
+        from .sparse import dia_matvec
+
+        return dia_matvec(lp["Av"], lev.offA, v)
+
+    def _restrict_fact(self, lev: _SALevel, lp, pj, r):
+        """Pᵀ·r = Tᵀ(I − ωAD⁻¹)·r: one banded A matvec + a ≤Kmax
+        aggregate-member sum — vs the Kr-wide gather form (Kr=31 at the
+        1.05M-dof L-shape fine level, r3_profile_amg1m)."""
+        import jax.numpy as jnp
+
+        u = r - self._apply_A_fact(lev, lp, pj, lp["wd"] * r)
+        u = lp["tw"] * u
+        out = None
+        for k in range(lp["mem_idx"].shape[-1]):
+            term = lp["mem_w"][..., k] * jnp.take(
+                u, lp["mem_idx"][..., k], axis=-1
+            )
+            out = term if out is None else out + term
+        return out
+
+    def _interp_fact(self, lev: _SALevel, lp, pj, e):
+        """P·e = (I − ωD⁻¹A)·T·e: one K=1 parent gather + one banded A
+        matvec."""
+        import jax.numpy as jnp
+
+        g = lp["tw"] * jnp.take(e, lp["agg"], axis=-1)
+        return g - lp["wd"] * self._apply_A_fact(lev, lp, pj, g)
+
+    def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
+        if lvl == len(self.levels):
+            return coarse_solve(b)
+        lev = self.levels[lvl]
+        lp = lps[lvl]
+        pj = self._pj(pallas, lps, lvl)
+        fact = lev.fmt == "dia" and "agg" in lp
+        if pj is not None:
+            x = pj.smooth(None, b, lp["cols"], lp["plv"], zero_init=True)
+            r = pj.residual(x, b, lp["cols"], lp["plv"])
+        else:
+            x = self._smooth(lev, lp, None, b, zero_init=True)
+            r = b - self._op(lev, lp, x)
+        rc = (
+            self._restrict_fact(lev, lp, pj, r)
+            if fact else self._restrict(r, lp)
+        )
+        ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
+        x = x + (
+            self._interp_fact(lev, lp, pj, ec)
+            if fact else self._interp(ec, lp)
+        )
+        if pj is not None:
+            return pj.smooth(x, b, lp["cols"], lp["plv"], post=True)
+        return self._smooth(lev, lp, x, b, nu=self.nu_post)
 
 
 def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,

@@ -72,6 +72,32 @@ def test_ell_level_operator_exact():
         Mcur = (Pl.T @ Mcur @ Pl).tocsr()
 
 
+def test_factored_transfers_match_gather():
+    # DIA levels carry the factored transfer form P = (I - wD^-1 A) T
+    # (one banded matvec + K=1 / member-sum gathers); it must reproduce
+    # the gather-ELL transfers of the SAME prolongator to fp rounding.
+    system = P1System.from_mesh(l_shape_mesh(64))
+    A = sp.csr_matrix(system.A)
+    M = sp.csr_matrix(system.M)
+    msmg, _ = SAMultiShiftMultigrid.build(A, M, m_coarse=300)
+    lev = msmg.levels[0]
+    assert lev.fmt == "dia" and lev.agg is not None
+    lps = msmg.row_params(np.zeros(3), jnp.float64)
+    lp = lps[0]
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal((3, lev.m)))
+    rc_g = np.asarray(msmg._restrict(r, lp))
+    rc_f = np.asarray(msmg._restrict_fact(lev, lp, None, r))
+    np.testing.assert_allclose(rc_f, rc_g, rtol=1e-9, atol=1e-10)
+    e = jnp.asarray(rng.standard_normal((3, lev.Ridx.shape[0])))
+    ef_g = np.asarray(msmg._interp(e, lp))
+    ef_f = np.asarray(msmg._interp_fact(lev, lp, None, e))
+    np.testing.assert_allclose(ef_f, ef_g, rtol=1e-9, atol=1e-10)
+    # every fine dof has exactly one parent and every aggregate its
+    # members: the member mask row-sums reproduce the aggregate sizes
+    assert int(lp["mem_w"].sum()) == lev.m
+
+
 @pytest.mark.parametrize("omega", [0.0, 1000.0])
 def test_vcycle_contracts(omega):
     system = P1System.from_mesh(l_shape_mesh(64))
