@@ -1188,6 +1188,13 @@ class _SALevel:
     mem_w: np.ndarray | None = None  # (m_c, Kmax) 0/1 validity
 
 
+# Trace-time switch for the factored SA transfers (P=(I−ωD⁻¹A)T riding the
+# banded matvec vs the K-wide gather form). Same operator to fp rounding
+# (tests/test_amg.py); exists so hardware A/Bs can rank the two forms in one
+# process — flip BEFORE constructing the solver whose trace should bake it.
+SA_FACTORED_TRANSFERS = True
+
+
 @dataclasses.dataclass(frozen=True)
 class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
     """Multi-shift V-cycle on a smoothed-aggregation (algebraic) hierarchy.
@@ -1426,7 +1433,7 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         lev = self.levels[lvl]
         lp = lps[lvl]
         pj = self._pj(pallas, lps, lvl)
-        fact = lev.fmt == "dia" and "agg" in lp
+        fact = SA_FACTORED_TRANSFERS and lev.fmt == "dia" and "agg" in lp
         if pj is not None:
             x = pj.smooth(None, b, lp["cols"], lp["plv"], zero_init=True)
             r = pj.residual(x, b, lp["cols"], lp["plv"])
