@@ -632,6 +632,76 @@ class MSPallasLevel:
             TB=self.TB, YB=self.YB, nu=self.nu, interpret=self.interpret,
         )
 
+    # -------------------------------- sharded-slab transfer stages
+    # (parallel/explicit2d: the instance's gs is the HALO-EXTENDED local
+    # slab (own + 2·kw planes on the sharded leading axis); the transfer
+    # stages run the same fused kernels with even-extent chain offsets.)
+
+    def sh_transfer_ok(self, own: int) -> bool:
+        """Sharded fused/semi-fused transfer stages available for an
+        ``own``-plane slab. Interpret-mode only: the arithmetic is portable
+        (parity-tested on CPU), but the unblocked fused layout faults the
+        TPU worker at scale (see __init__) — hardware engagement needs the
+        blocked sharded variants plus a probe this 1-chip environment
+        cannot run (DESIGN.md §8)."""
+        return (
+            self.interpret
+            and len(self.gs) in (2, 3)
+            and self.YB >= self.gs[-2]
+            and self.YBt >= self.gs[-2]
+            and own % 2 == 0
+            and own >= 2
+        )
+
+    def sh_fused_ready(self, own: int, kw: int) -> bool:
+        """Fully fused pre/post stages additionally bake one nu and need
+        the kw >= nu+1 halo contract."""
+        return (
+            self.sh_transfer_ok(own)
+            and self.nu_post == self.nu
+            and 2 <= self.nu <= 3
+            and kw >= self.nu + 1
+        )
+
+    def sh_residual_restrict(self, x, b, cols, tx, own: int, h: int):
+        """r_c = R(b − Op(x)) on a halo-``h`` extended slab; returns the
+        owned coarse planes."""
+        return _residual_restrict_call(
+            x, b, cols["omega"], tx["Ux"], tx["Wx"],
+            groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
+            TB=self.TBt, YB=self.gs[-2], lead=(own, h),
+            interpret=self.interpret,
+        )
+
+    def sh_prolong_correct(self, x, ec, tx, own: int, hc: int):
+        """x + P(e_c) on the OWNED slab (x unhaloed); ec carries hc coarse
+        halo planes."""
+        gs_own = (own,) + self.gs[1:]
+        return _prolong_correct_call(
+            x, ec, tx["UxT"], tx["WxT"], gs=gs_own, TB=self.TBt,
+            YB=gs_own[-2], lead=(own, hc), interpret=self.interpret,
+        )
+
+    def sh_fused_pre(self, b, cols, tx, vmask, own: int, h: int):
+        """(x_ext, r_c): x at the full extended extent (caller crops)."""
+        return _fused_pre_call(
+            b, cols["omega"], cols["invD"], cols["invT"], cols["invDel"],
+            tx["Ux"], tx["Wx"], vmask,
+            groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
+            TB=self.TB, YB=self.gs[-2], nu=self.nu, lead=(own, h),
+            interpret=self.interpret,
+        )
+
+    def sh_fused_post(self, x, b, ec, cols, tx, vmask, own: int, h: int,
+                      hc: int):
+        return _fused_post_call(
+            x, b, ec, cols["omega"], cols["invD"], cols["invT"],
+            cols["invDel"], tx["UxT"], tx["WxT"], vmask,
+            groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
+            TB=self.TB, YB=self.gs[-2], nu=self.nu, lead=(own, h, hc),
+            interpret=self.interpret,
+        )
+
 
 # ---------------------------------------------- variable-coefficient kernels
 #
@@ -1183,14 +1253,25 @@ def _repeat_rows(A, start: int, nrows: int, axis: int = -2):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "nu", "interpret"),
+    static_argnames=(
+        "groups_A", "groups_M", "gs", "TB", "YB", "nu", "lead", "interpret"
+    ),
 )
 def _fused_pre_call(
-    b, omega, invD, invT, invDel, Ux, Wx, *, groups_A, groups_M, gs, TB, YB,
-    nu, interpret=False,
+    b, omega, invD, invT, invDel, Ux, Wx, vmask=None, *, groups_A, groups_M,
+    gs, TB, YB, nu, lead=None, interpret=False,
 ):
     """(x, r_c) with x = zero-init degree-ν sweep on b, r = b − Op(x),
-    r_c = R(r)."""
+    r_c = R(r).
+
+    ``lead``: optional ``(own, h)`` sharded-slab layout (explicit2d): b and
+    vmask carry ``h >= nu+1`` halo planes each side of the even
+    ``own``-plane owned slab of the leading grid axis; the x output keeps
+    the FULL extended extent (slab-edge rows are sweep-contaminated — the
+    caller crops to the owned planes and re-halos), while r_c holds the
+    ``own//2`` owned coarse planes. ``vmask`` is the (1, *gs) validity
+    field of _smooth_call — required with lead (the zero-scale padding
+    discipline), unsupported serial."""
     T = b.shape[0]
     ny, nx = gs[-2], gs[-1]
     rest = tuple(gs[:-2])
@@ -1205,8 +1286,26 @@ def _fused_pre_call(
         raise ValueError("fused_pre needs halo G+3 <= 8 and YB % 16 == 0")
     n_f = 3 if blocked else 1
     off = 1 if blocked else 0
-
     dim = len(gs)
+    z0 = 0
+    if lead is not None:
+        own, h = lead
+        if blocked or own % 2 or h < nu + 1:
+            raise ValueError(
+                "sharded lead layout needs the unblocked form, an even "
+                "owned extent, and halo >= nu+1 (the zero-init sweep "
+                "contaminates nu-1 edge planes and the residual must stay "
+                "valid one plane past the owned slab)"
+            )
+        if dim == 2:
+            nyc = YBc = own // 2
+            off = h
+        else:
+            restc = (own // 2,) + restc[1:]
+            z0 = h
+    has_mask = vmask is not None
+    if has_mask and blocked:
+        raise ValueError("fused_pre vmask rides the unblocked layout only")
 
     def kernel(om_ref, iD_ref, iT_ref, iDel_ref, Ux_ref, Wx_ref, *refs):
         x_ref, rc_ref = refs[-2], refs[-1]
@@ -1214,12 +1313,15 @@ def _fused_pre_call(
         om, iD = _col(om_ref, dim), _col(iD_ref, dim)
         iT, iDel = _col(iT_ref, dim), _col(iDel_ref, dim)
         Bw = _window(refs[:n_f], yi, YB, ny, G + E, blocked)
+        Mw = refs[n_f][...] if has_mask else None
 
         def rows(h):
             return (YB + 2 * h) if blocked else None
 
         # zero-init Chebyshev-Jacobi sweep, carrying E extra halo rows
         r = iD * Bw
+        if has_mask:
+            r = Mw * r
         d = r * iT
         x = d
         rho = 1.0 / _SIGMA
@@ -1230,6 +1332,8 @@ def _fused_pre_call(
             Opd = _op_rows(d, om, groups_A, groups_M, gs, rows(G + E - k))
             c = 1 if blocked else 0
             r = _crop(r, c) - iD * Opd
+            if has_mask:
+                r = Mw * r
             d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
             x = _crop(x, c) + d
             rho = rho_new
@@ -1248,8 +1352,8 @@ def _fused_pre_call(
         A = _pairsum_rows(A, off, YBc)
         B = _pairsum_rows(B, off + 1, YBc)
         if rest:
-            A = _pairsum_rows(A, 0, restc[0], axis=-3)
-            B = _pairsum_rows(B, 1, restc[0], axis=-3)
+            A = _pairsum_rows(A, z0, restc[0], axis=-3)
+            B = _pairsum_rows(B, z0 + 1, restc[0], axis=-3)
         rc_ref[...] = 0.5 * (A + B)
 
     mat_spec = pl.BlockSpec(
@@ -1259,6 +1363,10 @@ def _fused_pre_call(
         [_col_spec(TB)] * 4
         + [mat_spec, mat_spec]
         + _y_specs(TB, YB, gs, blocked)  # b
+        + (
+            _y_specs(1, YB, gs, blocked, t_map=lambda ti: 0)
+            if has_mask else []
+        )
     )
     zeros = (0,) * len(rest)
     x_spec = pl.BlockSpec(
@@ -1296,19 +1404,30 @@ def _fused_pre_call(
         ],
         interpret=interpret,
         **kwargs,
-    )(omega, invD, invT, invDel, Ux, Wx, *([b] * n_f))
+    )(omega, invD, invT, invDel, Ux, Wx, *([b] * n_f),
+      *([vmask] if has_mask else []))
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "nu", "interpret"),
+    static_argnames=(
+        "groups_A", "groups_M", "gs", "TB", "YB", "nu", "lead", "interpret"
+    ),
 )
 def _fused_post_call(
-    x, b, ec, omega, invD, invT, invDel, UxT, WxT, *, groups_A, groups_M, gs,
-    TB, YB, nu, interpret=False,
+    x, b, ec, omega, invD, invT, invDel, UxT, WxT, vmask=None, *, groups_A,
+    groups_M, gs, TB, YB, nu, lead=None, interpret=False,
 ):
     """smooth(x + P(ec), b): prolongation + correction + degree-ν sweep in
-    one pass."""
+    one pass.
+
+    ``lead``: optional ``(own, h, hc)`` sharded-slab layout (explicit2d):
+    x, b and vmask carry ``h >= nu`` halo planes each side of the even
+    ``own``-plane owned slab of the leading grid axis; ec carries ``hc``
+    halo planes around its ``own//2`` owned coarse planes (hc >= ceil((h+1)/2)
+    so the prolonged field is valid on every window row the sweep keeps).
+    The output keeps the FULL extended extent (edge rows contaminated —
+    caller crops). ``vmask`` as in _fused_pre_call."""
     T = b.shape[0]
     ny, nx = gs[-2], gs[-1]
     rest = tuple(gs[:-2])
@@ -1321,8 +1440,24 @@ def _fused_post_call(
     if blocked and (YB % 16 or YBc % _HALO):
         raise ValueError("fused_post needs YB % 16 == 0")
     n_f = 3 if blocked else 1
-    gsc = restc + (nyc, nxc)
     dim = len(gs)
+    hc = None
+    if lead is not None:
+        own, h, hc = lead
+        if blocked or own % 2 or h < nu or 2 * hc < h + 1:
+            raise ValueError(
+                "sharded lead layout needs the unblocked form, an even "
+                "owned extent, fine halo >= nu and coarse halo >= "
+                "ceil((h+1)/2)"
+            )
+        if dim == 2:
+            nyc = own // 2 + 2 * hc  # ec extent incl. its halo planes
+        else:
+            restc = (own // 2 + 2 * hc,) + restc[1:]
+    gsc = restc + (nyc, nxc)
+    has_mask = vmask is not None
+    if has_mask and blocked:
+        raise ValueError("fused_post vmask rides the unblocked layout only")
 
     def kernel(om_ref, iD_ref, iT_ref, iDel_ref, UxT_ref, WxT_ref, *refs):
         out_ref = refs[-1]
@@ -1331,8 +1466,13 @@ def _fused_post_call(
         iT, iDel = _col(iT_ref, dim), _col(iDel_ref, dim)
         Xw = _window(refs[:n_f], yi, YB, ny, G + 1, blocked)
         Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, G, blocked)
+        Mw = refs[3 * n_f][...] if has_mask else None
         if blocked:
             Cw = _window(refs[2 * n_f : 3 * n_f], yi, YBc, nyc, 2, blocked)
+        elif lead is not None and dim == 2:
+            # Sharded lead axis == the y axis: ec's halo planes ride in the
+            # operand itself (no Dirichlet zero-pad).
+            Cw = refs[2 * n_f][...]
         else:
             Cw = jnp.pad(
                 refs[2 * n_f][...],
@@ -1345,13 +1485,24 @@ def _fused_post_call(
         # Local fine row l sits at global f = l - halo_f; the matching
         # repeat-index is j = f + 2·halo_c = l + (2·halo_c - halo_f), with
         # coarse halo 2 in both modes and fine halo G+1 (blocked) / 0.
-        start = 4 - (G + 1) if blocked else 4
+        # Sharded-y lead: coarse halo hc, fine halo h (2·hc − h may be
+        # negative — _repeat_rows zero-fills, reaching only edge rows the
+        # halo-depth contract already discards).
+        if lead is not None and dim == 2:
+            start = 2 * hc - lead[1]
+        else:
+            start = 4 - (G + 1) if blocked else 4
         if rest:
-            # z-direction: whole axis, no halo — Pu: zf <- C[zf//2] (repeat
-            # slice at 0), Pw: zf <- C[(zf-1)//2] (repeat slice at -1, the
-            # missing first row reading the Dirichlet zero).
-            A = _repeat_rows(A, 0, rest[0], axis=-3)
-            B = _repeat_rows(B, -1, rest[0], axis=-3)
+            if lead is not None:
+                # Sharded z at fine halo h: repeat starts 2·hc − h.
+                A = _repeat_rows(A, 2 * hc - lead[1], rest[0], axis=-3)
+                B = _repeat_rows(B, 2 * hc - lead[1] - 1, rest[0], axis=-3)
+            else:
+                # z-direction: whole axis, no halo — Pu: zf <- C[zf//2]
+                # (repeat slice at 0), Pw: zf <- C[(zf-1)//2] (repeat slice
+                # at -1, the missing first row reading the Dirichlet zero).
+                A = _repeat_rows(A, 0, rest[0], axis=-3)
+                B = _repeat_rows(B, -1, rest[0], axis=-3)
         P = 0.5 * (
             _repeat_rows(A, start, nrows) + _repeat_rows(B, start - 1, nrows)
         )
@@ -1364,6 +1515,8 @@ def _fused_post_call(
             return (YB + 2 * h) if blocked else None
 
         r = iD * (Bw - _op_rows(Xc, om, groups_A, groups_M, gs, rows(G)))
+        if has_mask:
+            r = Mw * r
         x_acc = _crop(Xc, 1 if blocked else 0)
         d = r * iT
         x_acc = x_acc + d
@@ -1375,6 +1528,8 @@ def _fused_post_call(
             Opd = _op_rows(d, om, groups_A, groups_M, gs, rows(G - k))
             c = 1 if blocked else 0
             r = _crop(r, c) - iD * Opd
+            if has_mask:
+                r = Mw * r
             d = rho_new * rho * _crop(d, c) + (2.0 * rho_new) * iDel * r
             x_acc = _crop(x_acc, c) + d
             rho = rho_new
@@ -1400,6 +1555,10 @@ def _fused_post_call(
         + _y_specs(TB, YB, gs, blocked)  # x
         + _y_specs(TB, YB, gs, blocked)  # b
         + c_specs  # ec
+        + (
+            _y_specs(1, YB, gs, blocked, t_map=lambda ti: 0)
+            if has_mask else []
+        )
     )
     out_spec = pl.BlockSpec(
         (TB,) + rest + (YB, nx),
@@ -1429,7 +1588,7 @@ def _fused_post_call(
         interpret=interpret,
         **kwargs,
     )(omega, invD, invT, invDel, UxT, WxT, *([x] * n_f), *([b] * n_f),
-      *([ec] * len(c_specs)))
+      *([ec] * len(c_specs)), *([vmask] if has_mask else []))
 
 
 def _fused_supported(gs, nu: int, YB: int, ny: int) -> bool:
@@ -1459,17 +1618,30 @@ def _fused_supported(gs, nu: int, YB: int, ny: int) -> bool:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("groups_A", "groups_M", "gs", "TB", "YB", "interpret"),
+    static_argnames=(
+        "groups_A", "groups_M", "gs", "TB", "YB", "lead", "interpret"
+    ),
 )
 def _residual_restrict_call(
-    x, b, omega, Ux, Wx, *, groups_A, groups_M, gs, TB, YB, interpret=False
+    x, b, omega, Ux, Wx, *, groups_A, groups_M, gs, TB, YB, lead=None,
+    interpret=False,
 ):
     """r_c = R(b − Op(x)) in one pass: the fine residual never touches HBM.
 
     Transfer indexing mirrors _fused_pre_call: x-direction on the MXU via
     the banded 0/1 factors (CP split K = ½(u^d + w^d), u/w chains kept
     separate across ALL axes), y as sublane pair-sums on a halo-1 residual
-    window, z (3D) as whole-axis pair-sums."""
+    window, z (3D) as whole-axis pair-sums.
+
+    ``lead``: optional ``(own, h)`` sharded-slab layout of the LEADING grid
+    axis (parallel/explicit2d): the operands carry ``h`` ppermute-halo
+    planes each side of an even ``own``-plane owned slab (gs[0] == own+2h),
+    and the coarse output holds the ``own//2`` owned coarse planes (shard
+    offsets are even at every sharded level, so local parity == global and
+    the u/w chains simply start ``h`` rows in). Needs h >= 2 (the residual
+    must be valid one plane past the owned slab) and the unblocked layout
+    (per-shard slabs; the blocked sharded variant would need its own
+    hardware probe)."""
     T = b.shape[0]
     dim = len(gs)
     ny, nx = gs[-2], gs[-1]
@@ -1480,8 +1652,22 @@ def _residual_restrict_call(
     YBc = YB // 2 if blocked else nyc
     if blocked and (YB % 16 or YBc % _HALO):
         raise ValueError("residual_restrict needs YB % 16 == 0")
-    n_f = 3 if blocked else 1
     off = 1 if blocked else 0
+    z0 = 0
+    if lead is not None:
+        own, h = lead
+        if blocked or own % 2 or h < 2:
+            raise ValueError(
+                "sharded lead layout needs the unblocked form, an even "
+                "owned extent, and halo >= 2"
+            )
+        if dim == 2:
+            nyc = YBc = own // 2
+            off = h
+        else:
+            restc = (own // 2,) + restc[1:]
+            z0 = h
+    n_f = 3 if blocked else 1
     zeros = (0,) * len(rest)
 
     def kernel(om_ref, Ux_ref, Wx_ref, *refs):
@@ -1489,7 +1675,8 @@ def _residual_restrict_call(
         yi = pl.program_id(1)
         om = _col(om_ref, dim)
         Xw = _window(refs[:n_f], yi, YB, ny, 2 if blocked else 0, blocked)
-        Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, off, blocked)
+        Bw = _window(refs[n_f : 2 * n_f], yi, YB, ny, off if blocked else 0,
+                     blocked)
         op = _op_rows(
             Xw, om, groups_A, groups_M, gs, (YB + 2 * off) if blocked else None
         )
@@ -1501,8 +1688,8 @@ def _residual_restrict_call(
         A = _pairsum_rows(A, off, YBc)
         B = _pairsum_rows(B, off + 1, YBc)
         if rest:
-            A = _pairsum_rows(A, 0, restc[0], axis=-3)
-            B = _pairsum_rows(B, 1, restc[0], axis=-3)
+            A = _pairsum_rows(A, z0, restc[0], axis=-3)
+            B = _pairsum_rows(B, z0 + 1, restc[0], axis=-3)
         rc_ref[...] = 0.5 * (A + B)
 
     mat_spec = pl.BlockSpec(
@@ -1638,13 +1825,24 @@ def _residual_restrict_var_call(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("gs", "TB", "YB", "interpret"),
+    static_argnames=("gs", "TB", "YB", "lead", "interpret"),
 )
-def _prolong_correct_call(x, ec, UxT, WxT, *, gs, TB, YB, interpret=False):
+def _prolong_correct_call(
+    x, ec, UxT, WxT, *, gs, TB, YB, lead=None, interpret=False
+):
     """x + P(e_c) in one pass (the coarse-grid correction): the prolonged
     fine field never touches HBM. Transfer indexing mirrors
-    _fused_post_call with fine halo 0 (no smoother follows in-kernel)."""
+    _fused_post_call with fine halo 0 (no smoother follows in-kernel).
+
+    ``lead``: optional ``(own, hc)`` sharded-slab layout (explicit2d): x
+    and the output hold the even ``own``-plane OWNED slab of the leading
+    grid axis (gs[0] == own), while ec carries ``hc >= 1`` halo planes per
+    side of its ``own//2`` owned coarse planes (fine local plane f reads
+    coarse local f//2 and (f-1)//2, so only one LEFT halo plane is truly
+    consumed; the symmetric exchange keeps one code path). Unblocked
+    layout only."""
     T = x.shape[0]
+    dim = len(gs)
     ny, nx = gs[-2], gs[-1]
     rest = tuple(gs[:-2])
     restc = tuple((g - 1) // 2 for g in rest)
@@ -1653,6 +1851,18 @@ def _prolong_correct_call(x, ec, UxT, WxT, *, gs, TB, YB, interpret=False):
     YBc = YB // 2 if blocked else nyc
     if blocked and (YB % 16 or YBc % _HALO):
         raise ValueError("prolong_correct needs YB % 16 == 0")
+    hc = None
+    if lead is not None:
+        own, hc = lead
+        if blocked or own % 2 or hc < 1 or own != gs[0]:
+            raise ValueError(
+                "sharded lead layout needs the unblocked form, an even "
+                "owned extent (== gs[0]), and coarse halo >= 1"
+            )
+        if dim == 2:
+            nyc = own // 2 + 2 * hc  # ec extent incl. its halo planes
+        else:
+            restc = (own // 2 + 2 * hc,) + restc[1:]
     n_c = 3 if blocked else 1
     gsc = restc + (nyc, nxc)
     zeros = (0,) * len(rest)
@@ -1663,6 +1873,10 @@ def _prolong_correct_call(x, ec, UxT, WxT, *, gs, TB, YB, interpret=False):
         Xm = refs[0][...]
         if blocked:
             Cw = _window(refs[1 : 1 + n_c], yi, YBc, nyc, 2, True)
+        elif lead is not None and dim == 2:
+            # Sharded lead axis == the y axis: the halo planes ride in the
+            # operand itself (no Dirichlet zero-pad).
+            Cw = refs[1][...]
         else:
             Cw = jnp.pad(
                 refs[1][...],
@@ -1671,14 +1885,23 @@ def _prolong_correct_call(x, ec, UxT, WxT, *, gs, TB, YB, interpret=False):
         A = _dot_last(Cw, UxT_ref[...])
         B = _dot_last(Cw, WxT_ref[...])
         if rest:
-            A = _repeat_rows(A, 0, rest[0], axis=-3)
-            B = _repeat_rows(B, -1, rest[0], axis=-3)
+            if lead is not None:
+                # Sharded z: fine local f reads stored coarse f//2 + hc
+                # (u) / (f-1)//2 + hc (w) — repeat starts 2·hc − hf with
+                # fine halo hf = 0 here.
+                A = _repeat_rows(A, 2 * hc, rest[0], axis=-3)
+                B = _repeat_rows(B, 2 * hc - 1, rest[0], axis=-3)
+            else:
+                A = _repeat_rows(A, 0, rest[0], axis=-3)
+                B = _repeat_rows(B, -1, rest[0], axis=-3)
         # Local fine row l is global f = yi·YB + l; its repeat index into
         # the halo-2 coarse window is l + 2·halo_c = l + 4 (cf. fused_post
-        # with fine halo 0).
+        # with fine halo 0). Sharded-y lead: halo_c = hc, fine halo 0.
         nrows = YB if blocked else ny
+        y_start = 2 * hc if (lead is not None and dim == 2) else 4
         P = 0.5 * (
-            _repeat_rows(A, 4, nrows) + _repeat_rows(B, 3, nrows)
+            _repeat_rows(A, y_start, nrows)
+            + _repeat_rows(B, y_start - 1, nrows)
         )
         out_ref[...] = Xm + P
 

@@ -359,6 +359,33 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
             return self._sp_scatter(out, self.Rs >> lvl)
         lp = lps[lvl]
         pj = self._pj_sh(pallas, lps, lvl)
+        own = self.Rs >> lvl
+        own_c = self.Rs >> (lvl + 1)
+        # Per-shard fused/semi-fused TRANSFER stages: the residual+restrict
+        # and prolong+correct chains run inside the kernels with even-extent
+        # halo-slab chain offsets (ops/mg_pallas lead=(own, h) layout) —
+        # closing the last XLA-transfer gap of the 2-D mesh. Interpret-mode
+        # only (MSPallasLevel.sh_transfer_ok): correctness is portable,
+        # hardware engagement awaits multichip measurement.
+        sh_tx = (
+            pj is not None and "tx" in lp and pj.sh_transfer_ok(own)
+            and kw >= 2
+        )
+        hc_post = (kw + 2) // 2  # fused_post coarse halo: 2·hc >= kw+1
+        # (level lvl+1 may be the gather boundary — its output is still a
+        # sharded slab (scatter), so the coarse halo exchange below works)
+        if sh_tx and pj.sh_fused_ready(own, kw) and own_c >= hc_post:
+            vm = self._sp_vmask_field(lvl, kw, b.dtype)
+            be = self._sp_halo(b, kw)
+            xe, rc = pj.sh_fused_pre(be, lp["cols"], lp["tx"], vm, own, kw)
+            x = self._sp_crop(xe, kw)
+            ec = self._ms_vcycle_sh(ms, rc, lps, coarse_solve, lvl + 1,
+                                    pallas, kw)
+            out = pj.sh_fused_post(
+                self._sp_halo(x, kw), be, self._sp_halo(ec, hc_post),
+                lp["cols"], lp["tx"], vm, own, kw, hc_post,
+            )
+            return self._sp_crop(out, kw)
         if pj is not None:
             vm = self._sp_vmask_field(lvl, kw, b.dtype)
             be = self._sp_halo(b, kw)
@@ -366,15 +393,26 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                 pj.smooth(None, be, lp["cols"], zero_init=True, vmask=vm),
                 kw,
             )
-            r = self._sp_crop(pj.residual(self._sp_halo(x, kw), be,
-                                          lp["cols"]), kw)
+            if sh_tx:
+                rc = pj.sh_residual_restrict(
+                    self._sp_halo(x, kw), be, lp["cols"], lp["tx"], own, kw
+                )
+            else:
+                r = self._sp_crop(pj.residual(self._sp_halo(x, kw), be,
+                                              lp["cols"]), kw)
+                rc = self._restrict_sh(r)
         else:
             x = self._ms_smooth_sh(ms, lvl, lp, b * 0.0, b)
             r = b - self._ms_op_sh(lvl, lp, x)
-        rc = self._restrict_sh(r)
+            rc = self._restrict_sh(r)
         ec = self._ms_vcycle_sh(ms, rc, lps, coarse_solve, lvl + 1,
                                 pallas, kw)
-        x = x + self._interp_sh(ec)
+        if sh_tx:
+            x = pj.sh_prolong_correct(
+                x, self._sp_halo(ec, 1), lp["tx"], own, 1
+            )
+        else:
+            x = x + self._interp_sh(ec)
         if pj is not None:
             return self._sp_crop(
                 pj.smooth(self._sp_halo(x, kw), be, lp["cols"], post=True,
@@ -561,8 +599,15 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                 nup = lambda nu: max(
                     nu, nu if self.mg_nu_post is None else self.mg_nu_post
                 )
+                # Interpret mode carries one extra halo plane so the fused
+                # transfer stages' kw >= nu+1 contract holds (sharded
+                # fused_pre sweeps contaminate nu-1 edge planes AND need the
+                # residual valid one plane past the owned slab); hardware
+                # keeps the tight nup halo — the sharded transfer kernels
+                # are interpret-gated anyway (MSPallasLevel.sh_transfer_ok).
+                ex = 1 if self._pl_interpret else 0
                 self._sp_kw = {
-                    "ky": nup(self.mg_nu), "kx": nup(self.mg_nu_kx)
+                    "ky": nup(self.mg_nu) + ex, "kx": nup(self.mg_nu_kx) + ex
                 }
                 self._e_pl2[key] = {
                     "ky": mk(self.R, self.mg_nu, self._sp_kw["ky"]),
@@ -574,15 +619,22 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                     ("ms_ky", om_ky_np, "ky"),
                     ("ms_kx", self._dup_rows(self._host["omega_kx"]), "kx"),
                 ):
-                    for pj, lp, ls, lev in zip(
+                    for li, (pj, lp, ls, lev) in enumerate(zip(
                         self._e_pl2[key][which], ep[name], es[name],
                         self.msmg.levels,
-                    ):
+                    )):
                         if pj is not None:
                             lp["cols"] = MSPallasLevel.columns(
                                 lev, omr, dtype
                             )
                             ls["cols"] = col_spec
+                            if pj.sh_transfer_ok(self.Rs >> li):
+                                # Banded 1-D transfer factors for the
+                                # per-shard fused transfer stages.
+                                lp["tx"] = pj.transfers(dtype)
+                                ls["tx"] = {
+                                    k: P(None, None) for k in lp["tx"]
+                                }
         self._eparams2_cache[key] = (ep, es)
         return ep, es
 

@@ -194,6 +194,85 @@ class TestExplicit2D:
             r1.residuals[:k], r0.residuals[:k], rtol=1e-3
         )
 
+    def _pallas_ab(self, problem_name, system, grid, pt, ps, want_depth,
+                   **kw):
+        """pallas=False vs pallas=True (gate lowered) A/B: identical
+        iteration counts, histories to fused-kernel rounding."""
+        import jax.numpy as jnp
+
+        problem = get_problem(problem_name)
+        base = dict(dtype=jnp.float32, inner="mg", **kw)
+        mesh = make_spacetime_mesh(pt, ps)
+        r0 = Explicit2DHeatSolver(
+            problem, system, grid, mesh, pallas=False, **base
+        ).solve(tol=1e-5, compute_error=False)
+        ex = Explicit2DHeatSolver(
+            problem, system, grid, mesh, pallas=True, **base
+        )
+        ex.mg_pallas_min_points = 1
+        r1 = ex.solve(tol=1e-5, compute_error=False)
+        assert ex._sp_depth == want_depth
+        assert r1.iterations == r0.iterations
+        k = r0.iterations + 1
+        np.testing.assert_allclose(
+            r1.residuals[:k], r0.residuals[:k], rtol=1e-3
+        )
+        return ex
+
+    def test_sh_fused_transfer_stages(self):
+        # Per-shard FUSED transfer stages (VERDICT round-3 item 4): with
+        # symmetric V(nu,nu) the sharded fused_pre/fused_post kernels run
+        # the even-extent halo-slab chain offsets + in-kernel vmask; the
+        # 15-plane grid over P_s=2 exercises the uneven split (one padding
+        # plane) inside the kernels' restrict/prolong arithmetic.
+        import jax.numpy as jnp
+
+        system = P1System.from_mesh(unit_square_mesh(16))
+        ex = self._pallas_ab(
+            "smooth2d", system, uniform_time_grid(5), 4, 2, 1, space_n=16
+        )
+        # the fused path is reachable: interpret-mode halo carries the
+        # kw >= nu+1 contract and level 0 supports the sharded stages
+        pls = ex._e_pl2_for(jnp.float32, "ky")
+        pj = pls[0]
+        assert pj is not None and pj.sh_transfer_ok(ex.Rs)
+        assert pj.sh_fused_ready(ex.Rs, ex._sp_kw["ky"])
+        ep, _ = ex.eparams_for(jnp.float32)
+        assert "tx" in ep["ms_ky"][0]
+
+    def test_sh_semi_transfer_stages(self):
+        # Asymmetric V(2,1): the fused stages bake one nu, so the V-cycle
+        # must route residual+restrict / prolong+correct through the
+        # sharded SEMI kernels instead.
+        import jax.numpy as jnp
+
+        system = P1System.from_mesh(unit_square_mesh(16))
+        ex = self._pallas_ab(
+            "smooth2d", system, uniform_time_grid(5), 4, 2, 1,
+            space_n=16, mg_nu_post=1,
+        )
+        pj = ex._e_pl2_for(jnp.float32, "ky")[0]
+        assert pj is not None and pj.sh_transfer_ok(ex.Rs)
+        assert not pj.sh_fused_ready(ex.Rs, ex._sp_kw["ky"])
+
+    def test_sh_transfer_deep_uneven(self):
+        # 31 planes over P_s=4 (Rs=8, one padding plane): sharded fused
+        # stages at the fine level with an uneven split and odd extents
+        # below the sharded depth.
+        system = P1System.from_mesh(unit_square_mesh(32))
+        ex = self._pallas_ab(
+            "smooth2d", system, uniform_time_grid(4), 2, 4, 1, space_n=32
+        )
+
+    def test_sh_transfer_3d(self):
+        # 3-D: the sharded leading axis is z — the kernels' rest-axis
+        # pairsum/repeat offsets (h, h+1) / (2hc−h) instead of the baked
+        # odd-extent (0, 1) / (0, −1).
+        system = P1System.from_mesh(unit_cube_mesh(16))
+        self._pallas_ab(
+            "smooth3d", system, uniform_time_grid(3), 2, 2, 1, space_n=16
+        )
+
     def test_rejects_unsupported(self):
         system = P1System.from_mesh(unit_square_mesh(8))
         grid = uniform_time_grid(3)

@@ -317,3 +317,176 @@ def test_fused_pre_post_3d_matches_unfused():
         np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref), atol=1e-13)
         np.testing.assert_allclose(np.asarray(rc), np.asarray(rc_ref), atol=1e-13)
         np.testing.assert_allclose(np.asarray(post), np.asarray(post_ref), atol=1e-13)
+
+
+# ---------------------------------------------- sharded-slab transfer stages
+
+
+def _sh_setup(dim, own=6, h=3, T=3, seed=1):
+    """Even-extent halo-slab scenario for the explicit2d lead=(own, h)
+    kernel layout: constant A/M stencil pair on the extended slab."""
+    from spacetime_tpu.ops.stencil import StencilOperator
+
+    nx = 7
+    gs_e = (own + 2 * h, nx) if dim == 2 else (own + 2 * h, 7, nx)
+    if dim == 2:
+        disps = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+    else:
+        disps = ((0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                 (0, 0, 1), (0, 0, -1))
+    wA = tuple([4.0] + [-1.0] * (len(disps) - 1))
+    wM = tuple([0.5] + [0.1] * (len(disps) - 1))
+    pj = MSPallasLevel(
+        StencilOperator(disps, wA, gs_e), StencilOperator(disps, wM, gs_e),
+        T, jnp.float32, 2, interpret=True,
+    )
+    rng = np.random.default_rng(seed)
+    omr = np.linspace(0.5, 1.5, T)
+    cols = MSPallasLevel.columns(
+        type("L", (), {"cA": 4.0, "cM": 0.5, "gA": 8.0, "gM": 1.0})(),
+        omr, jnp.float32,
+    )
+    vm = np.ones((1,) + gs_e, np.float32)
+    vm[:, :2] = 0.0
+    vm[:, -1] = 0.0
+    return pj, gs_e, omr, cols, pj.transfers(jnp.float32), jnp.asarray(vm), rng
+
+
+def _op_np(X, gs_e, omr, dim):
+    if dim == 2:
+        disps = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
+    else:
+        disps = ((0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0),
+                 (0, 0, 1), (0, 0, -1))
+    wA = [4.0] + [-1.0] * (len(disps) - 1)
+    wM = [0.5] + [0.1] * (len(disps) - 1)
+    out = np.zeros_like(X)
+    Xp = np.pad(X, [(0, 0)] + [(1, 1)] * dim)
+    om = omr.reshape((X.shape[0],) + (1,) * dim)
+    for d, wa, wm in zip(disps, wA, wM):
+        sl = tuple([slice(None)] + [
+            slice(1 + di, 1 + di + n) for di, n in zip(d, gs_e)
+        ])
+        out += (wa + om * wm) * Xp[sl]
+    return out
+
+
+def _pairs_np(M, st, n, ax):
+    sl = [slice(None)] * M.ndim
+    sl[ax] = slice(st, st + 2 * n)
+    W = M[tuple(sl)]
+    sh = W.shape[:ax] + (n, 2) + W.shape[ax + 1:]
+    return W.reshape(sh).sum(ax + 1)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sh_residual_restrict(dim):
+    from spacetime_tpu.ops.mg_pallas import _transfer_mats_np
+
+    own, h = 6, 3
+    pj, gs_e, omr, cols, tx, vm, rng = _sh_setup(dim)
+    T = 3
+    x = jnp.asarray(rng.standard_normal((T,) + gs_e), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T,) + gs_e), jnp.float32)
+    assert pj.sh_transfer_ok(own)
+    rc = pj.sh_residual_restrict(x, b, cols, tx, own, h)
+    rr = np.asarray(b) - _op_np(np.asarray(x), gs_e, omr, dim)
+    Ux, Wx = _transfer_mats_np(gs_e[-1])
+    A, B = rr @ Ux, rr @ Wx
+    if dim == 3:
+        nyc = (gs_e[1] - 1) // 2
+        A, B = _pairs_np(A, 0, nyc, 2), _pairs_np(B, 1, nyc, 2)
+    A, B = _pairs_np(A, h, own // 2, 1), _pairs_np(B, h + 1, own // 2, 1)
+    ref = 0.5 * (A + B)
+    rel = np.abs(np.asarray(rc) - ref).max() / np.abs(ref).max()
+    assert rel < 5e-5  # bf16-split transfer dot (~2^-16 relative)
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sh_prolong_correct(dim):
+    from spacetime_tpu.ops.mg_pallas import _transfer_mats_np
+
+    own, hc = 6, 1
+    pj, gs_e, omr, cols, tx, vm, rng = _sh_setup(dim)
+    T, nx = 3, gs_e[-1]
+    nxc, nc = (nx - 1) // 2, own // 2
+    xo_s = (T, own) + gs_e[1:]
+    ec_s = (T, nc + 2 * hc, nxc) if dim == 2 else (T, nc + 2 * hc, 3, nxc)
+    xo = jnp.asarray(rng.standard_normal(xo_s), jnp.float32)
+    ec = jnp.asarray(rng.standard_normal(ec_s), jnp.float32)
+    out = pj.sh_prolong_correct(xo, ec, tx, own, hc)
+    Ux, Wx = _transfer_mats_np(nx)
+    Af, Bf = np.asarray(ec) @ Ux.T, np.asarray(ec) @ Wx.T
+    P = np.zeros(xo_s, np.float32)
+    for f in range(own):
+        cu, cw = f // 2 + hc, (f - 1) // 2 + hc
+        if dim == 2:
+            P[:, f] = 0.5 * (Af[:, cu] + Bf[:, cw])
+        else:
+            ny, nyc = gs_e[1], (gs_e[1] - 1) // 2
+            for fy in range(ny):
+                cuy, cwy = fy // 2, (fy - 1) // 2
+                a = Af[:, cu, cuy] if 0 <= cuy < nyc else 0.0
+                w_ = Bf[:, cw, cwy] if 0 <= cwy < nyc else 0.0
+                P[:, f, fy] = 0.5 * (a + w_)
+    ref = np.asarray(xo) + P
+    rel = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+    assert rel < 5e-5
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sh_fused_pre_matches_parts(dim):
+    # The fused kernel's zero-init sweep is the same unblocked recurrence
+    # as _smooth_call — bitwise — and its restrict tail the same chains as
+    # sh_residual_restrict on that x.
+    own, h = 6, 3
+    pj, gs_e, omr, cols, tx, vm, rng = _sh_setup(dim)
+    b = jnp.asarray(rng.standard_normal((3,) + gs_e), jnp.float32)
+    xe, rc = pj.sh_fused_pre(b, cols, tx, vm, own, h)
+    x_ref = pj.smooth(None, b, cols, zero_init=True, vmask=vm)
+    np.testing.assert_array_equal(np.asarray(xe), np.asarray(x_ref))
+    rc_ref = pj.sh_residual_restrict(x_ref, b, cols, tx, own, h)
+    np.testing.assert_array_equal(np.asarray(rc), np.asarray(rc_ref))
+
+
+@pytest.mark.parametrize("dim", [2, 3])
+def test_sh_fused_post_matches_parts(dim):
+    from spacetime_tpu.ops.mg_pallas import _transfer_mats_np
+
+    own, h = 6, 3
+    hc = (h + 2) // 2
+    pj, gs_e, omr, cols, tx, vm, rng = _sh_setup(dim)
+    T, nx = 3, gs_e[-1]
+    nxc, nc = (nx - 1) // 2, own // 2
+    x = jnp.asarray(rng.standard_normal((T,) + gs_e), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T,) + gs_e), jnp.float32)
+    ec_s = (T, nc + 2 * hc, nxc) if dim == 2 else (T, nc + 2 * hc, 3, nxc)
+    ec = jnp.asarray(rng.standard_normal(ec_s), jnp.float32)
+    out = pj.sh_fused_post(x, b, ec, cols, tx, vm, own, h, hc)
+    Ux, Wx = _transfer_mats_np(nx)
+    Af, Bf = np.asarray(ec) @ Ux.T, np.asarray(ec) @ Wx.T
+    ny_e = gs_e[0]
+    P = np.zeros((T,) + gs_e, np.float32)
+    for j in range(ny_e):
+        f = j - h
+        cu, cw = f // 2 + hc, (f - 1) // 2 + hc
+        if dim == 2:
+            a = Af[:, cu] if 0 <= cu < Af.shape[1] else 0.0
+            w_ = Bf[:, cw] if 0 <= cw < Bf.shape[1] else 0.0
+            P[:, j] = 0.5 * (a + w_)
+        else:
+            ny, nyc = gs_e[1], (gs_e[1] - 1) // 2
+            for fy in range(ny):
+                cuy, cwy = fy // 2, (fy - 1) // 2
+                a = (Af[:, cu, cuy]
+                     if (0 <= cu < Af.shape[1] and 0 <= cuy < nyc) else 0.0)
+                w_ = (Bf[:, cw, cwy]
+                      if (0 <= cw < Bf.shape[1] and 0 <= cwy < nyc) else 0.0)
+                P[:, j, fy] = 0.5 * (a + w_)
+    ref = pj.smooth(x + jnp.asarray(P), b, cols, post=True, vmask=vm)
+    # compare on the rows the halo contract keeps (edge rows contaminated
+    # by design — the caller crops kw >= nu planes)
+    nu = 2
+    d = np.abs(np.asarray(out) - np.asarray(ref))[:, nu:-nu]
+    rel = d.max() / np.abs(np.asarray(ref)).max()
+    assert rel < 5e-5
