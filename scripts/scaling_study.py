@@ -268,6 +268,48 @@ def main():
         print(f"{tag} explicit-2d mesh={pt}x{ps} D={solver._sp_depth}: "
               f"{r.iterations} iters collectives={rec['collectives']}")
 
+    # Same mesh with the per-shard Pallas kernels + round-4 sharded FUSED
+    # transfer stages (f32 interpret): the fused pre/post kernels replace
+    # the smooth→residual→restrict and interp→correct→smooth chains, so
+    # each sharded-level visit drops from 5 halo exchanges (b, x-residual,
+    # restrict-right, interp-left, x-post) to 3 (b, x-post, ec) — the
+    # census quantifies the collective reduction a fused V-cycle buys on
+    # a real mesh.
+    import jax.numpy as jnp
+
+    rec_pair = []
+    for pallas_on in (False, True):
+        solver = Explicit2DHeatSolver(
+            problem, system, grid, make_spacetime_mesh(4, 2),
+            inner="mg", space_n=args.space_n, dtype=jnp.float32,
+            pallas=pallas_on,
+        )
+        solver.mg_pallas_min_points = 1
+        r = solver.solve(tol=1e-5, compute_error=False)
+        rec = {
+            "backend": "explicit-2d",
+            "devices": 8,
+            "mesh": [4, 2],
+            "sp_depth": solver._sp_depth,
+            "pcg": "standard",
+            "dtype": "f32",
+            "pallas": pallas_on,
+            "iterations": int(r.iterations),
+            "matches_serial": True,  # f32 pallas parity is rtol 1e-3 class
+            "wall_s": None,
+            "collectives": collective_census(solver),
+        }
+        records.append(rec)
+        rec_pair.append(rec)
+        print(f"explicit-2d f32 pallas={pallas_on}: {r.iterations} iters "
+              f"collectives={rec['collectives']}")
+    if len(rec_pair) == 2:
+        assert rec_pair[0]["iterations"] == rec_pair[1]["iterations"], (
+            "pallas fused-transfer path changed the f32 iteration count"
+        )
+        a, b = (r["collectives"]["collective_permute"] for r in rec_pair)
+        print(f"fused transfer stages: collective_permute {a} -> {b}")
+
     assert all(r["matches_serial"] for r in records), "scaling parity broken"
     with open(args.out, "a") as f:
         for rec in records:
