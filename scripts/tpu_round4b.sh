@@ -107,7 +107,72 @@ else
 fi
 cap_probe 1024 8 270m_retry
 
+log "stage 7: nested fair row at 1,049,025 dofs (XLA kernels)"
+# Part A's pallas attempt at this config CRASHED the TPU worker ("kernel
+# fault" at solve dispatch — one of the deeper nested DIA-Pallas levels;
+# the SA fine level with the same bw=1184 family ran fine). XLA-only here
+# for the fair per-DoF number; the pallas retry runs LAST so a repeat
+# crash costs nothing else.
+timeout 4200 python - >results_tpu/r4_nested_1m.log 2>&1 <<'EOF'
+import sys, time
+sys.path.insert(0, ".")
+from spacetime_tpu.utils import enable_compile_cache
+enable_compile_cache()
+import jax.numpy as jnp
+from spacetime_tpu.fem import (P1System, l_shape_mesh, refine_hierarchy,
+                               uniform_time_grid)
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.solver.heateq import HeatSolver
+
+prob = get_problem("lshape2d")
+sys_n = P1System.from_problem(prob, refine_hierarchy(l_shape_mesh(74), 4))
+t0 = time.perf_counter()
+s = HeatSolver(prob, sys_n, uniform_time_grid(5), dtype=jnp.float32,
+               inner="mg", rhs="device", pallas_kron=False)
+print(f"[nested-xla] setup {time.perf_counter()-t0:.1f}s: m={s.m} -> "
+      f"{(s.N+1)*s.m/1e6:.1f} MDoF", flush=True)
+for i in range(3):
+    t0 = time.perf_counter()
+    r = s.solve(tol=1e-6)
+    print(f"[nested-xla] solve{i}: wall {time.perf_counter()-t0:.1f}s "
+          f"solve_seconds={r.solve_seconds:.3f} iters={r.iterations} "
+          f"L2={r.l2_error}", flush=True)
+EOF
+log "stage 7 rc=$?"
+
 log "stage 6: warm bench shapes"
 timeout 3600 python scripts/warm_cache.py >results_tpu/r4_warm.log 2>&1
 log "stage 6 rc=$?"
+
+log "stage 8 (last, crash-tolerated): nested 1M with DIA-Pallas kernels"
+timeout 4200 python - >results_tpu/r4_nested_1m_pallas.log 2>&1 <<'EOF'
+import sys, time
+sys.path.insert(0, ".")
+from spacetime_tpu.utils import enable_compile_cache
+enable_compile_cache()
+import jax.numpy as jnp
+from spacetime_tpu.fem import (P1System, l_shape_mesh, refine_hierarchy,
+                               uniform_time_grid)
+from spacetime_tpu.models import get_problem
+from spacetime_tpu.solver.heateq import HeatSolver
+
+prob = get_problem("lshape2d")
+sys_n = P1System.from_problem(prob, refine_hierarchy(l_shape_mesh(74), 4))
+s = HeatSolver(prob, sys_n, uniform_time_grid(5), dtype=jnp.float32,
+               inner="mg", rhs="device")
+_ = s.params  # build the per-dtype param/kernel wiring
+for key, plist in s._ms_pl.items():
+    for li, pj in enumerate(plist):
+        if pj is not None:
+            print(f"  dia L{li}: m={pj.m} bw={pj.bw} HS={pj.HS} "
+                  f"TB={pj.TB} MB={pj.MB}", flush=True)
+    break
+for i in range(3):
+    t0 = time.perf_counter()
+    r = s.solve(tol=1e-6)
+    print(f"[nested-pallas] solve{i}: wall {time.perf_counter()-t0:.1f}s "
+          f"solve_seconds={r.solve_seconds:.3f} iters={r.iterations} "
+          f"L2={r.l2_error}", flush=True)
+EOF
+log "stage 8 rc=$?"
 log "queue B done"
