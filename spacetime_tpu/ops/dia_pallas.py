@@ -374,10 +374,16 @@ def _pick_blocks_dia(T, m, HS):
     - MB=16384: 3.49 ms/fine-stage = 1.79x the XLA stage (MB=8192: 1.63x;
       the giant near-whole-axis window crashed the remote compile helper).
       MB stays a multiple of HS (the halo-slab index maps tile MB by HS).
+    - Wide-band levels (HS >= 2048 — e.g. the 1.05M-dof L-shape fine
+      level, bw=1184 -> HS=2560) scale the target to 16*HS: at MB=15360
+      a quarter of every window is halo; the round-4 probe at m=1049025,
+      T=33 (results_tpu/r4_probe_dia_1m.jsonl) measures MB=15360 at
+      1.38x XLA, 20480 at 1.44x, (TB=8, MB=40960) at **1.55x** — all
+      exact.
     """
     TB = 8 if T >= 8 else max(T, 1)
     mp = -(-m // _LANE) * _LANE
-    target = 16384
+    target = 16 * HS if HS >= 2048 else 16384
     if mp <= target + 2 * HS:
         return TB, mp  # whole axis in one block (in-register halo pad)
     return TB, max(HS, (target // HS) * HS)
