@@ -1070,22 +1070,9 @@ class NestedMultiShiftMultigrid:
         return x
 
 
-def sa_prolongator(A, theta: float = 0.08, return_parts: bool = False):
-    """Smoothed-aggregation prolongator (Vaněk–Mandel–Brezina) for one
-    coarsening step of an SPD operator — the hierarchy builder for meshes
-    with NO refinement record (imported files at native resolution), where
-    neither the structured-grid nor the nested-refinement geometric
-    hierarchies exist (SURVEY.md §2 "spatial inner solver", general-domain
-    regime).
-
-    Standard scalar SA: strength graph |a_ij| ≥ θ·√(a_ii·a_jj); greedy
-    3-pass aggregation (roots with untouched strong neighborhoods, attach
-    stragglers, sweep leftovers); tentative prolongator = the constant
-    near-nullspace vector chopped per aggregate (unit columns); one damped-
-    Jacobi smoothing step P = (I − ω D⁻¹A)·T with ω = 4/(3·λmax(D⁻¹A)),
-    λmax bounded by the Gershgorin row sum (under-relaxing is safe).
-    Returns the (n × n_agg) CSR prolongator.
-    """
+def _sa_aggregate(A, theta: float):
+    """Strength graph + greedy 3-pass aggregation of ``A`` (the aggregation
+    core of :func:`sa_prolongator`): returns (agg, n_agg)."""
     import scipy.sparse as sp
 
     A = sp.csr_matrix(A)
@@ -1128,6 +1115,52 @@ def sa_prolongator(A, theta: float = 0.08, return_parts: bool = False):
                 if agg[j] == -1:
                     agg[j] = na
             na += 1
+    return agg, na
+
+
+def sa_prolongator(A, theta: float = 0.08, return_parts: bool = False,
+                   aggressive: bool = False):
+    """Smoothed-aggregation prolongator (Vaněk–Mandel–Brezina) for one
+    coarsening step of an SPD operator — the hierarchy builder for meshes
+    with NO refinement record (imported files at native resolution), where
+    neither the structured-grid nor the nested-refinement geometric
+    hierarchies exist (SURVEY.md §2 "spatial inner solver", general-domain
+    regime).
+
+    Standard scalar SA: strength graph |a_ij| ≥ θ·√(a_ii·a_jj); greedy
+    3-pass aggregation (roots with untouched strong neighborhoods, attach
+    stragglers, sweep leftovers); tentative prolongator = the constant
+    near-nullspace vector chopped per aggregate (unit columns); one damped-
+    Jacobi smoothing step P = (I − ω D⁻¹A)·T with ω = 4/(3·λmax(D⁻¹A)),
+    λmax bounded by the Gershgorin row sum (under-relaxing is safe).
+    Returns the (n × n_agg) CSR prolongator.
+
+    ``aggressive``: TWO-pass aggregation (aggregate the tentative-contracted
+    operator T₁ᵀAT₁ again and compose) — ~coarsening-ratio² per level
+    (~36x in 2D vs ~9x standard), one smoothing step on the original A as
+    usual. MEASURED DEAD END for the solver (round 4): the coarse space is
+    too weak for the multi-shift V-cycles — 12 → 86 PCG iterations at the
+    2945-dof L-shape (degree-2 prolongator smoothing recovers only 86 →
+    79), far past any cycle-cost saving from the ~4x smaller ELL level it
+    was meant to buy (r4_profile_amg1m: coarse ELL gathers are ~75%% of
+    the 1.05M-dof AMG V-cycle). Retained at the hierarchy-builder level
+    for experiments; deliberately NOT exposed on HeatSolver/CLI.
+    """
+    import scipy.sparse as sp
+
+    A = sp.csr_matrix(A)
+    n = A.shape[0]
+    d = np.asarray(A.diagonal())
+    agg, na = _sa_aggregate(A, theta)
+    if aggressive:
+        counts1 = np.bincount(agg, minlength=na).astype(np.float64)
+        T1 = sp.csr_matrix(
+            (1.0 / np.sqrt(counts1[agg]), (np.arange(n), agg)),
+            shape=(n, na),
+        )
+        A1 = (T1.T @ A @ T1).tocsr()
+        agg2, na = _sa_aggregate(A1, theta)
+        agg = agg2[agg]
     counts = np.bincount(agg, minlength=na).astype(np.float64)
     T = sp.csr_matrix(
         (1.0 / np.sqrt(counts[agg]), (np.arange(n), agg)), shape=(n, na)
@@ -1232,10 +1265,15 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         m_coarse: int = 1024,
         theta: float = 0.08,
         max_levels: int | None = None,
+        aggressive: int = 0,
     ) -> tuple["SAMultiShiftMultigrid", tuple[np.ndarray, np.ndarray]]:
         """Aggregate-coarsen (A, M) until ≤ ``m_coarse`` dofs (or until
         aggregation stops making progress). Returns (structure, (A_c, M_c)
-        dense for the coarsest solve)."""
+        dense for the coarsest solve).
+
+        ``aggressive``: the first N levels use two-pass (composed)
+        aggregation — ~4x smaller first coarse level at some iteration
+        cost (see sa_prolongator)."""
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A_fine)
@@ -1244,7 +1282,10 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         while A.shape[0] > m_coarse and (
             max_levels is None or len(levels) < max_levels
         ):
-            P, agg, tw, wd = sa_prolongator(A, theta, return_parts=True)
+            P, agg, tw, wd = sa_prolongator(
+                A, theta, return_parts=True,
+                aggressive=len(levels) < aggressive,
+            )
             if P.shape[1] >= A.shape[0]:
                 break  # no coarsening progress (pathological graph)
             levels.append(

@@ -123,6 +123,7 @@ def test_vcycle_contracts(omega):
     assert errs[-1] < 1e-3
 
 
+@pytest.mark.slow
 def test_solve_matches_dense_inner():
     problem = get_problem("lshape2d")
     system = P1System.from_mesh(l_shape_mesh(24))
@@ -140,6 +141,7 @@ def test_solve_matches_dense_inner():
     np.testing.assert_allclose(r_amg.l2_error, r_dense.l2_error, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_solve_f32_and_refined():
     problem = get_problem("lshape2d")
     system = P1System.from_mesh(l_shape_mesh(24))
@@ -163,6 +165,7 @@ def test_amg_requires_flat_layout():
         HeatSolver(problem, system, uniform_time_grid(3), inner="amg")
 
 
+@pytest.mark.slow
 def test_amg_on_forced_dia_structured():
     # structured mesh forced onto the generic DIA path: amg must work there
     # too (the layout, not the mesh family, is the requirement)
@@ -178,6 +181,7 @@ def test_amg_on_forced_dia_structured():
     np.testing.assert_allclose(r.l2_error, 3.6711e-03, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_amg_3d():
     # 3D: tetrahedral P1 graphs have ~15 nnz/row and much faster (~27x)
     # aggregation coarsening than 2D — pin that the hierarchy still
@@ -200,3 +204,28 @@ def test_amg_3d():
     assert r.converged
     assert r.iterations <= r_dense.iterations + 5
     np.testing.assert_allclose(r.l2_error, r_dense.l2_error, rtol=2e-2)
+
+
+def test_aggressive_aggregation_builder():
+    """Two-pass (composed) aggregation: ~ratio² coarsening, same P support.
+
+    Solver-level this is a MEASURED dead end (12 → 86 PCG iterations at the
+    2945-dof L-shape — sa_prolongator docstring), kept at the builder level
+    for hierarchy experiments; this test pins the structural contract: the
+    composed aggregates form a partition and the first coarse level shrinks
+    by at least ~2.5x vs standard aggregation."""
+    sys_ = P1System.from_problem(get_problem("lshape2d"), l_shape_mesh(48))
+    m = sys_.A.shape[0]
+    P_std, agg_s, tw_s, _ = sa_prolongator(sys_.A, return_parts=True)
+    P_agr, agg_a, tw_a, _ = sa_prolongator(
+        sys_.A, return_parts=True, aggressive=True
+    )
+    assert agg_a.shape == (m,) and (agg_a >= 0).all()
+    na_s, na_a = P_std.shape[1], P_agr.shape[1]
+    assert np.unique(agg_a).size == na_a  # partition covers every aggregate
+    assert na_a * 2.5 <= na_s, (na_s, na_a)
+    # tentative weights are 1/sqrt(aggregate size) of the COMPOSED partition
+    counts = np.bincount(agg_a, minlength=na_a)
+    np.testing.assert_allclose(tw_a, 1.0 / np.sqrt(counts[agg_a]))
+    # P rows still have the smoothed one-ring support (degree-1 smoothing)
+    assert P_agr.nnz <= P_std.nnz * 1.2

@@ -51,6 +51,7 @@ def test_bounds_contain_spectrum():
 
 
 class TestChebSolve:
+    @pytest.mark.slow
     def test_matches_dense_inner_on_small_problem(self):
         problem = get_problem("lshape2d")
         system = P1System.from_mesh(l_shape_mesh(24))
@@ -126,6 +127,7 @@ class TestChebSolve:
         assert r.converged and r.iterations <= 12
         np.testing.assert_allclose(r.l2_error, 1.2885e-02, rtol=2e-2)
 
+    @pytest.mark.slow
     def test_sharded_matches_serial(self):
         import jax
 
@@ -192,6 +194,7 @@ class TestChebSolve:
         np.testing.assert_allclose(r.l2_error, 1.291e-02, rtol=2e-2)
 
 
+@pytest.mark.slow
 def test_cheb_eps_knob():
     """Lower cheb_eps -> higher polynomial degrees and an L2 error closer to
     the exact-inner (dense) solve."""

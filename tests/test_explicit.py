@@ -68,6 +68,7 @@ class TestExplicit:
         assert r2.iterations == r1.iterations
         np.testing.assert_allclose(r2.residuals, r1.residuals, rtol=1e-9)
 
+    @pytest.mark.slow
     def test_wavelet_roundtrip_and_adjoint(self):
         # Sharded W and W' against the serial NumPy transform directly.
         import jax.numpy as jnp
@@ -128,6 +129,7 @@ class TestExplicit:
             r1.residuals[:k], r0.residuals[:k], rtol=1e-3
         )
 
+    @pytest.mark.slow
     def test_pallas_mg_per_shard(self):
         # Fused multigrid smoother kernels per shard, gate lowered so the
         # tiny CI grid exercises them.
@@ -187,6 +189,7 @@ class TestExplicit:
         system = P1System.from_mesh(unit_square_mesh(8))
         self._pair_grid("smooth2d", system, uniform_time_grid(2), 8)
 
+    @pytest.mark.slow
     def test_graded_odd_devices_mg(self):
         system = P1System.from_mesh(unit_square_mesh(16))
         self._pair_grid(
@@ -201,6 +204,7 @@ class TestExplicit:
             pcg_variant="fused",
         )
 
+    @pytest.mark.slow
     def test_general_wavelet_roundtrip(self):
         # Generalized sharded W / W' against the serial NumPy transform,
         # on a graded grid over an odd device count; twin rows must agree
@@ -251,6 +255,7 @@ class TestExplicit:
         twin = (valid[:-1, ex.R] * valid[1:, 0]).astype(bool)
         np.testing.assert_array_equal(Vd[:-1, ex.R][twin], Vd[1:, 0][twin])
 
+    @pytest.mark.slow
     def test_general_pallas_kron(self):
         # Fused per-shard B/Bᵀ kernels on the generalized (graded, even-R
         # padded) layout, vs the XLA stencils on the same backend.

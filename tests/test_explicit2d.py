@@ -69,6 +69,7 @@ class TestExplicit2D:
         system = P1System.from_mesh(unit_cube_mesh(8))
         _pair("smooth3d", system, uniform_time_grid(3), 4, 2)
 
+    @pytest.mark.slow
     def test_3d_mg_parity(self):
         system = P1System.from_mesh(unit_cube_mesh(8))
         _pair(
@@ -76,6 +77,7 @@ class TestExplicit2D:
             inner="mg", space_n=8,
         )
 
+    @pytest.mark.slow
     def test_graded_grid_parity(self):
         # General (graded) time layout composed with space sharding.
         system = P1System.from_mesh(unit_square_mesh(16))
@@ -85,6 +87,7 @@ class TestExplicit2D:
         )
         assert not ex.aligned
 
+    @pytest.mark.slow
     def test_graded_odd_time_devices(self):
         system = P1System.from_mesh(unit_square_mesh(16))
         ex, _, _ = _pair(
@@ -93,6 +96,7 @@ class TestExplicit2D:
         )
         assert not ex.aligned
 
+    @pytest.mark.slow
     def test_fused_pcg(self):
         system = P1System.from_mesh(unit_square_mesh(16))
         _pair(
@@ -100,6 +104,7 @@ class TestExplicit2D:
             inner="mg", space_n=16, pcg_variant="fused",
         )
 
+    @pytest.mark.slow
     def test_deep_sharded_hierarchy(self):
         # n=128: two stencil levels (128, 64) both sharded over P_s=4.
         system = P1System.from_mesh(unit_square_mesh(128))
@@ -109,6 +114,7 @@ class TestExplicit2D:
         )
         assert ex._sp_depth == 2
 
+    @pytest.mark.slow
     def test_refined(self):
         # Mixed-precision tol=1e-8 refinement over the 2-D mesh.
         import jax.numpy as jnp
@@ -142,6 +148,7 @@ class TestExplicit2D:
         assert resumed.iterations < full.iterations
         np.testing.assert_allclose(resumed.U, full.U, rtol=0, atol=1e-9)
 
+    @pytest.mark.slow
     def test_pallas_kron_per_shard(self):
         # Fused B/Bᵀ(+stab) kernels on halo-extended spatial slabs
         # (interpret mode on CPU): same solve as the XLA-stencil 2-D path.
@@ -166,6 +173,7 @@ class TestExplicit2D:
             r1.residuals[:k], r0.residuals[:k], rtol=1e-3
         )
 
+    @pytest.mark.slow
     def test_pallas_mg_per_shard(self):
         # Masked per-shard smoother/residual kernels on the sharded MG
         # levels (interpret mode; gate lowered so the CI grid uses them):
@@ -240,6 +248,7 @@ class TestExplicit2D:
         ep, _ = ex.eparams_for(jnp.float32)
         assert "tx" in ep["ms_ky"][0]
 
+    @pytest.mark.slow
     def test_sh_semi_transfer_stages(self):
         # Asymmetric V(2,1): the fused stages bake one nu, so the V-cycle
         # must route residual+restrict / prolong+correct through the
@@ -255,6 +264,7 @@ class TestExplicit2D:
         assert pj is not None and pj.sh_transfer_ok(ex.Rs)
         assert not pj.sh_fused_ready(ex.Rs, ex._sp_kw["ky"])
 
+    @pytest.mark.slow
     def test_sh_transfer_deep_uneven(self):
         # 31 planes over P_s=4 (Rs=8, one padding plane): sharded fused
         # stages at the fine level with an uneven split and odd extents
@@ -264,6 +274,7 @@ class TestExplicit2D:
             "smooth2d", system, uniform_time_grid(4), 2, 4, 1, space_n=32
         )
 
+    @pytest.mark.slow
     def test_sh_transfer_3d(self):
         # 3-D: the sharded leading axis is z — the kernels' rest-axis
         # pairsum/repeat offsets (h, h+1) / (2hc−h) instead of the baked

@@ -103,6 +103,7 @@ def test_weighted_vcycle_contracts():
     assert np.all(err / err0 < 0.05), err / err0
 
 
+@pytest.mark.slow
 def test_varcoef_mg_matches_dense_inner():
     prob = get_problem("varcoef2d")
     system = P1System.from_problem(prob, unit_square_mesh(16))

@@ -126,6 +126,7 @@ def test_singular3d_graded_parity():
     np.testing.assert_allclose(rj.l2_error, ro.l2_error, rtol=1e-10)
 
 
+@pytest.mark.slow
 def test_donate_rhs_and_scalar_x0_placeholder():
     """Capacity levers (single-chip HBM ceiling, BASELINE.md cfg5): cold
     starts pass a scalar x0 placeholder instead of staging a zero field,

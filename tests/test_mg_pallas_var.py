@@ -245,6 +245,7 @@ def test_weighted_vcycle_with_pallas_matches_xla():
     np.testing.assert_allclose(out, ref, rtol=2e-5, atol=1e-5 * np.abs(ref).max())
 
 
+@pytest.mark.slow
 def test_varcoef_solve_with_forced_kernels_matches_xla():
     """End-to-end weighted solve with the Pallas V-cycle kernels forced on
     (interpret mode) reproduces the XLA path's iteration count and

@@ -101,6 +101,7 @@ class TestSolverIntegration:
         assert abs(r_mg.iterations - r_dense.iterations) <= 2
         assert abs(r_mg.l2_error - r_dense.l2_error) < 0.02 * r_dense.l2_error
 
+    @pytest.mark.slow
     def test_reduced_cycle_presets(self):
         """The speed presets (K_Y 2 cycles, K_X sandwich 1 cycle per shifted
         solve) stay convergent with near-flat iteration counts and an
@@ -122,6 +123,7 @@ class TestSolverIntegration:
         ("smooth2d", unit_square_mesh, 16, 4),
         ("smooth3d", unit_cube_mesh, 8, 3),
     ])
+    @pytest.mark.slow
     def test_kx_nu_preset(self, problem_name, make, n, levels):
         """mg_nu_kx strengthens only the K_X sandwich smoother: with one
         stronger cycle (cycles_kx=1, nu_kx=3) the solve must converge to
@@ -154,6 +156,7 @@ if __name__ == "__main__":
     sys.exit(pytest.main([__file__, "-q"]))
 
 
+@pytest.mark.slow
 def test_conv_transfers_match_scatter_forms():
     """The conv-based prolongation/restriction must equal the strided
     scatter/slice reference forms exactly (they are the same operator)."""
@@ -182,6 +185,7 @@ def test_conv_transfers_match_scatter_forms():
             atol=1e-13)
 
 
+@pytest.mark.slow
 def test_nu_post_asymmetric_cycles():
     """V(nu, nu_post) cycles: default nu_post=None is bit-identical to the
     symmetric path; V(2,1) holds outer iteration counts (within +2) with
@@ -214,6 +218,7 @@ def test_nu_post_asymmetric_cycles():
     np.testing.assert_allclose(v21.U, ref.U, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_nu_post_pallas_kernels_match_xla():
     """Pallas smoothers with a distinct post-degree kernel (interpret
     mode): same iterations as the XLA V(2,1) path; the fully fused stages

@@ -108,6 +108,7 @@ def test_vcycle_reduces_residual_and_is_symmetric():
         ("smooth3d", lambda: unit_cube_mesh(4), 2, 3),
     ],
 )
+@pytest.mark.slow
 def test_solver_mg_matches_cheb(problem, base, refines, levels):
     # End-to-end: inner='mg' on the refined unstructured mesh converges with
     # cheb-comparable iteration counts and the same L2 error (the inner
@@ -140,6 +141,7 @@ def test_auto_inner_picks_mg_with_hierarchy():
     assert s2.inner in ("dense", "cheb")
 
 
+@pytest.mark.slow
 def test_sharded_parity_nested_mg():
     # 1-device vs 8-device GSPMD histories must match (CLAUDE.md invariant).
     import jax

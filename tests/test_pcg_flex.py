@@ -37,6 +37,7 @@ def _solver(pcg_variant, **kw):
 
 
 class TestFlexSerial:
+    @pytest.mark.slow
     def test_matches_standard_on_symmetric(self):
         r_std = _solver("standard").solve(tol=1e-8, compute_error=False)
         r_flx = _solver("flex").solve(tol=1e-8, compute_error=False)
@@ -45,6 +46,7 @@ class TestFlexSerial:
         np.testing.assert_allclose(r_flx.residuals, r_std.residuals, rtol=1e-9)
         np.testing.assert_allclose(r_flx.U, r_std.U, atol=1e-9)
 
+    @pytest.mark.slow
     def test_beats_standard_on_asymmetric_cycles(self):
         # The measured failure pairing: ONE strongly asymmetric V(2,1)
         # cycle per shifted K_X solve is a non-symmetric preconditioner.

@@ -174,6 +174,7 @@ def test_spacetime_2d_mesh_parity_3d():
     np.testing.assert_allclose(r24.residuals, r1.residuals, rtol=1e-9)
 
 
+@pytest.mark.slow
 def test_spacetime_2d_mesh_mg_3d():
     # The production inner at scale (multi-shift multigrid) on the 2-D
     # time x space mesh, 3D, with gs[0] = 7 NOT divisible by P_s = 4 —

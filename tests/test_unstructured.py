@@ -150,6 +150,7 @@ def test_unstructured_3d_tet_solve():
     assert np.isclose(rc.l2_error, ro.l2_error, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_refined_lshape_heat_solve():
     """A red-refined L-shape runs end-to-end (the general-mesh pipeline)."""
     problem = get_problem("lshape2d")
