@@ -731,18 +731,30 @@ class HeatSolver:
             ):
                 from ..ops.dia_pallas import DiaPallasLevel
 
-                mk_dia = lambda nu: [
-                    DiaPallasLevel(
+                def _mk_dia_lev(lev, nu):
+                    if (
+                        getattr(lev, "fmt", "dia") != "dia"
+                        or int(lev.dA.shape[0]) < self.mg_pallas_min_points
+                    ):
+                        return None
+                    pj = DiaPallasLevel(
                         lev, self.N + 1, dtype, nu,
                         interpret=self._pl_interpret,
                         nu_post=self.mg_nu_post,
                     )
-                    if (
-                        getattr(lev, "fmt", "dia") == "dia"
-                        and int(lev.dA.shape[0]) >= self.mg_pallas_min_points
-                    )
-                    else None
-                    for lev in self.msmg.levels
+                    # Hardware blocklist (round 4, r4_nested_bisect_*.log):
+                    # the step=640 blocked family (bw 513-640, HS=1280 at
+                    # nu=2) reproducibly kills the TPU worker at the
+                    # nested-1184 L1 (m=261665) — 4 crashes, while the
+                    # step<=512 and step=1280 families are solve-stable at
+                    # 25.2 MDoF / 1.05M dofs. Until root-caused, those
+                    # levels keep the XLA forms on hardware.
+                    if not self._pl_interpret and pj.step == 640:
+                        return None
+                    return pj
+
+                mk_dia = lambda nu: [
+                    _mk_dia_lev(lev, nu) for lev in self.msmg.levels
                 ]
                 self._ms_pl[key] = mk_dia(self.mg_nu)
                 self._ms_pl_kx[key] = (
