@@ -1266,6 +1266,7 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         theta: float = 0.08,
         max_levels: int | None = None,
         aggressive: int = 0,
+        reorder_coarse: bool = False,
     ) -> tuple["SAMultiShiftMultigrid", tuple[np.ndarray, np.ndarray]]:
         """Aggregate-coarsen (A, M) until ≤ ``m_coarse`` dofs (or until
         aggregation stops making progress). Returns (structure, (A_c, M_c)
@@ -1273,7 +1274,18 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
 
         ``aggressive``: the first N levels use two-pass (composed)
         aggregation — ~4x smaller first coarse level at some iteration
-        cost (see sa_prolongator)."""
+        cost (see sa_prolongator).
+
+        ``reorder_coarse``: renumber each aggregated coarse level by
+        reverse Cuthill–McKee of its Galerkin operator's graph (a pure dof
+        permutation — operator unchanged up to fp rounding and the
+        order-dependent aggregation below). MEASURED NEUTRAL-TO-NEGATIVE
+        (round 4, 1.05M-dof L-shape L1, m=175231): the greedy aggregation
+        already inherits the fine lex banding — natural order ndiag=1187 /
+        bw=790 vs RCM ndiag=1483 / bw=741 — so RCM neither qualifies the
+        level for DIA (needs ndiag <= ~36 under the 4x waste rule) nor
+        meaningfully improves gather locality. Default OFF; kept for
+        ordering experiments."""
         import scipy.sparse as sp
 
         A = sp.csr_matrix(A_fine)
@@ -1288,12 +1300,26 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
             )
             if P.shape[1] >= A.shape[0]:
                 break  # no coarsening progress (pathological graph)
+            Ac = _rap(A, P)
+            Mc = _rap(M, P)
+            if reorder_coarse:
+                from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+                perm = np.asarray(
+                    reverse_cuthill_mckee(Ac, symmetric_mode=True)
+                )
+                iperm = np.empty_like(perm)
+                iperm[perm] = np.arange(perm.size)
+                P = P[:, perm].tocsr()
+                agg = iperm[agg]
+                Ac = Ac[perm][:, perm].tocsr()
+                Mc = Mc[perm][:, perm].tocsr()
             levels.append(
                 cls._make_level(A, M, P, first=not levels,
                                 parts=(agg, tw, wd))
             )
-            A = _rap(A, P)
-            M = _rap(M, P)
+            A = Ac
+            M = Mc
         if not levels:
             raise ValueError(
                 f"smoothed aggregation built no levels above m_coarse="
