@@ -389,6 +389,27 @@ def _pick_blocks_dia(T, m, HS):
     return TB, max(HS, (target // HS) * HS)
 
 
+def dia_hardware_gate(pls: list, interpret: bool) -> list:
+    """Per-hierarchy hardware engagement gate for DiaPallasLevel lists.
+
+    Round-4 finding (results_tpu/r4_nested_bisect_*.log,
+    r4_nested_1m_gated.log): in WIDE-BAND hierarchies — fine engaged level
+    step >= 1280, e.g. the n=1184 L-shape (bw=1184) — MULTI-level kernel
+    engagement reproducibly kills the TPU worker ("kernel fault" at solve
+    dispatch): L0+L1 (step 640) and L0+L2 (step 384) both fault, while
+    L0-only is solve-stable across many runs (5 crashes total that
+    session). Narrow-band hierarchies (steps <= 512) keep multi-level
+    engagement — round-3 proven at the 25.2 MDoF L-shape. Until
+    root-caused, wide-band hierarchies run kernels on the fine level only.
+    Interpret mode (CPU tests) is unaffected."""
+    if interpret:
+        return pls
+    first = next((p for p in pls if p is not None), None)
+    if first is not None and first.step >= 1280:
+        return [p if p is first else None for p in pls]
+    return pls
+
+
 class DiaPallasLevel:
     """Pallas smoother/residual for one flat-dof multigrid level (DIA
     storage — NestedMultiShiftMultigrid levels and the SA hierarchy's

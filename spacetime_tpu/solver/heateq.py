@@ -743,26 +743,16 @@ class HeatSolver:
                         nu_post=self.mg_nu_post,
                     )
 
+                from ..ops.dia_pallas import dia_hardware_gate
+
                 def mk_dia(nu):
-                    pls = [_mk_dia_lev(lev, nu) for lev in self.msmg.levels]
-                    # Hardware gate (round 4, r4_nested_bisect_*.log /
-                    # r4_nested_1m_gated.log): in WIDE-BAND hierarchies
-                    # (fine engaged level step >= 1280, e.g. the n=1184
-                    # L-shape, bw=1184), MULTI-level kernel engagement
-                    # reproducibly kills the TPU worker — L0+L1(step 640)
-                    # and L0+L2(step 384) both fault, while L0-only is
-                    # solve-stable across many runs (5 crashes total this
-                    # session). Narrow-band hierarchies (steps <= 512)
-                    # keep multi-level engagement — round-3 proven at the
-                    # 25.2 MDoF L-shape. Until root-caused, wide-band
-                    # hierarchies run kernels on the fine level only.
-                    if not self._pl_interpret:
-                        first = next((p for p in pls if p is not None), None)
-                        if first is not None and first.step >= 1280:
-                            pls = [
-                                p if p is first else None for p in pls
-                            ]
-                    return pls
+                    # Wide-band hierarchies engage the fine level only on
+                    # hardware — the measured worker-fault class (see
+                    # ops/dia_pallas.dia_hardware_gate).
+                    return dia_hardware_gate(
+                        [_mk_dia_lev(lev, nu) for lev in self.msmg.levels],
+                        self._pl_interpret,
+                    )
                 self._ms_pl[key] = mk_dia(self.mg_nu)
                 self._ms_pl_kx[key] = (
                     self._ms_pl[key] if self.mg_nu_kx == self.mg_nu

@@ -154,3 +154,27 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-q"]))
+
+
+def test_dia_hardware_gate():
+    """The round-4 worker-fault gate: wide-band hierarchies (fine step >=
+    1280) keep kernels on the fine level ONLY on hardware; narrow-band
+    hierarchies and interpret mode are untouched (measured crash class,
+    results_tpu/r4_nested_bisect_*.log)."""
+    from spacetime_tpu.ops.dia_pallas import dia_hardware_gate
+
+    class _P:
+        def __init__(self, step):
+            self.step = step
+
+    wide = [_P(1280), _P(640), None, _P(384)]
+    out = dia_hardware_gate(wide, interpret=False)
+    assert out[0] is wide[0] and out[1:] == [None, None, None]
+    # interpret mode: unchanged
+    assert dia_hardware_gate(wide, interpret=True) == wide
+    # narrow-band: unchanged on hardware (round-3 proven multi-level)
+    narrow = [_P(512), _P(256), None]
+    assert dia_hardware_gate(narrow, interpret=False) == narrow
+    # all-None / empty lists pass through
+    assert dia_hardware_gate([None, None], interpret=False) == [None, None]
+    assert dia_hardware_gate([], interpret=False) == []
