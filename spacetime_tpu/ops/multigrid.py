@@ -976,7 +976,7 @@ class NestedMultiShiftMultigrid:
 
     # ---------------------------------------------------------------- jax
 
-    def _op(self, lev: _NestedLevel, lp, x):
+    def _op(self, lev: _NestedLevel, lp, x, pj=None):
         from .sparse import dia_matvec
 
         return dia_matvec(lp["Av"], lev.offA, x) + lp["omega"] * dia_matvec(
@@ -984,17 +984,17 @@ class NestedMultiShiftMultigrid:
         )
 
     def _smooth(self, lev: _NestedLevel, lp, x, b, zero_init: bool = False,
-                nu: int | None = None):
+                nu: int | None = None, pj=None):
         nu = self.nu if nu is None else nu
         sigma = self._SIGMA
         invd = 1.0 / (lp["dA"] + lp["omega"] * lp["dM"])
-        r = invd * (b if zero_init else b - self._op(lev, lp, x))
+        r = invd * (b if zero_init else b - self._op(lev, lp, x, pj))
         d = r * lp["inv_theta"]
         x = d if zero_init else x + d
         rho = 1.0 / sigma
         for _ in range(nu - 1):
             rho_new = 1.0 / (2.0 * sigma - rho)
-            r = r - invd * self._op(lev, lp, d)
+            r = r - invd * self._op(lev, lp, d, pj)
             d = rho_new * rho * d + (2.0 * rho_new) * lp["inv_delta"] * r
             x = x + d
             rho = rho_new
@@ -1025,11 +1025,17 @@ class NestedMultiShiftMultigrid:
         return self._gather_apply(lp["Pw"], lp["Pidx"], e)
 
     def _pj(self, pallas, lps, lvl):
-        """Usable Pallas level (needs its kernel columns + value arrays)."""
+        """Usable Pallas level (needs its kernel columns + value arrays).
+        Entries are DiaPallasLevel (fused banded smoother, params under
+        'cols'/'plv') or ops.ell_pallas.EllPallasLevel (blocked-ELL SpMM
+        applies, params under 'ellv') — kind distinguishes them."""
         if pallas is None or lvl >= len(pallas):
             return None
         pj = pallas[lvl]
-        return pj if (pj is None or "cols" in lps[lvl]) else None
+        if pj is None:
+            return None
+        key = "ellv" if getattr(pj, "kind", "dia") == "ell" else "cols"
+        return pj if key in lps[lvl] else None
 
     def vcycle(self, b, lps, coarse_solve, lvl: int = 0, pallas=None):
         if lvl == len(self.levels):
@@ -1062,10 +1068,10 @@ class NestedMultiShiftMultigrid:
         x = self.vcycle(b, lps, coarse_solve, pallas=pallas)
         for _ in range(cycles - 1):
             pj = self._pj(pallas, lps, 0)
-            if pj is not None:
+            if pj is not None and getattr(pj, "kind", "dia") == "dia":
                 r = pj.residual(x, b, lps[0]["cols"], lps[0]["plv"])
             else:
-                r = b - self._op(self.levels[0], lps[0], x)
+                r = b - self._op(self.levels[0], lps[0], x, pj)
             x = x + self.vcycle(r, lps, coarse_solve, pallas=pallas)
         return x
 
@@ -1439,11 +1445,19 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
 
     # ---------------------------------------------------------------- jax
 
-    def _op(self, lev: _SALevel, lp, x):
+    def _op(self, lev: _SALevel, lp, x, pj=None):
         if lev.fmt == "dia":
             return NestedMultiShiftMultigrid._op(self, lev, lp, x)
         import jax.numpy as jnp
 
+        if pj is not None and getattr(pj, "kind", None) == "ell":
+            # Blocked-ELL Pallas SpMM pair (ops/ell_pallas.py): one
+            # shared-stripe kernel feeds both MXU accumulations — the
+            # round-5 replacement for the K-wide gather unroll below
+            # (~75-85% of every V-cycle at the 1.05M-dof L-shape,
+            # r4_profile_amg1m.jsonl).
+            yA, yM = pj.op_pair(x, lp["ellv"])
+            return yA + lp["omega"] * yM
         # Unrolled over the static ELL width: each take is a full-width
         # lane-major gather that still serves both A and M; the one-shot
         # (..., m, K) form lane-pads K to the 128-tile on TPU (see
@@ -1500,25 +1514,34 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         lev = self.levels[lvl]
         lp = lps[lvl]
         pj = self._pj(pallas, lps, lvl)
+        ell = getattr(pj, "kind", None) == "ell"
+        epj = pj if ell else None
         fact = SA_FACTORED_TRANSFERS and lev.fmt == "dia" and "agg" in lp
-        if pj is not None:
+        if pj is not None and not ell:
             x = pj.smooth(None, b, lp["cols"], lp["plv"], zero_init=True)
             r = pj.residual(x, b, lp["cols"], lp["plv"])
         else:
-            x = self._smooth(lev, lp, None, b, zero_init=True)
-            r = b - self._op(lev, lp, x)
-        rc = (
-            self._restrict_fact(lev, lp, pj, r)
-            if fact else self._restrict(r, lp)
-        )
+            # ELL levels keep the XLA Chebyshev smoother arithmetic, with
+            # the operator pair (and transfers below) on the Pallas SpMM
+            # kernels when engaged (ops/ell_pallas.EllPallasLevel).
+            x = self._smooth(lev, lp, None, b, zero_init=True, pj=epj)
+            r = b - self._op(lev, lp, x, epj)
+        if ell:
+            rc = pj.restrict(r, lp["ellv"])
+        elif fact:
+            rc = self._restrict_fact(lev, lp, pj, r)
+        else:
+            rc = self._restrict(r, lp)
         ec = self.vcycle(rc, lps, coarse_solve, lvl + 1, pallas)
-        x = x + (
-            self._interp_fact(lev, lp, pj, ec)
-            if fact else self._interp(ec, lp)
-        )
-        if pj is not None:
+        if ell:
+            x = x + pj.interp(ec, lp["ellv"])
+        elif fact:
+            x = x + self._interp_fact(lev, lp, pj, ec)
+        else:
+            x = x + self._interp(ec, lp)
+        if pj is not None and not ell:
             return pj.smooth(x, b, lp["cols"], lp["plv"], post=True)
-        return self._smooth(lev, lp, x, b, nu=self.nu_post)
+        return self._smooth(lev, lp, x, b, nu=self.nu_post, pj=epj)
 
 
 def chebyshev_inverse(stencil: StencilOperator, inv_diag: float, lmin: float,

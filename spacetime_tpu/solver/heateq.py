@@ -113,6 +113,7 @@ class HeatSolver:
         loop: str = "auto",
         chunk: int = 10,
         pallas_kron: bool | str = "auto",
+        pallas_ell: bool | None = None,
         pcg_variant: str = "standard",
         rhs: str = "auto",
         cheb_eps: float = 1e-3,
@@ -544,6 +545,18 @@ class HeatSolver:
         self.pallas_dia = pallas_kron is True or (
             pallas_kron == "auto" and jax.default_backend() not in ("cpu",)
         )
+        # Blocked-ELL SpMM kernels for the aggregated SA coarse levels
+        # (ops/ell_pallas.py — the round-5 gather-removal path): follow the
+        # DIA kernel gate unless explicitly overridden (hardware A/Bs
+        # construct one solver per setting instead of flipping a module
+        # global — see the SA_FACTORED_TRANSFERS footgun note).
+        self.pallas_ell = (
+            self.pallas_dia if pallas_ell is None else bool(pallas_ell)
+        )
+        # ELL kernels engage on levels with >= this many dofs (below it the
+        # XLA gather unroll is launch-bound either way).
+        self.ell_pallas_min_m = 4096
+        self._ell_pl_cache: dict = {}
         if pallas_kron == "auto":
             # Size gate (measured): at 127² the XLA stencil fusion is
             # launch-bound and slightly faster (0.50 vs 0.72 ms/iter); at
@@ -777,6 +790,50 @@ class HeatSolver:
                             if li not in plvs:
                                 plvs[li] = pj.values(lev, dtype)
                             lp["plv"] = plvs[li]
+                # Blocked-ELL SpMM kernels for the aggregated SA coarse
+                # levels (ops/ell_pallas.py): the operator pair + both
+                # transfers become MXU matmuls — the measured 75-85%
+                # V-cycle gather share at the 1.05M-dof L-shape
+                # (r4_profile_amg1m.jsonl). A different kernel family from
+                # the wide-band DIA fault class (no wide lane windows), so
+                # not subject to dia_hardware_gate.
+                if (
+                    self.pallas_ell
+                    and getattr(self, "mg_flavor", "")
+                    == "SAMultiShiftMultigrid"
+                ):
+                    from ..ops.ell_pallas import EllPallasLevel
+
+                    eks = {}
+                    for li, lev in enumerate(self.msmg.levels):
+                        if (
+                            getattr(lev, "fmt", "dia") == "ell"
+                            and lev.m >= self.ell_pallas_min_m
+                        ):
+                            ck = (li, jnp.dtype(dtype).name)
+                            if ck not in self._ell_pl_cache:
+                                self._ell_pl_cache[ck] = EllPallasLevel(
+                                    lev, self.N + 1, dtype,
+                                    interpret=self._pl_interpret,
+                                )
+                            eks[li] = self._ell_pl_cache[ck]
+                    if eks:
+                        for attr in ("_ms_pl", "_ms_pl_kx"):
+                            lst = getattr(self, attr)[key]
+                            getattr(self, attr)[key] = [
+                                eks.get(li, pj)
+                                for li, pj in enumerate(lst)
+                            ]
+                        # Device arrays shared between the ky and kx
+                        # subtrees (the L1 pair is ~2.1 GB at 1.05M dofs).
+                        ellvs = {}
+                        for name in ("ms_ky", "ms_kx"):
+                            for li, ek in eks.items():
+                                if li not in ellvs:
+                                    ellvs[li] = ek.values(
+                                        self.msmg.levels[li], dtype
+                                    )
+                                p[name][li]["ellv"] = ellvs[li]
             # Fused Pallas smoother/residual kernels per level (large levels
             # only — the XLA form wins at small sizes); each level's
             # Chebyshev columns ride in the params pytree.
