@@ -400,12 +400,19 @@ def dia_hardware_gate(pls: list, interpret: bool) -> list:
     L0-only is solve-stable across many runs (5 crashes total that
     session). Narrow-band hierarchies (steps <= 512) keep multi-level
     engagement — round-3 proven at the 25.2 MDoF L-shape. Until
-    root-caused, wide-band hierarchies run kernels on the fine level only.
-    Interpret mode (CPU tests) is unaffected."""
+    root-caused, wide-band hierarchies run kernels on ONE level only.
+
+    The wide-band test is max(step) over ALL engaged levels (not just the
+    first): if the hierarchy's fine level were ever excluded by the size
+    gate while a coarser wide-band level stayed engaged, a first-level-only
+    check would silently bypass the blocklist (round-4 advisor finding).
+    Single-level engagement is kept even when wide-band — the proven-stable
+    configuration. Interpret mode (CPU tests) is unaffected."""
     if interpret:
         return pls
-    first = next((p for p in pls if p is not None), None)
-    if first is not None and first.step >= 1280:
+    engaged = [p for p in pls if p is not None]
+    if len(engaged) > 1 and max(p.step for p in engaged) >= 1280:
+        first = engaged[0]
         return [p if p is first else None for p in pls]
     return pls
 

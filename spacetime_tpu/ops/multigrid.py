@@ -1227,10 +1227,13 @@ class _SALevel:
     mem_w: np.ndarray | None = None  # (m_c, Kmax) 0/1 validity
 
 
-# Trace-time switch for the factored SA transfers (P=(I−ωD⁻¹A)T riding the
-# banded matvec vs the K-wide gather form). Same operator to fp rounding
-# (tests/test_amg.py); exists so hardware A/Bs can rank the two forms in one
-# process — flip BEFORE constructing the solver whose trace should bake it.
+# Default for SAMultiShiftMultigrid's factored-transfer form (P=(I−ωD⁻¹A)T
+# riding the banded matvec vs the K-wide gather form). Same operator to fp
+# rounding (tests/test_amg.py). Read ONCE at build() and baked into the
+# instance as the ``factored_transfers`` field — flipping the global after
+# construction has no effect on existing solvers (each instance carries an
+# explicit, inspectable value; hardware A/Bs may also pass
+# ``factored_transfers=`` to build() directly).
 SA_FACTORED_TRANSFERS = True
 
 
@@ -1258,6 +1261,11 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
     - transfers are fixed-width gather rows of P and Pᵀ (as in nested mg).
     """
 
+    # Factored-transfer form on DIA levels (baked at build() from the
+    # module default SA_FACTORED_TRANSFERS or an explicit build argument;
+    # never read from the global inside the jitted cycle).
+    factored_transfers: bool = True
+
     # ~9x (2D) coarsening per level; storage rule below picks DIA only when
     # the diagonal count stays within 4x the nnz footprint.
     _DIA_MAX_WASTE = 4.0
@@ -1273,6 +1281,7 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         max_levels: int | None = None,
         aggressive: int = 0,
         reorder_coarse: bool = False,
+        factored_transfers: bool | None = None,
     ) -> tuple["SAMultiShiftMultigrid", tuple[np.ndarray, np.ndarray]]:
         """Aggregate-coarsen (A, M) until ≤ ``m_coarse`` dofs (or until
         aggregation stops making progress). Returns (structure, (A_c, M_c)
@@ -1336,7 +1345,14 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
                 f"coarsest level still has {A.shape[0]} dofs (> 8192): "
                 "aggregation stalled — lower theta or raise max_levels"
             )
-        return cls(tuple(levels), nu), (A.toarray(), M.toarray())
+        ft = (
+            SA_FACTORED_TRANSFERS
+            if factored_transfers is None else bool(factored_transfers)
+        )
+        return (
+            cls(tuple(levels), nu, factored_transfers=ft),
+            (A.toarray(), M.toarray()),
+        )
 
     @classmethod
     def _make_level(cls, A, M, P, first: bool, parts=None) -> _SALevel:
@@ -1516,7 +1532,7 @@ class SAMultiShiftMultigrid(NestedMultiShiftMultigrid):
         pj = self._pj(pallas, lps, lvl)
         ell = getattr(pj, "kind", None) == "ell"
         epj = pj if ell else None
-        fact = SA_FACTORED_TRANSFERS and lev.fmt == "dia" and "agg" in lp
+        fact = self.factored_transfers and lev.fmt == "dia" and "agg" in lp
         if pj is not None and not ell:
             x = pj.smooth(None, b, lp["cols"], lp["plv"], zero_init=True)
             r = pj.residual(x, b, lp["cols"], lp["plv"])

@@ -123,6 +123,24 @@ def test_vcycle_contracts(omega):
     assert errs[-1] < 1e-3
 
 
+def test_solve_matches_dense_inner_quick():
+    # Quick-tier representative of the AMG dense-inner parity invariant
+    # (round-4 advisor: one small unmarked test per invariant class in the
+    # default tier; the larger variant below stays slow-marked).
+    problem = get_problem("lshape2d")
+    system = P1System.from_mesh(l_shape_mesh(16))
+    grid = uniform_time_grid(3)
+    r_dense = HeatSolver(problem, system, grid, inner="dense").solve(
+        tol=1e-6, compute_error=True
+    )
+    solver = HeatSolver(problem, system, grid, inner="amg", mg_coarse=64)
+    assert solver.mg_flavor == "SAMultiShiftMultigrid"
+    r_amg = solver.solve(tol=1e-6, compute_error=True)
+    assert r_amg.converged
+    assert r_amg.iterations <= r_dense.iterations + 5
+    np.testing.assert_allclose(r_amg.l2_error, r_dense.l2_error, rtol=2e-2)
+
+
 @pytest.mark.slow
 def test_solve_matches_dense_inner():
     problem = get_problem("lshape2d")

@@ -178,3 +178,16 @@ def test_dia_hardware_gate():
     # all-None / empty lists pass through
     assert dia_hardware_gate([None, None], interpret=False) == [None, None]
     assert dia_hardware_gate([], interpret=False) == []
+    # the blocklist keys on max(step) over ENGAGED levels, not the first:
+    # a fine level excluded by the size gate must not let a coarser
+    # wide-band multi-level engagement through (round-4 advisor finding)
+    skipfine = [None, _P(1280), _P(640)]
+    out = dia_hardware_gate(skipfine, interpret=False)
+    assert out == [None, skipfine[1], None]
+    mixed = [_P(512), _P(1280)]  # wide-band anywhere disables multi-level
+    out = dia_hardware_gate(mixed, interpret=False)
+    assert out == [mixed[0], None]
+    # single-level engagement stays, even wide-band (the proven-stable
+    # round-4 production configuration)
+    solo = [_P(1280), None]
+    assert dia_hardware_gate(solo, interpret=False) == solo
