@@ -41,7 +41,13 @@ def tunnel_ok(timeout_s=120):
 
 
 def main():
-    for case, why in CASES:
+    # Optional argv override: each argument is a case name (the CASES
+    # table's or a custom:M:BW:MB spec) — the round-5 MB/m boundary sweep.
+    cases = (
+        [(c, "argv sweep") for c in sys.argv[1:]]
+        if len(sys.argv) > 1 else CASES
+    )
+    for case, why in cases:
         # wait for tunnel health (worker restart after a fault)
         for attempt in range(8):
             if tunnel_ok():

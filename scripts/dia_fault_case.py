@@ -150,6 +150,18 @@ def main():
                 jax.jit(f),
                 (x0, b0, cols0, vals0, x1, b1, cols1, vals1),
             )
+    elif case.startswith("custom:"):
+        # custom:M:BW:MB — one kernel family alone with an explicit block
+        # (MB=0 keeps the chooser's pick). The round-5 fault boundary
+        # sweep: l1_only faults ALONE at its chooser MB=15360 while
+        # MB=HS·ν=2560 is stable, so the trigger lives in (m, bw, MB).
+        _, ms, bws, mbs = case.split(":")
+        m, bw, mb = int(ms), int(bws), int(mbs)
+        pj, cols, vals = make(m, bw, T, mb=(mb or None))
+        rec.update(m=m, bw=bw, step=pj.step, HS=pj.HS, MB=pj.MB)
+        x, b = mk_xb(m)
+        f = jax.jit(lambda x, b, cols, vals: stage(pj, x, b, cols, vals))
+        dispatch(f, (x, b, cols, vals))
     else:
         raise SystemExit(f"unknown case {case}")
 

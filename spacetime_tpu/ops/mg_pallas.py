@@ -43,6 +43,14 @@ from .kron_pallas import (
 
 _SIGMA = 5.0 / 3.0  # theta/delta for the lmin = lmax/4 smoothing range
 
+# Hardware engagement of the BLOCKED sharded semi-fused transfer stages
+# (round-5): the blocked layout is the same kernel family the serial
+# hardware path runs (the 255²+ unblocked fault class never applies), and
+# the single-chip probe at production slab shapes must clear it before
+# real meshes engage (results_tpu/r5_sh_blocked_probe.jsonl; flipped True
+# there). Interpret mode ignores this flag.
+SH_BLOCKED_HW = False
+
 
 def _col_spec(TB):
     return pl.BlockSpec(
@@ -637,27 +645,44 @@ class MSPallasLevel:
     # slab (own + 2·kw planes on the sharded leading axis); the transfer
     # stages run the same fused kernels with even-extent chain offsets.)
 
-    def sh_transfer_ok(self, own: int) -> bool:
-        """Sharded fused/semi-fused transfer stages available for an
-        ``own``-plane slab. Interpret-mode only: the arithmetic is portable
-        (parity-tested on CPU), but the unblocked fused layout faults the
-        TPU worker at scale (see __init__) — hardware engagement needs the
-        blocked sharded variants plus a probe this 1-chip environment
-        cannot run (DESIGN.md §8)."""
-        return (
-            self.interpret
-            and len(self.gs) in (2, 3)
-            and self.YB >= self.gs[-2]
-            and self.YBt >= self.gs[-2]
-            and own % 2 == 0
-            and own >= 2
-        )
+    def _sh_blocked(self) -> bool:
+        """Do the semi-fused sharded transfer stages run in the BLOCKED
+        layout on this instance? (YBt < the extended-slab y extent — the
+        hardware-safe family; the unblocked fused layout faults the worker
+        at 255²+, see __init__.)"""
+        return self.YBt < self.gs[-2]
+
+    def sh_transfer_ok(self, own: int, h: int | None = None) -> bool:
+        """Sharded semi-fused transfer stages available for an
+        ``own``-plane slab. Two layouts:
+
+        - UNBLOCKED (round 4): interpret-mode only — portable arithmetic,
+          parity-tested on CPU, but the unblocked layout faults the TPU
+          worker at scale.
+        - BLOCKED (round 5): the serial blocked machinery on the extended
+          slab (crop / pad-and-crop tricks, see _residual_restrict_call /
+          _prolong_correct_call lead docstrings). In 2-D the effective
+          leading halo must be even >= 2 (odd h slabs drop one front
+          plane, so odd h needs h >= 3 — any caller halo >= 2 works
+          except the bare odd h = 1). Hardware engagement keyed on
+          SH_BLOCKED_HW (the single-chip kernel-family probe,
+          results_tpu/r5_sh_blocked_probe)."""
+        if len(self.gs) not in (2, 3) or own % 2 or own < 2:
+            return False
+        if not self._sh_blocked():
+            return self.interpret and self.YB >= self.gs[-2]
+        if len(self.gs) == 2 and h is not None and h - (h % 2) < 2:
+            return False
+        return self.interpret or SH_BLOCKED_HW
 
     def sh_fused_ready(self, own: int, kw: int) -> bool:
         """Fully fused pre/post stages additionally bake one nu and need
-        the kw >= nu+1 halo contract."""
+        the kw >= nu+1 halo contract. Unblocked-layout only (no blocked
+        variant exists for the fused sweeps), hence interpret-only."""
         return (
-            self.sh_transfer_ok(own)
+            self.interpret
+            and not self._sh_blocked()
+            and self.sh_transfer_ok(own)
             and self.nu_post == self.nu
             and 2 <= self.nu <= 3
             and kw >= self.nu + 1
@@ -666,10 +691,22 @@ class MSPallasLevel:
     def sh_residual_restrict(self, x, b, cols, tx, own: int, h: int):
         """r_c = R(b − Op(x)) on a halo-``h`` extended slab; returns the
         owned coarse planes."""
+        gs = self.gs
+        if self._sh_blocked():
+            if len(gs) == 2 and h % 2:
+                # Blocked 2-D chain parity needs an even leading halo:
+                # drop one front plane (residual validity needs h-1 >= 2,
+                # which sh_transfer_ok guarantees).
+                x, b = x[:, 1:, :], b[:, 1:, :]
+                gs = (gs[0] - 1,) + gs[1:]
+                h = h - 1
+            YB = self.YBt
+        else:
+            YB = gs[-2]
         return _residual_restrict_call(
             x, b, cols["omega"], tx["Ux"], tx["Wx"],
-            groups_A=self.groups_A, groups_M=self.groups_M, gs=self.gs,
-            TB=self.TBt, YB=self.gs[-2], lead=(own, h),
+            groups_A=self.groups_A, groups_M=self.groups_M, gs=gs,
+            TB=self.TBt, YB=YB, lead=(own, h),
             interpret=self.interpret,
         )
 
@@ -677,6 +714,24 @@ class MSPallasLevel:
         """x + P(e_c) on the OWNED slab (x unhaloed); ec carries hc coarse
         halo planes."""
         gs_own = (own,) + self.gs[1:]
+        if self._sh_blocked():
+            if len(gs_own) == 2:
+                # Pad-and-crop (see _prolong_correct_call lead docstring):
+                # 2·hc zero fine planes each side align the slab with the
+                # serial blocked window lattice.
+                pad = [(0, 0)] * x.ndim
+                pad[1] = (2 * hc, 2 * hc)
+                x = jnp.pad(x, pad)
+                gs_own = (own + 4 * hc,) + gs_own[1:]
+                out = _prolong_correct_call(
+                    x, ec, tx["UxT"], tx["WxT"], gs=gs_own, TB=self.TBt,
+                    YB=self.YBt, lead=(own, hc), interpret=self.interpret,
+                )
+                return out[:, 2 * hc : 2 * hc + own, :]
+            return _prolong_correct_call(
+                x, ec, tx["UxT"], tx["WxT"], gs=gs_own, TB=self.TBt,
+                YB=self.YBt, lead=(own, hc), interpret=self.interpret,
+            )
         return _prolong_correct_call(
             x, ec, tx["UxT"], tx["WxT"], gs=gs_own, TB=self.TBt,
             YB=gs_own[-2], lead=(own, hc), interpret=self.interpret,
@@ -1639,9 +1694,20 @@ def _residual_restrict_call(
     and the coarse output holds the ``own//2`` owned coarse planes (shard
     offsets are even at every sharded level, so local parity == global and
     the u/w chains simply start ``h`` rows in). Needs h >= 2 (the residual
-    must be valid one plane past the owned slab) and the unblocked layout
-    (per-shard slabs; the blocked sharded variant would need its own
-    hardware probe)."""
+    must be valid one plane past the owned slab).
+
+    BLOCKED sharded layout (round-5, the hardware-engageable form — the
+    unblocked fused layout faults the TPU worker at 255²+): in 3-D the
+    sharded z axis is orthogonal to the blocked y axis, so the z-offset
+    pair-sums compose with the serial blocked machinery unchanged. In 2-D
+    the sharded axis IS the blocked axis; the serial blocked chain lattice
+    (window off=1 with the −1-row halo shift pairs GLOBAL fine rows
+    (2j, 2j+1)) coincides with the slab's owned-coarse lattice (fine rows
+    h+2j) exactly when h is EVEN, so the kernel runs the plain serial
+    blocked path over the extended slab with a grid-covered coarse extent
+    and the owned planes h/2 .. h/2+own/2 are cropped after the call
+    (MSPallasLevel.sh_residual_restrict slices one leading plane off
+    odd-h slabs first)."""
     T = b.shape[0]
     dim = len(gs)
     ny, nx = gs[-2], gs[-1]
@@ -1654,16 +1720,25 @@ def _residual_restrict_call(
         raise ValueError("residual_restrict needs YB % 16 == 0")
     off = 1 if blocked else 0
     z0 = 0
+    crop_c = None
     if lead is not None:
         own, h = lead
-        if blocked or own % 2 or h < 2:
+        if own % 2 or h < 2:
             raise ValueError(
-                "sharded lead layout needs the unblocked form, an even "
-                "owned extent, and halo >= 2"
+                "sharded lead layout needs an even owned extent and "
+                "halo >= 2"
             )
         if dim == 2:
-            nyc = YBc = own // 2
-            off = h
+            if blocked:
+                if h % 2:
+                    raise ValueError(
+                        "blocked 2-D sharded slab needs an even leading halo"
+                    )
+                nyc = pl.cdiv(ny, YB) * YBc
+                crop_c = h // 2
+            else:
+                nyc = YBc = own // 2
+                off = h
         else:
             restc = (own // 2,) + restc[1:]
             z0 = h
@@ -1719,7 +1794,7 @@ def _residual_restrict_call(
                 transcendentals=0,
             ),
         )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid=(pl.cdiv(T, TB), pl.cdiv(ny, YB)),
         in_specs=_i32_specs(specs),
@@ -1730,6 +1805,11 @@ def _residual_restrict_call(
         interpret=interpret,
         **kwargs,
     )(omega, Ux, Wx, *([x] * n_f), *([b] * n_f))
+    if crop_c is not None:
+        out = jax.lax.slice_in_dim(
+            out, crop_c, crop_c + lead[0] // 2, axis=-2
+        )
+    return out
 
 
 @functools.partial(
@@ -1839,8 +1919,14 @@ def _prolong_correct_call(
     grid axis (gs[0] == own), while ec carries ``hc >= 1`` halo planes per
     side of its ``own//2`` owned coarse planes (fine local plane f reads
     coarse local f//2 and (f-1)//2, so only one LEFT halo plane is truly
-    consumed; the symmetric exchange keeps one code path). Unblocked
-    layout only."""
+    consumed; the symmetric exchange keeps one code path).
+
+    BLOCKED sharded layout (round-5): 3-D composes directly (sharded z ⊥
+    blocked y). In 2-D the fine operand arrives ZERO-PADDED by 2·hc
+    planes each side (MSPallasLevel.sh_prolong_correct pads and crops):
+    padded fine row f = j + 2·hc reads coarse f//2 = j//2 + hc — exactly
+    the ec-local row — so the kernel body is the plain serial blocked
+    path with ec as the full coarse array."""
     T = x.shape[0]
     dim = len(gs)
     ny, nx = gs[-2], gs[-1]
@@ -1854,14 +1940,24 @@ def _prolong_correct_call(
     hc = None
     if lead is not None:
         own, hc = lead
-        if blocked or own % 2 or hc < 1 or own != gs[0]:
+        if own % 2 or hc < 1:
             raise ValueError(
-                "sharded lead layout needs the unblocked form, an even "
-                "owned extent (== gs[0]), and coarse halo >= 1"
+                "sharded lead layout needs an even owned extent and "
+                "coarse halo >= 1"
             )
         if dim == 2:
+            if blocked:
+                if gs[0] != own + 4 * hc:
+                    raise ValueError(
+                        "blocked 2-D sharded prolong needs the fine "
+                        "operand zero-padded by 2*hc planes each side"
+                    )
+            elif own != gs[0]:
+                raise ValueError("unblocked sharded lead needs gs[0]==own")
             nyc = own // 2 + 2 * hc  # ec extent incl. its halo planes
         else:
+            if own != gs[0]:
+                raise ValueError("3-D sharded lead needs gs[0]==own")
             restc = (own // 2 + 2 * hc,) + restc[1:]
     n_c = 3 if blocked else 1
     gsc = restc + (nyc, nxc)
@@ -1896,9 +1992,13 @@ def _prolong_correct_call(
                 B = _repeat_rows(B, -1, rest[0], axis=-3)
         # Local fine row l is global f = yi·YB + l; its repeat index into
         # the halo-2 coarse window is l + 2·halo_c = l + 4 (cf. fused_post
-        # with fine halo 0). Sharded-y lead: halo_c = hc, fine halo 0.
+        # with fine halo 0). Unblocked sharded-y lead: halo_c = hc, fine
+        # halo 0; BLOCKED sharded-y rides the serial window lattice (the
+        # fine operand is pre-padded by 2·hc — see the lead docstring).
         nrows = YB if blocked else ny
-        y_start = 2 * hc if (lead is not None and dim == 2) else 4
+        y_start = (
+            2 * hc if (lead is not None and dim == 2 and not blocked) else 4
+        )
         P = 0.5 * (
             _repeat_rows(A, y_start, nrows)
             + _repeat_rows(B, y_start - 1, nrows)

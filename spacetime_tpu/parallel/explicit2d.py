@@ -364,11 +364,12 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
         # Per-shard fused/semi-fused TRANSFER stages: the residual+restrict
         # and prolong+correct chains run inside the kernels with even-extent
         # halo-slab chain offsets (ops/mg_pallas lead=(own, h) layout) —
-        # closing the last XLA-transfer gap of the 2-D mesh. Interpret-mode
-        # only (MSPallasLevel.sh_transfer_ok): correctness is portable,
-        # hardware engagement awaits multichip measurement.
+        # closing the last XLA-transfer gap of the 2-D mesh. Unblocked
+        # layout: interpret-only; BLOCKED layout (round 5): hardware-
+        # engageable behind the probe flag (mg_pallas.SH_BLOCKED_HW,
+        # MSPallasLevel.sh_transfer_ok).
         sh_tx = (
-            pj is not None and "tx" in lp and pj.sh_transfer_ok(own)
+            pj is not None and "tx" in lp and pj.sh_transfer_ok(own, kw)
             and kw >= 2
         )
         hc_post = (kw + 2) // 2  # fused_post coarse halo: 2·hc >= kw+1
@@ -599,13 +600,15 @@ class Explicit2DHeatSolver(ExplicitHeatSolver):
                 nup = lambda nu: max(
                     nu, nu if self.mg_nu_post is None else self.mg_nu_post
                 )
-                # Interpret mode carries one extra halo plane so the fused
-                # transfer stages' kw >= nu+1 contract holds (sharded
-                # fused_pre sweeps contaminate nu-1 edge planes AND need the
-                # residual valid one plane past the owned slab); hardware
-                # keeps the tight nup halo — the sharded transfer kernels
-                # are interpret-gated anyway (MSPallasLevel.sh_transfer_ok).
-                ex = 1 if self._pl_interpret else 0
+                # One extra halo plane lets the transfer stages engage:
+                # interpret needs kw >= nu+1 for the fused contract, and
+                # the round-5 BLOCKED semi-fused stages need kw >= 3 in
+                # 2-D (odd-effective chain parity) — carried whenever the
+                # blocked hardware path could engage (SH_BLOCKED_HW); bare
+                # hardware without the probe flag keeps the tight halo.
+                from ..ops.mg_pallas import SH_BLOCKED_HW
+
+                ex = 1 if (self._pl_interpret or SH_BLOCKED_HW) else 0
                 self._sp_kw = {
                     "ky": nup(self.mg_nu) + ex, "kx": nup(self.mg_nu_kx) + ex
                 }

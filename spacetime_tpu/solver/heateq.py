@@ -215,6 +215,9 @@ class HeatSolver:
             # ops/stencil.py).
             self.gs = (self.m,)
             self._dia_host = {"Mv": M_dia.vals, "Av": A_dia.vals}
+            # Static diagonal offsets, exposed for the DS flat legs
+            # (solver/ds_legs.DSFlatResidual mirrors these matvecs).
+            self._dia_off = {"M": M_dia.offsets, "A": A_dia.offsets}
             if use_ell:
                 from ..ops.blocked_ell import BlockedEll
 
@@ -1537,18 +1540,22 @@ class HeatSolver:
         """Jitted double-single residual leg (solver/ds_legs.py) — the
         same S chain the f64 legs evaluate, in compensated f32 (operator
         error ~1e-10 relative, measured) at a fraction of emulated-f64
-        cost. None where unsupported: non-structured regimes and the
+        cost. Covers the structured constant-stencil regime (DSResidual)
+        and the flat-dof nested/SA hierarchies (DSFlatResidual). None
+        where unsupported: dense/cheb/weighted-structured regimes and the
         parallel subclasses (their resid64 jits carry explicit
         shardings) keep the f64 legs."""
         if "_ds_jit" not in self.__dict__:
-            from .ds_legs import DSResidual
+            from .ds_legs import DSResidual, make_ds_residual
 
-            if type(self) is not HeatSolver or not DSResidual.supported(
-                self
-            ):
+            dsr = (
+                make_ds_residual(self)
+                if type(self) is HeatSolver
+                else None
+            )
+            if dsr is None:
                 self._ds_jit = None
             else:
-                dsr = DSResidual(self)
                 # Four executables: the leg proper stays pure DS; the
                 # f64 boundary (split/norm/normalize) lives in tiny
                 # separate jits — one graph mixing both made XLA push
@@ -1593,8 +1600,9 @@ class HeatSolver:
         ds_jit = self._ds_resid() if legs in ("auto", "ds") else None
         if legs == "ds" and ds_jit is None:
             raise ValueError(
-                "legs='ds' needs the structured constant-stencil mg "
-                "regime on the single-device solver"
+                "legs='ds' needs a supported mg regime on the "
+                "single-device solver (structured constant-stencil, or "
+                "the nested/SA flat-dof hierarchies)"
             )
         if not jax.config.jax_enable_x64:
             # Without x64 the "f64" residual loop silently truncates to f32

@@ -138,6 +138,77 @@ def test_solve_refined_ds_matches_f64():
     )
 
 
+# ------------------------------------------------- flat-dof regimes
+
+from spacetime_tpu.fem import l_shape_mesh, refine_hierarchy
+from spacetime_tpu.solver.ds_legs import DSFlatResidual, make_ds_residual
+
+
+def _flat_solver(kind, n=8, refines=2, levels=3):
+    pr = get_problem("lshape2d")
+    if kind == "nested":
+        mesh = refine_hierarchy(l_shape_mesh(n), refines)
+        sysm = P1System.from_mesh(mesh)
+        return HeatSolver(
+            pr, sysm, uniform_time_grid(levels), dtype=jnp.float32,
+            inner="mg",
+        )
+    sysm = P1System.from_mesh(l_shape_mesh(24))
+    return HeatSolver(
+        pr, sysm, uniform_time_grid(levels), dtype=jnp.float32,
+        inner="amg", mg_coarse=64,
+    )
+
+
+@pytest.mark.parametrize("kind", ["nested", "sa"])
+def test_flat_resid_matches_f64(kind):
+    s = _flat_solver(kind)
+    assert not DSResidual.supported(s)
+    assert DSFlatResidual.supported(s)
+    dsr = make_ds_residual(s)
+    assert type(dsr) is DSFlatResidual
+    if kind == "sa":
+        # the SA hierarchy should exercise both level-operator formats
+        fmts = {lev.fmt for lev in s.msmg.levels}
+        assert "dia" in fmts
+    p64 = s.params_for(jnp.float64)
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal((s.N + 1,) + s.gs), jnp.float64)
+    f = jnp.asarray(rng.standard_normal((s.N + 1,) + s.gs), jnp.float64)
+    r64 = f - s.apply_S(u, p64)
+
+    pds = dsr.params()
+    fp = jax.jit(DSResidual.split_f)(f)
+    r_pair = jax.jit(lambda fp, u, p: dsr.resid_pair(fp, u, p))(fp, u, pds)
+    r_ds = ds.to_f64(r_pair)
+    scale = float(jnp.linalg.norm(s.apply_S(u, p64)))
+    rel = float(jnp.linalg.norm(r_ds - r64)) / scale
+    # same bar as the structured regime: orders of magnitude below the
+    # 1e-9 operator budget (plain f32 sits at ~1e-7)
+    assert rel < 1e-11, rel
+
+
+@pytest.mark.parametrize("kind", ["nested", "sa"])
+def test_solve_refined_ds_matches_f64_flat(kind):
+    sf = _flat_solver(kind)
+    rf = sf.solve_refined(tol=1e-8, legs="f64")
+    sd = _flat_solver(kind)
+    assert sd._ds_resid() is not None
+    rd = sd.solve_refined(tol=1e-8, legs="ds")
+    assert rd.converged and rf.converged
+    assert len(rd.residuals) == len(rf.residuals)
+    assert rd.l2_error == pytest.approx(rf.l2_error, rel=1e-9)
+    assert np.linalg.norm(rd.U - rf.U) <= 1e-8 * np.linalg.norm(rf.U)
+    # Post-round residuals reflect where the f32 inner solve stopped: a
+    # 1-ulp difference in the normalized RHS (DS vs f64 norm) shifts the
+    # stopping point by a few percent of the ACHIEVED residual (measured
+    # 1.3% on the SA config) without touching rounds/accuracy — the tight
+    # operator-parity assertions live in test_flat_resid_matches_f64.
+    np.testing.assert_allclose(
+        rd.residuals[:2], rf.residuals[:2], rtol=5e-2
+    )
+
+
 def test_legs_fallback_and_errors():
     # dense inner: unsupported -> auto falls back to f64 legs, explicit
     # 'ds' raises

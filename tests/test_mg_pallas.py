@@ -322,13 +322,13 @@ def test_fused_pre_post_3d_matches_unfused():
 # ---------------------------------------------- sharded-slab transfer stages
 
 
-def _sh_setup(dim, own=6, h=3, T=3, seed=1):
+def _sh_setup(dim, own=6, h=3, T=3, seed=1, ny=7):
     """Even-extent halo-slab scenario for the explicit2d lead=(own, h)
     kernel layout: constant A/M stencil pair on the extended slab."""
     from spacetime_tpu.ops.stencil import StencilOperator
 
     nx = 7
-    gs_e = (own + 2 * h, nx) if dim == 2 else (own + 2 * h, 7, nx)
+    gs_e = (own + 2 * h, nx) if dim == 2 else (own + 2 * h, ny, nx)
     if dim == 2:
         disps = ((0, 0), (1, 0), (-1, 0), (0, 1), (0, -1))
     else:
@@ -432,6 +432,64 @@ def test_sh_prolong_correct(dim):
     ref = np.asarray(xo) + P
     rel = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
     assert rel < 5e-5
+
+
+# Round-5 BLOCKED sharded transfer variants: same operator as the
+# unblocked (round-4, parity-proven above) layout — 2-D via the
+# crop / pad-and-crop lattice tricks, 3-D via sharded-z ⊥ blocked-y
+# composition (ops/mg_pallas lead docstrings). The blocked layout is the
+# hardware-engageable family (SH_BLOCKED_HW).
+
+
+@pytest.mark.parametrize(
+    "dim,h", [(2, 3), (2, 4), (2, 5), (3, 3), (3, 4)]
+)
+def test_sh_residual_restrict_blocked_matches_unblocked(dim, h):
+    own = 20
+    ny3 = 31  # serial blocked family (2^k - 1) for the unsharded 3-D y
+    pj_u, gs_e, omr, cols, tx, vm, rng = _sh_setup(dim, own=own, h=h, ny=ny3)
+    pj_u.YBt = gs_e[-2]  # force unblocked (the proven reference)
+    pj_b, *_ = _sh_setup(dim, own=own, h=h, ny=ny3)
+    pj_b.YBt = 16
+    assert pj_b._sh_blocked() and not pj_u._sh_blocked()
+    assert pj_b.sh_transfer_ok(own, h)
+    if dim == 2:
+        # the one illegal 2-D halo: bare odd h=1 (effective even halo 0)
+        assert not pj_b.sh_transfer_ok(own, 1)
+    T = 3
+    x = jnp.asarray(rng.standard_normal((T,) + gs_e), jnp.float32)
+    b = jnp.asarray(rng.standard_normal((T,) + gs_e), jnp.float32)
+    rc_u = pj_u.sh_residual_restrict(x, b, cols, tx, own, h)
+    rc_b = pj_b.sh_residual_restrict(x, b, cols, tx, own, h)
+    assert rc_b.shape == rc_u.shape
+    np.testing.assert_allclose(
+        np.asarray(rc_b), np.asarray(rc_u), rtol=2e-5, atol=2e-5
+    )
+
+
+@pytest.mark.parametrize("dim,hc", [(2, 1), (2, 2), (3, 1), (3, 2)])
+def test_sh_prolong_correct_blocked_matches_unblocked(dim, hc):
+    own = 20
+    ny3 = 31
+    pj_u, gs_e, omr, cols, tx, vm, rng = _sh_setup(dim, own=own, ny=ny3)
+    pj_u.YBt = max(gs_e[-2], own + 4 * hc)
+    pj_b, *_ = _sh_setup(dim, own=own, ny=ny3)
+    pj_b.YBt = 16
+    T, nx = 3, gs_e[-1]
+    nxc, nc = (nx - 1) // 2, own // 2
+    xo_s = (T, own) + gs_e[1:]
+    ec_s = (
+        (T, nc + 2 * hc, nxc) if dim == 2
+        else (T, nc + 2 * hc, (ny3 - 1) // 2, nxc)
+    )
+    xo = jnp.asarray(rng.standard_normal(xo_s), jnp.float32)
+    ec = jnp.asarray(rng.standard_normal(ec_s), jnp.float32)
+    out_u = pj_u.sh_prolong_correct(xo, ec, tx, own, hc)
+    out_b = pj_b.sh_prolong_correct(xo, ec, tx, own, hc)
+    assert out_b.shape == out_u.shape
+    np.testing.assert_allclose(
+        np.asarray(out_b), np.asarray(out_u), rtol=2e-5, atol=2e-5
+    )
 
 
 @pytest.mark.parametrize("dim", [2, 3])
