@@ -45,11 +45,14 @@ _SIGMA = 5.0 / 3.0  # theta/delta for the lmin = lmax/4 smoothing range
 
 # Hardware engagement of the BLOCKED sharded semi-fused transfer stages
 # (round-5): the blocked layout is the same kernel family the serial
-# hardware path runs (the 255²+ unblocked fault class never applies), and
-# the single-chip probe at production slab shapes must clear it before
-# real meshes engage (results_tpu/r5_sh_blocked_probe.jsonl; flipped True
-# there). Interpret mode ignores this flag.
-SH_BLOCKED_HW = False
+# hardware path runs (the 255²+ unblocked fault class never applies).
+# PROBED on the real chip (results_tpu/r5_sh_blocked_probe.jsonl): all
+# four production slab shapes — 2-D 1023² at own 512/256/128 (h=2 and the
+# odd-h slice path) and 3-D z-sharded 127³ — compile, dispatch stably
+# (3 steady dispatches each, ~24-27 ms/stage), and match the XLA
+# reference to ~7e-6 (the bf16-split transfer-dot tolerance). Interpret
+# mode ignores this flag.
+SH_BLOCKED_HW = True
 
 
 def _col_spec(TB):
