@@ -29,6 +29,13 @@ streaming reads + MXU work, exactly the blocked-ELL north-star trade
 
 Engagement is per-level from solver/heateq.py (same pallas_dia flag family
 and interpret-on-CPU discipline as ops/dia_pallas.py); f32/bf16 only.
+
+Measured on hardware (round 5): per-level stage probes at the 1.05M-dof
+hierarchy (results_tpu/r5_probe_ell_1m.jsonl, br=bc=128) — L1 full
+V-cycle stage 35.25 → 15.35 ms (2.30x), L2 5.37 → 1.32 ms (4.07x),
+parity ~2e-7; full-solve same-process A/B (r5_amg_1m_ell_ab.log):
+16.11 → 13.05 s @ 22 IDENTICAL iterations (−19%), closing the AMG-vs-
+nested same-mesh ratio from 1.42x to 1.15x.
 """
 
 from __future__ import annotations
