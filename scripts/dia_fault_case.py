@@ -152,9 +152,12 @@ def main():
             )
     elif case.startswith("custom:"):
         # custom:M:BW:MB — one kernel family alone with an explicit block
-        # (MB=0 keeps the chooser's pick). The round-5 fault boundary
-        # sweep: l1_only faults ALONE at its chooser MB=15360 while
-        # MB=HS·ν=2560 is stable, so the trigger lives in (m, bw, MB).
+        # (MB=0 keeps the chooser's pick). Sweep outcome (r5_fault_sweep
+        # .jsonl): the trigger tracks m, not MB — the step-640 family
+        # faults alone at m=261665 for EVERY MB (2560..15360) and at
+        # m=523329, step-1280 faults at m=261665, while m=1049025 is
+        # stable for both; the earlier both_mb_small stability was a
+        # combination effect, not an MB=HS·ν property.
         _, ms, bws, mbs = case.split(":")
         m, bw, mb = int(ms), int(bws), int(mbs)
         pj, cols, vals = make(m, bw, T, mb=(mb or None))

@@ -389,29 +389,45 @@ def _pick_blocks_dia(T, m, HS):
     return TB, max(HS, (target // HS) * HS)
 
 
+#: Smallest m at which a wide-band (step >= 640) kernel family is
+#: measured solve-stable on hardware (results_tpu/r5_fault_sweep.jsonl).
+DIA_WIDE_STABLE_M = 1_049_025
+
+
 def dia_hardware_gate(pls: list, interpret: bool) -> list:
     """Per-hierarchy hardware engagement gate for DiaPallasLevel lists.
 
-    Round-4 finding (results_tpu/r4_nested_bisect_*.log,
-    r4_nested_1m_gated.log): in WIDE-BAND hierarchies — fine engaged level
-    step >= 1280, e.g. the n=1184 L-shape (bw=1184) — MULTI-level kernel
-    engagement reproducibly kills the TPU worker ("kernel fault" at solve
-    dispatch): L0+L1 (step 640) and L0+L2 (step 384) both fault, while
-    L0-only is solve-stable across many runs (5 crashes total that
-    session). Narrow-band hierarchies (steps <= 512) keep multi-level
-    engagement — round-3 proven at the 25.2 MDoF L-shape. Until
-    root-caused, wide-band hierarchies run kernels on ONE level only.
+    Round-5 boundary sweep (scripts/dia_fault_bisect.py,
+    results_tpu/r5_fault_sweep.jsonl + r5_dia_fault_bisect.jsonl): the
+    worker-fault trigger tracks the level SIZE m, not the block MB and
+    not multi-level interaction — at fixed geometry (bw=592 -> step 640,
+    HS=1280) the family faults ALONE at m=261665 for every
+    MB in {2560, 5120, 10240, 15360} and at m=523329, while m=1049025 is
+    stable; the step-1280 family (bw=1184, MB=40960) likewise faults at
+    m=261665 but is stable at m=1049025. Rule 1: wide-band families
+    (step >= 640) engage on hardware only at m >= DIA_WIDE_STABLE_M, the
+    measured-stable island (narrow families, steps <= 512, are round-3
+    production-proven at 0.2-1.05M rows and stay unrestricted).
 
-    The wide-band test is max(step) over ALL engaged levels (not just the
-    first): if the hierarchy's fine level were ever excluded by the size
-    gate while a coarser wide-band level stayed engaged, a first-level-only
-    check would silently bypass the blocklist (round-4 advisor finding).
-    Single-level engagement is kept even when wide-band — the proven-stable
-    configuration. Interpret mode (CPU tests) is unaffected."""
+    Round-4 finding kept as rule 2 (results_tpu/r4_nested_bisect_*.log):
+    MULTI-level engagement under a wide-band level also faults even when
+    the partner is narrow (L0 step-1280 + L2 step-384 crashed), so any
+    hierarchy with an engaged wide-band level runs kernels on ONE level
+    only. The wide-band test is max(step) over ALL engaged levels (not
+    just the first): if the hierarchy's fine level were ever excluded by
+    the size gate while a coarser wide-band level stayed engaged, a
+    first-level-only check would silently bypass the blocklist (round-4
+    advisor finding). Interpret mode (CPU tests) is unaffected."""
     if interpret:
         return pls
+    pls = [
+        None
+        if (p is not None and p.step >= 640 and p.m < DIA_WIDE_STABLE_M)
+        else p
+        for p in pls
+    ]
     engaged = [p for p in pls if p is not None]
-    if len(engaged) > 1 and max(p.step for p in engaged) >= 1280:
+    if len(engaged) > 1 and max(p.step for p in engaged) >= 640:
         first = engaged[0]
         return [p if p is first else None for p in pls]
     return pls

@@ -122,7 +122,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="residual-leg arithmetic for --refined: ds = "
                         "double-single compensated f32 (same operator to "
                         "~1e-15 relative measured, ~2x faster legs — "
-                        "-23% flagship time-to-1e-8), f64 = emulated float64, auto = ds where "
+                        "-23%% flagship time-to-1e-8), f64 = emulated float64, auto = ds where "
                         "supported (structured constant-stencil mg on the "
                         "single-device backend)")
     p.add_argument("--pallas-ell", choices=["auto", "on", "off"],

@@ -47,6 +47,14 @@ class TestCLI:
     def test_refined_requires_jax_backend(self):
         assert run_main(["--backend", "oracle", "--refined"]) == 2
 
+    def test_help_renders(self, capsys):
+        # argparse expands help strings with %-formatting: an unescaped
+        # literal % in any help text crashes --help (caught live, round 5)
+        with pytest.raises(SystemExit) as ei:
+            run_main(["--help"])
+        assert ei.value.code == 0
+        assert "--refine-legs" in capsys.readouterr().out
+
     def test_sharded_backend(self, tmp_path):
         out = tmp_path / "res.jsonl"
         rc = run_main([

@@ -157,15 +157,22 @@ if __name__ == "__main__":
 
 
 def test_dia_hardware_gate():
-    """The round-4 worker-fault gate: wide-band hierarchies (fine step >=
-    1280) keep kernels on the fine level ONLY on hardware; narrow-band
-    hierarchies and interpret mode are untouched (measured crash class,
-    results_tpu/r4_nested_bisect_*.log)."""
-    from spacetime_tpu.ops.dia_pallas import dia_hardware_gate
+    """The worker-fault gate, round-5 form (r5_fault_sweep.jsonl): rule 1
+    blocks wide-band families (step >= 640) below the measured-stable
+    size m >= 1049025 per LEVEL; rule 2 keeps the round-4 multi-level
+    restriction (one engaged level when any engaged level is wide-band).
+    Narrow-band hierarchies and interpret mode are untouched."""
+    from spacetime_tpu.ops.dia_pallas import (
+        DIA_WIDE_STABLE_M,
+        dia_hardware_gate,
+    )
+
+    BIG = DIA_WIDE_STABLE_M  # 1_049_025: the measured-stable island
 
     class _P:
-        def __init__(self, step):
+        def __init__(self, step, m=BIG):
             self.step = step
+            self.m = m
 
     wide = [_P(1280), _P(640), None, _P(384)]
     out = dia_hardware_gate(wide, interpret=False)
@@ -178,6 +185,19 @@ def test_dia_hardware_gate():
     # all-None / empty lists pass through
     assert dia_hardware_gate([None, None], interpret=False) == [None, None]
     assert dia_hardware_gate([], interpret=False) == []
+    # rule 1: a wide-band family BELOW the stable size is dropped even
+    # alone — the r5 sweep's fault set (m=261665/523329, any MB,
+    # steps 640 and 1280)
+    assert dia_hardware_gate([_P(640, 261665)], interpret=False) == [None]
+    assert dia_hardware_gate([_P(1280, 261665)], interpret=False) == [None]
+    assert dia_hardware_gate([_P(640, 523329)], interpret=False) == [None]
+    # ... which in a hierarchy leaves the narrow partner engaged alone
+    out = dia_hardware_gate([_P(640, 261665), _P(320, 65000)],
+                            interpret=False)
+    assert out[0] is None and out[1] is not None
+    # at the stable size the wide family stays (measured: m=1049025 is
+    # solve-stable for both step families)
+    assert dia_hardware_gate([_P(640, BIG)], interpret=False)[0] is not None
     # the blocklist keys on max(step) over ENGAGED levels, not the first:
     # a fine level excluded by the size gate must not let a coarser
     # wide-band multi-level engagement through (round-4 advisor finding)
