@@ -117,6 +117,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="mixed-precision iterative refinement (f32 inner PCG "
                         "+ f64 residuals; any device backend, pairs with "
                         "--dtype f32 and tight --tol like 1e-8)")
+    p.add_argument("--refine-inner-tol", type=float, default=1e-5,
+                   metavar="TOL",
+                   help="relative tolerance floor for the f32 inner PCG "
+                        "rounds of --refined (default 1e-5; the round-5 "
+                        "flagship bakeoff measured 3e-4 fastest at 135 MDoF "
+                        "— 7.04 s @ 29 inner iters vs 7.72 @ 34 — with "
+                        "identical L2, results_tpu/r5_flag2d_bakeoff.log)")
     p.add_argument("--refine-legs", choices=["auto", "ds", "f64"],
                    default="auto",
                    help="residual-leg arithmetic for --refined: ds = "
@@ -372,7 +379,8 @@ def main(argv=None) -> int:
         with timer("solve (incl. compile)"), _maybe_trace():
             if args.refined:
                 res = solver.solve_refined(
-                    tol=args.tol, compute_error=not args.no_error,
+                    tol=args.tol, inner_tol=args.refine_inner_tol,
+                    compute_error=not args.no_error,
                     legs=args.refine_legs,
                 )
             else:

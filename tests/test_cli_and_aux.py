@@ -37,6 +37,7 @@ class TestCLI:
         out = tmp_path / "res.jsonl"
         rc = run_main([
             "--backend", "jax", "--dtype", "f32", "--refined",
+            "--refine-inner-tol", "3e-4",
             "--tol", "1e-8", "--space-n", "8", "--time-levels", "3",
             "--out", str(out), "--no-error",
         ])
